@@ -1,0 +1,510 @@
+"""Relational query surface over the driver testdata, oracle-checked.
+
+One entry per operator family in SURVEY.md §2 (scans, projections, derived
+columns, two-level aggregations, the four join shapes, dedup, null-fill,
+window forms, sorts/limits, set ops, scalar functions), each expressed
+Spark-first with a matching ANSI-SQL oracle for DuckDB.
+
+Determinism rules used throughout (required for hash-equality with the
+oracle AND for run-to-run reproducibility on a 1000-executor cluster):
+ - money sums go through DECIMAL (functions/exact.py) — order-independent;
+ - transcendental outputs (ln) are rounded to 6 decimals on both sides;
+ - every LIMIT carries a total ORDER BY with a unique tie-break key;
+ - timestamps are cast to DATE/epoch before leaving a query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.functions.exact import decimal_sum, exact_avg
+from pyspark_kmeans_spark.operators import segmentation as seg
+from pyspark_kmeans_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship (SURVEY.md §2: P1-P6, J1-J4, A1-A5 composed)
+# --------------------------------------------------------------------------
+
+
+def q_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seg.customer_features(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "events"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+_FLAGSHIP_SQL = """
+WITH ages AS (
+    SELECT o_custkey,
+           datediff('day', MIN(CAST(o_orderdate AS DATE)), DATE '2026-01-01') / 365 AS age
+    FROM orders GROUP BY o_custkey
+), per_order AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS order_revenue
+    FROM lineitem GROUP BY l_orderkey
+), rev AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(order_revenue AS DECIMAL(18,6))) AS DOUBLE) / COUNT(order_revenue)
+               AS avg_buy,
+           MIN(order_revenue) AS min_buy,
+           MAX(order_revenue) AS max_buy
+    FROM per_order JOIN orders ON per_order.l_orderkey = orders.o_orderkey
+    GROUP BY o_custkey
+), hits AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS hit_rate
+    FROM events GROUP BY user_id
+), str AS (
+    SELECT s_nationkey, MAX(s_acctbal) AS strength FROM supplier GROUP BY s_nationkey
+)
+SELECT c_custkey, age, avg_buy, min_buy, max_buy, hit_rate,
+       COALESCE(strength, 0.0) AS strength,
+       CASE WHEN age     > 0 THEN ROUND(LN(age), 6)     END AS log_age,
+       CASE WHEN avg_buy > 0 THEN ROUND(LN(avg_buy), 6) END AS log_avg_buy,
+       CASE WHEN min_buy > 0 THEN ROUND(LN(min_buy), 6) END AS log_min_buy,
+       CASE WHEN max_buy > 0 THEN ROUND(LN(max_buy), 6) END AS log_max_buy
+FROM customer
+JOIN ages ON c_custkey = ages.o_custkey
+JOIN rev  ON c_custkey = rev.o_custkey
+JOIN hits ON c_custkey = hits.user_id
+LEFT JOIN str ON c_nationkey = str.s_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Scans / projections / derived columns (S-, P-rows)
+# --------------------------------------------------------------------------
+
+
+def q_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P2: pure column projection — prunes the parquet scan to 3 columns.
+    return _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+
+
+def q_derived_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P1: datediff-against-constant derived column (utils/kmeans_utils.py:30).
+    orders = _t(spark, sf_dir, "orders")
+    age = F.datediff(
+        F.to_date(F.lit(seg.TESTDATA_REFERENCE_DATE), "yyyy-MM-dd"),
+        F.to_date("o_orderdate"),
+    ) / 365
+    return orders.select("o_orderkey", age.alias("order_age"))
+
+
+def q_log_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P5: natural log, null for non-positive input (utils/kmeans_utils.py:63).
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey", F.round(F.log("c_acctbal"), 6).alias("log_acctbal")
+    )
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.7 extension: date-part + string scalar functions, all JVM-side.
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        F.length("o_orderpriority").alias("priority_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A-rows)
+# --------------------------------------------------------------------------
+
+
+def q_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1: two-key-style grouped sum (per-order revenue).
+    return seg.order_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+def q_customer_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2: two-level aggregation — avg/min/max of per-order sums.
+    return seg.customer_revenue_stats(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_event_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3: mean of a 0/1 indicator per user.
+    return seg.customer_hit_rate(_t(spark, sf_dir, "events"))
+
+
+def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A4: dropDuplicates over a 2-column projection.
+    return _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").dropDuplicates()
+
+
+# --------------------------------------------------------------------------
+# Joins (J-rows)
+# --------------------------------------------------------------------------
+
+
+def q_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J1: dimension equi-join (broadcast — nation is bounded at any SF).
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")  # broadcast via load_table
+    return (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey, "inner")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def q_left_join_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J4+A5: left join + null fill (utils/kmeans_utils.py:50).
+    cust = _t(spark, sf_dir, "customer")
+    counts = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        cust.select("c_custkey")
+        .join(counts, cust.c_custkey == counts.o_custkey, "left")
+        .drop("o_custkey")
+        .na.fill(0, subset=["n_orders"])
+    )
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Extension: semi/anti joins (EXISTS / NOT EXISTS) — customers with
+    # orders but no events.
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .join(events, cust.c_custkey == events.user_id, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows / unpivot (W-rows)
+# --------------------------------------------------------------------------
+
+
+def q_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W1: per-group row number with a deterministic total order.
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W2: wide → long unpivot of the revenue-stat matrix.
+    stats = seg.customer_revenue_stats(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+    return stats.unpivot(
+        ids=["o_custkey"],
+        values=["avg_buy", "min_buy", "max_buy"],
+        variableColumnName="feature",
+        valueColumnName="value",
+    )
+
+
+def q_distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W3: distinct values of one column.
+    return _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+
+
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Extension: running aggregate window (cumulative revenue per customer).
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w)
+    return orders.select(
+        "o_custkey", "o_orderkey", total.cast("double").alias("running_total")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / set ops (§2.6 — absent in the reference; added here)
+# --------------------------------------------------------------------------
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Total-ordered LIMIT with unique tie-break (TakeOrderedAndProject plan —
+    # no full sort shuffle at scale).
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UNION (distinct) + EXCEPT: all segment/priority labels minus one.
+    segments = _t(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("val"))
+    priorities = _t(spark, sf_dir, "orders").select(F.col("o_orderpriority").alias("val"))
+    excluded = spark.createDataFrame([("BUILDING",)], "val string")
+    return segments.union(priorities).distinct().exceptAll(excluded)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped headline queries (aggregation + join-plan benchmarks)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q1 shape: wide grouped aggregation with derived measures.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit("2000-09-02")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),  # integer-valued doubles: exact
+        decimal_sum("l_extendedprice").alias("sum_base_price"),
+        decimal_sum(disc_price).alias("sum_disc_price"),
+        decimal_sum(charge).alias("sum_charge"),
+        exact_avg("l_quantity").alias("avg_qty"),
+        exact_avg("l_extendedprice").alias("avg_price"),
+        exact_avg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape: selective dim filter → fact join → grouped top-k.
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(decimal_sum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5 shape: snowflake join (2 broadcast dims + 3 fact-side tables),
+    # revenue per nation within one region.
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(nation, sup.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(decimal_sum(revenue).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "customer_features": q_customer_features,
+    "scan_projection": q_scan_projection,
+    "derived_age": q_derived_age,
+    "log_features": q_log_features,
+    "scalar_functions": q_scalar_functions,
+    "order_revenue": q_order_revenue,
+    "customer_revenue_stats": q_customer_revenue_stats,
+    "event_hit_rate": q_event_hit_rate,
+    "distinct_pairs": q_distinct_pairs,
+    "supplier_nation": q_supplier_nation,
+    "left_join_fill": q_left_join_fill,
+    "semi_anti_join": q_semi_anti_join,
+    "row_number": q_row_number,
+    "unpivot": q_unpivot,
+    "distinct_priorities": q_distinct_priorities,
+    "running_sum": q_running_sum,
+    "top_customers": q_top_customers,
+    "set_ops": q_set_ops,
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "region_volume": q_region_volume,
+}
+
+ORACLES: dict[str, str] = {
+    "customer_features": _FLAGSHIP_SQL,
+    "scan_projection": "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "derived_age": """
+        SELECT o_orderkey,
+               datediff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') / 365 AS order_age
+        FROM orders
+    """,
+    "log_features": """
+        SELECT c_custkey,
+               CASE WHEN c_acctbal > 0 THEN ROUND(LN(c_acctbal), 6) END AS log_acctbal
+        FROM customer
+    """,
+    "scalar_functions": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(month(o_orderdate) AS INT) AS order_month,
+               UPPER(o_orderstatus) AS status_upper,
+               SUBSTRING(o_orderpriority, 1, 1) AS priority_code,
+               CAST(LENGTH(o_orderpriority) AS INT) AS priority_len,
+               o_orderstatus || '-' || o_orderpriority AS status_priority
+        FROM orders
+    """,
+    "order_revenue": """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS order_revenue
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "customer_revenue_stats": """
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                       AS order_revenue
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT o_custkey,
+               CAST(SUM(CAST(order_revenue AS DECIMAL(18,6))) AS DOUBLE) / COUNT(order_revenue)
+                   AS avg_buy,
+               MIN(order_revenue) AS min_buy,
+               MAX(order_revenue) AS max_buy
+        FROM per_order JOIN orders ON per_order.l_orderkey = orders.o_orderkey
+        GROUP BY o_custkey
+    """,
+    "event_hit_rate": """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS hit_rate
+        FROM events GROUP BY user_id
+    """,
+    "distinct_pairs": "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    "supplier_nation": """
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+    "left_join_fill": """
+        SELECT c_custkey, COALESCE(n_orders, 0) AS n_orders
+        FROM customer LEFT JOIN (
+            SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+        ) o ON c_custkey = o.o_custkey
+    """,
+    "semi_anti_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+    """,
+    "row_number": """
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS INT) AS rn
+        FROM orders
+    """,
+    "unpivot": """
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                       AS order_revenue
+            FROM lineitem GROUP BY l_orderkey
+        ), stats AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(order_revenue AS DECIMAL(18,6))) AS DOUBLE) / COUNT(order_revenue)
+                       AS avg_buy,
+                   MIN(order_revenue) AS min_buy,
+                   MAX(order_revenue) AS max_buy
+            FROM per_order JOIN orders ON per_order.l_orderkey = orders.o_orderkey
+            GROUP BY o_custkey
+        )
+        UNPIVOT stats ON avg_buy, min_buy, max_buy INTO NAME feature VALUE value
+    """,
+    "distinct_priorities": "SELECT DISTINCT o_orderpriority FROM orders",
+    "running_sum": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_total
+        FROM orders
+    """,
+    "top_customers": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 20
+    """,
+    "set_ops": """
+        SELECT c_mktsegment AS val FROM customer
+        UNION
+        SELECT o_orderpriority AS val FROM orders
+        EXCEPT
+        SELECT 'BUILDING' AS val
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity)
+                   AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice)
+                   AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount)
+                   AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_orders": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+    "region_volume": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+}

@@ -1,0 +1,73 @@
+"""Sources: parquet table loaders and explicit-schema CSV reads.
+
+Covers SURVEY.md §2.1 S1/S2 Spark-first:
+ - S1 (explicit-schema CSV scan, utils/kmeans_utils.py:28) → ``read_csv``
+   with a required schema.
+ - S2 (inferSchema CSV scans ×4, utils/kmeans_utils.py:34-46) → deliberately
+   NOT reproduced as default: inference triggers an eager extra pass over the
+   input (SURVEY.md §3) which is a non-starter at 100 TB.  ``read_csv``
+   accepts ``infer=True`` as a dev-only escape hatch.
+ - Parquet as the primary columnar source for the driver testdata, with
+   column pruning and predicate pushdown handled by Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.schemas import ALWAYS_BROADCAST_TABLES, TESTDATA_TABLES
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    broadcast_hint: bool = False,
+) -> DataFrame:
+    """Read one driver parquet table; optionally tag it broadcast-able."""
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the footer, which Spark's parquet reader
+        # rejects unless nanosAsLong is on.  Set it at read time — the caller
+        # (e.g. the verify driver) may hand us an untuned session.  Then
+        # convert long-ns → timestamp; integer DIV (not /) because ns epochs
+        # exceed double's 2^53 mantissa.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if broadcast_hint or name in ALWAYS_BROADCAST_TABLES:
+        # region/nation have a bounded row count at any scale factor, so the
+        # broadcast hint is safe even at 100 TB fact-table scale.
+        df = F.broadcast(df)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver table into a dict keyed by table name."""
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    *,
+    header: bool = True,
+    timestamp_format: str = "yyyy-MM-dd HH:mm:ss",
+    infer: bool = False,
+) -> DataFrame:
+    """Explicit-schema CSV source (S1).  ``infer=True`` is a dev-only mode
+    reproducing the reference's S2 behavior (utils/kmeans_utils.py:34)."""
+    if schema is None and not infer:
+        raise ValueError("pass an explicit schema, or infer=True (dev only)")
+    reader = spark.read.format("csv").option("header", header).option(
+        "timestampFormat", timestamp_format
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.load(path)
