@@ -1,0 +1,71 @@
+"""ML-stage invariant tests (SURVEY.md §5: seed-pinned determinism,
+silhouette range, center count/dimension, scaler mean≈0/std≈1)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.ml.features import prepare_features
+from pyspark_kmeans_spark.ml.kmeans import (
+    kmeans_scan,
+    load_kmeans_model,
+    results_df,
+)
+from pyspark_kmeans_spark.ml.queries import FLAGSHIP_FEATURES, _flagship
+
+
+@pytest.fixture(scope="module")
+def scaled(spark, sf_dir):
+    data = _flagship(spark, sf_dir)
+    df, model = prepare_features(data, FLAGSHIP_FEATURES, handle_invalid="skip")
+    return df.cache()
+
+
+def test_scaler_invariants(scaled):
+    # z-scored columns: mean ≈ 0, sample std ≈ 1 per dimension.
+    arr = vector_to_array("features")
+    dims = len(FLAGSHIP_FEATURES)
+    stats = scaled.select(
+        *[F.avg(arr[i]).alias(f"m{i}") for i in range(dims)],
+        *[F.stddev_samp(arr[i]).alias(f"s{i}") for i in range(dims)],
+    ).collect()[0]
+    for i in range(dims):
+        assert abs(stats[f"m{i}"]) < 1e-9
+        assert abs(stats[f"s{i}"] - 1.0) < 1e-9
+
+
+def test_kscan_invariants(scaled, spark, tmp_path):
+    result = kmeans_scan(
+        scaled, k_min=2, k_max=4, seed=1, models_dir=str(tmp_path / "models")
+    )
+    for k in (2, 3, 4):
+        assert len(result.centers[k]) == k
+        assert all(len(c) == len(FLAGSHIP_FEATURES) for c in result.centers[k])
+        assert -1.0 <= result.silhouette[k] <= 1.0
+        assert not math.isnan(result.silhouette[k])
+
+    # S4/S5: model round-trip — identical centers after reload.
+    m2 = load_kmeans_model(str(tmp_path / "models" / "model_w_k_2"))
+    reloaded = [c.tolist() for c in m2.clusterCenters()]
+    assert reloaded == result.centers[2]
+
+    # S3 layout: header ['k','cluster','score',*features], one row per center.
+    rdf = results_df(spark, result, FLAGSHIP_FEATURES)
+    assert rdf.columns == ["k", "cluster", "score", *FLAGSHIP_FEATURES]
+    assert rdf.count() == 2 + 3 + 4
+
+
+def test_kscan_determinism(scaled):
+    # Same seed → same centers (the reference pins seed=1 for this reason).
+    a = kmeans_scan(scaled, k_min=3, k_max=3, seed=1)
+    b = kmeans_scan(scaled, k_min=3, k_max=3, seed=1)
+    assert a.centers[3] == b.centers[3]
+
+
+def test_load_missing_model_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_kmeans_model(str(tmp_path / "nope"))
