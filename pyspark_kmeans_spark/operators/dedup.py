@@ -1,0 +1,387 @@
+"""Deduplication operators over the `documents` table (north-star §7.5).
+
+Five dedup families, each picked for a different scale/accuracy point:
+
+ - **exact** (hash-groupBy): md5 fingerprint → keep min doc_id.  One
+   shuffle on the fingerprint; linear at any scale.
+ - **token-set Jaccard** (blocked brute force): exact Jaccard over distinct
+   token sets within language blocks.  O(block²) — the correctness oracle
+   for the approximate methods, and usable when blocks are small.
+ - **MinHash + LSH** (shingle → minhash → band → bucket join): the 100 TB
+   path.  Signatures are built with JVM-side array expressions (universal
+   hashing over xxhash64 — no Python in the loop), bands hashed and
+   exploded, candidates joined per (band, bucket) — no O(n²) anywhere.
+ - **SimHash**: 64-bit fingerprint; banded exact-match on 16-bit quarters
+   guarantees recall for Hamming distance ≤ 3 (pigeonhole), verified with
+   bit_count(a XOR b).
+ - **embedding cosine**: near-dup pairs by cosine over the embeddings table
+   (see similarity.py for the top-k search variants).
+
+MinHash/SimHash use xxhash64, which DuckDB lacks → those queries get the
+driver's rows-only check; their recall vs the exact-Jaccard oracle is pinned
+in tests/test_dedup.py instead.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Callable
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.operators.text import WS_RE, with_fingerprint
+from pyspark_kmeans_spark.sources.tables import load_table
+
+# Mersenne prime 2^31-1: universal-hash modulus.  The modulus must be of the
+# same magnitude as the hashed domain — with a 2^61-scale modulus and 2^31
+# inputs, a*h+b wraps at most once and the "permutations" stay order-
+# correlated with h (bands then miss true near-dups; recall measured at 0.92
+# instead of the theoretical 0.9998).  With p=2^31-1 the products wrap ~2^31
+# times and the family behaves like independent permutations.
+_MERSENNE31 = (1 << 31) - 1
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    """Distinct whitespace tokens (the unit for Jaccard and MinHash)."""
+    return F.array_distinct(F.split(F.trim(F.col(text_col)), WS_RE))
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id row per fingerprint.  groupBy+min+semi-join would
+    also work; a window keeps it to one shuffle."""
+    fp = with_fingerprint(df, text_col)
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fingerprint")
+    )
+
+
+def duplicate_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-fingerprint keeper + copy count (the dedup report)."""
+    return (
+        with_fingerprint(df, text_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact token-set Jaccard (blocked) — the oracle for approximate methods
+# --------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    *,
+    block_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs within a block with token-set Jaccard >= threshold.
+
+    Jaccard = |A∩B| / |A∪B| — two ints, so the double is exact (no rounding
+    needed for oracle equality).  O(block²): use only when blocks are
+    bounded; MinHash-LSH below is the unbounded-scale path.
+    """
+    toks = df.select(
+        F.col(id_col), F.col(block_col).alias("_block"), tokens_col(text_col).alias("_toks")
+    )
+    a = toks.select(
+        F.col(id_col).alias("doc_a"), F.col("_block"), F.col("_toks").alias("_ta")
+    )
+    b = toks.select(
+        F.col(id_col).alias("doc_b"), F.col("_block"), F.col("_toks").alias("_tb")
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size(F.array_distinct(F.concat("_ta", "_tb")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, on="_block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def near_dedup_kept(
+    df: DataFrame,
+    threshold: float = 0.9,
+    *,
+    block_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy lowest-id-wins near-dedup: drop any doc that has a near-dup
+    with a smaller id (single-link, one hop — matches the usual
+    drop-later-duplicates pipeline semantics)."""
+    pairs = jaccard_pairs(
+        df, threshold, block_col=block_col, id_col=id_col, text_col=text_col
+    )
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti").select(id_col)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    num_hashes: int = 32,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sig: array<bigint>) — minhash over distinct tokens.
+
+    One xxhash64 per token, then `num_hashes` universal hashes
+    (a*h+b mod 2^61-1) folded with array_min — all JVM expressions, zero
+    Python per row, no shuffle.
+    """
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+    base = F.transform(tokens_col(text_col), lambda t: F.xxhash64(t))
+    # Map xxhash64 into [0, 2^31-1) so a*h+b stays within long range.
+    h31 = F.transform(base, lambda h: F.pmod(h, F.lit(_MERSENNE31)))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    h31, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE31)
+                )
+            )
+            for a, b in coeffs
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.9,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate generation via banded LSH, then exact-Jaccard verification.
+
+    bands=8 × rows=4 → candidate probability ≈ 1-(1-j⁴)⁸; j=0.9 → 99.8%
+    recall, j=0.5 → ~40%.  Candidates join per (band, bucket) — shuffle-
+    friendly, no cross product.  Hot buckets are handled by AQE skew-join.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, num_hashes=num_hashes, seed=seed, id_col=id_col, text_col=text_col
+    )
+    band_entries = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    left = band_entries.select(
+        F.col(id_col).alias("doc_a"), "band", "bucket"
+    )
+    right = band_entries.select(
+        F.col(id_col).alias("doc_b"), "band", "bucket"
+    )
+    candidates = (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    with_a = candidates.join(
+        toks.select(F.col(id_col).alias("doc_a"), F.col("_toks").alias("_ta")), on="doc_a"
+    )
+    with_b = with_a.join(
+        toks.select(F.col(id_col).alias("doc_b"), F.col("_toks").alias("_tb")), on="doc_b"
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size(F.array_distinct(F.concat("_ta", "_tb")))
+    jac = inter.cast("double") / union
+    return (
+        with_b.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash: bigint) — 64-bit SimHash over token xxhash64 values.
+
+    explode → 64 conditional sums → bit reassembly; one shuffle on id.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("_tok")
+    ).withColumn("_h", F.xxhash64("_tok"))
+    bit_sums = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(64)
+        ]
+    )
+    def _bit_value(i: int) -> int:
+        # bit 63 is the sign bit of a signed long: 1<<63 must be encoded as
+        # Long.MIN_VALUE (adding it sets the bit via two's-complement wrap).
+        return (1 << i) if i < 63 else -(1 << 63)
+
+    fingerprint = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"_b{i}") > 0, F.lit(_bit_value(i))).otherwise(F.lit(0).cast("long")),
+        range(1, 64),
+        F.when(F.col("_b0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    return bit_sums.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Banding: split the 64-bit fingerprint into 4 × 16-bit quarters; any pair
+    with Hamming ≤ 3 must agree exactly on ≥1 quarter (pigeonhole), so an
+    equi-join per quarter finds all of them — no O(n²).
+    """
+    sh = simhash(df, id_col=id_col, text_col=text_col)
+    quarters = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftrightunsigned("simhash", q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("qv"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("qq"),
+    ).select(id_col, "simhash", "qq.q", "qq.qv")
+    left = quarters.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "q", "qv"
+    )
+    right = quarters.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "q", "qv"
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        left.join(right, on=["q", "qv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# Query registry
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_groups(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.9)
+
+
+def q_dedup_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dedup_kept(load_table(spark, sf_dir, "documents"), threshold=0.9)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.9)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_kept_docs": q_dedup_kept_docs,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+_JACCARD_PAIRS_SQL = """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_distinct(regexp_split_to_array(trim(text), '[ \\t\\n]+')) AS t
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.t, b.t))) AS jaccard
+    FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.t, b.t))) >= 0.9
+"""
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": """
+        SELECT md5(lower(regexp_replace(trim(text), '[ \\t\\n]+', ' ', 'g'))) AS fingerprint,
+               MIN(doc_id) AS keeper_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    "dedup_jaccard_pairs": _JACCARD_PAIRS_SQL,
+    "dedup_kept_docs": f"""
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_b FROM ({_JACCARD_PAIRS_SQL}))
+    """,
+    # dedup_minhash_lsh / dedup_simhash: xxhash64-based — rows-only; recall
+    # vs the exact-Jaccard oracle is pinned in tests/test_dedup.py.
+}

@@ -1,0 +1,225 @@
+"""Text analysis over the `documents` table (north-star extension §7.5).
+
+Operators a large-scale training-data pipeline needs, all expressed with
+JVM-side built-in functions (no Python in the hot path — these run over
+billions of documents at the 100 TB design point, where a row-at-a-time UDF
+would dominate the job cost):
+
+ - token counting: whitespace tokens + a BPE-ish regex token count
+ - quality scoring: length / punctuation / casing / stopword ratios
+ - language ID: stopword-hit scoring across 5 languages, deterministic
+   argmax (alphabetical tie-break)
+ - document fingerprinting: md5 over whitespace-normalized text
+
+Every query here is a single scan + narrow projections — no shuffle at all —
+so it scales linearly and partition-locally.  All outputs carry DuckDB
+oracles (integer counts and exact IEEE ratios; no rounding needed except the
+composite quality score).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.sources.tables import load_table
+
+# ASCII classes spelled explicitly: Java regex and RE2 (DuckDB) agree on
+# these, while \w/\b unicode behavior differs between engines.
+WORD_RE = "[a-zA-Z0-9_]+"
+BPE_ISH_RE = "[a-zA-Z0-9_]+|[^a-zA-Z0-9_ \\t\\n]"
+WS_RE = "[ \\t\\n]+"
+
+# Stopword hit patterns per language (zh matched without word boundaries —
+# CJK has no spaces and \b is engine-dependent around CJK).
+LANG_PATTERNS: dict[str, str] = {
+    "de": "(^| )(der|die|und|das|ist|nicht|ein)( |$)",
+    "en": "(^| )(the|and|of|to|a|in|is)( |$)",
+    "es": "(^| )(el|la|y|los|que|en|un)( |$)",
+    "fr": "(^| )(le|la|et|les|des|un|une)( |$)",
+    "zh": "的|了|是|在|我|不|人",
+}
+
+
+def _count(pattern: str, col: str = "text") -> F.Column:
+    return F.regexp_count(F.col(col), F.lit(pattern))
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    return df.withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col(text_col)), WS_RE))
+    ).withColumn("n_bpe_tokens", F.regexp_count(F.col(text_col), F.lit(BPE_ISH_RE)))
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality signals + a composite score in [0, ~1].
+
+    All ratios are exact int/int IEEE divisions; the composite is rounded to
+    6 decimals so the oracle comparison is robust to expression reordering.
+    """
+    length = F.length(F.col(text_col))
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), WS_RE))
+    n_word_chars = F.length(F.regexp_replace(F.col(text_col), WS_RE, ""))
+    n_punct = _count("[^a-zA-Z0-9_ \\t\\n]", text_col)
+    n_upper = _count("[A-Z]", text_col)
+    n_stop = _count(LANG_PATTERNS["en"], text_col)
+    avg_token_len = n_word_chars.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / length
+    upper_ratio = n_upper.cast("double") / length
+    stop_ratio = n_stop.cast("double") / n_tokens
+    score = (
+        F.least(n_tokens.cast("double") / 100, F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("avg_token_len", avg_token_len)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("upper_ratio", upper_ratio)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword language ID: hit count per language, deterministic
+    argmax with alphabetical tie-break."""
+    scores = {lang: _count(pat, text_col) for lang, pat in LANG_PATTERNS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    # Alphabetical scan: the FIRST language reaching the max wins.
+    for lang in sorted(scores):  # de, en, es, fr, zh
+        pred = F.when(pred.isNotNull(), pred).otherwise(
+            F.when(scores[lang] == best, F.lit(lang))
+        )
+    out = df
+    for lang in sorted(scores):
+        out = out.withColumn(f"score_{lang}", scores[lang])
+    return out.withColumn("pred_lang", pred)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of lowercased, whitespace-normalized text."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), WS_RE, " "))
+    return df.withColumn("fingerprint", F.md5(normalized))
+
+
+# --------------------------------------------------------------------------
+# Query registry
+# --------------------------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_token_counts(docs).select("doc_id", "n_tokens", "n_bpe_tokens")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_quality(docs).select(
+        "doc_id",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "upper_ratio",
+        "stop_ratio",
+        "quality_score",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = with_lang_id(docs)
+    agree = F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
+    return out.select(
+        "doc_id",
+        "lang",
+        "pred_lang",
+        *[f"score_{lang}" for lang in sorted(LANG_PATTERNS)],
+        agree.alias("agree"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_token_counts": q_token_counts,
+    "text_quality": q_quality,
+    "text_lang_id": q_lang_id,
+    "text_fingerprint": q_fingerprint,
+}
+
+_SQL_SCORES = ", ".join(
+    f"len(regexp_extract_all(text, '{pat}')) AS score_{lang}"
+    for lang, pat in sorted(LANG_PATTERNS.items())
+)
+
+ORACLES: dict[str, str] = {
+    "text_token_counts": """
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n]+')) AS INT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_ \\t\\n]')) AS INT)
+                   AS n_bpe_tokens
+        FROM documents
+    """,
+    "text_quality": """
+        WITH raw AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n]+')) AS INT) AS n_tokens,
+                   length(regexp_replace(text, '[ \\t\\n]+', '', 'g')) AS n_word_chars,
+                   len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n]')) AS n_punct,
+                   len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+                   len(regexp_extract_all(text, '(^| )(the|and|of|to|a|in|is)( |$)')) AS n_stop,
+                   length(text) AS n_len
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(n_word_chars AS DOUBLE) / n_tokens AS avg_token_len,
+               CAST(n_punct AS DOUBLE) / n_len AS punct_ratio,
+               CAST(n_upper AS DOUBLE) / n_len AS upper_ratio,
+               CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+               ROUND(
+                   LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.4
+                   + (1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_len * 4, 1.0)) * 0.3
+                   + LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 5, 1.0) * 0.3, 6)
+                   AS quality_score
+        FROM raw
+    """,
+    "text_lang_id": f"""
+        WITH scored AS (
+            SELECT doc_id, lang, {_SQL_SCORES}
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE
+                   WHEN score_de >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+                   WHEN score_en >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+                   WHEN score_es >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+                   WHEN score_fr >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+                   ELSE 'zh'
+               END AS pred_lang,
+               CAST(score_de AS INT) AS score_de, CAST(score_en AS INT) AS score_en,
+               CAST(score_es AS INT) AS score_es, CAST(score_fr AS INT) AS score_fr,
+               CAST(score_zh AS INT) AS score_zh,
+               CASE WHEN (CASE
+                   WHEN score_de >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+                   WHEN score_en >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+                   WHEN score_es >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+                   WHEN score_fr >= greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+                   ELSE 'zh'
+               END) = lang THEN 1 ELSE 0 END AS agree
+        FROM scored
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '[ \\t\\n]+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+}

