@@ -1,0 +1,86 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>}
+
+Each query is forced end-to-end with a noop sink (full execution, no
+driver-side collect).  The set covers every operator family: the flagship
+segmentation pipeline, TPC-H-shaped aggregation/join plans, dedup (exact +
+MinHash-LSH), ANN top-k, text analysis, windowed event rollups, and the
+k-means scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark_kmeans_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "customer_features",
+    "pricing_summary",
+    "top_orders",
+    "region_volume",
+    "customer_revenue_stats",
+    "row_number",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_jaccard_pairs",
+    "ann_topk_cosine",
+    "ann_lsh_topk",
+    "text_quality",
+    "text_lang_id",
+    "multimodal_features",
+    "event_hourly_rollup",
+    "event_user_sessions",
+    "kmeans_embedding_clusters",
+]
+
+
+def force(df) -> int:
+    """Execute the full plan without materializing on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    # Warm-up: JVM/codegen/readers (not counted).
+    force(queries["scan_projection"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

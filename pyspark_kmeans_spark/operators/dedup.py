@@ -30,6 +30,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from pyspark_kmeans_spark.operators.text import WS_RE, with_fingerprint
 from pyspark_kmeans_spark.sources.tables import load_table
@@ -96,21 +97,37 @@ def jaccard_pairs(
     needed for oracle equality).  O(block²): use only when blocks are
     bounded; MinHash-LSH below is the unbounded-scale path.
     """
-    toks = df.select(
-        F.col(id_col), F.col(block_col).alias("_block"), tokens_col(text_col).alias("_toks")
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.col(block_col).alias("_block"),
+            tokens_col(text_col).alias("_toks"),
+        )
+        .withColumn("_n", F.size("_toks"))
+        # Tokenization feeds BOTH sides of the self-join; persist so the
+        # scan+split runs once (spills to disk if it outgrows memory).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = toks.select(
-        F.col(id_col).alias("doc_a"), F.col("_block"), F.col("_toks").alias("_ta")
+        F.col(id_col).alias("doc_a"), "_block", F.col("_toks").alias("_ta"),
+        F.col("_n").alias("_na"),
     )
     b = toks.select(
-        F.col(id_col).alias("doc_b"), F.col("_block"), F.col("_toks").alias("_tb")
+        F.col(id_col).alias("doc_b"), "_block", F.col("_toks").alias("_tb"),
+        F.col("_n").alias("_nb"),
     )
     inter = F.size(F.array_intersect("_ta", "_tb"))
     union = F.size(F.array_distinct(F.concat("_ta", "_tb")))
     jac = inter.cast("double") / union
+    # Exact size prune: j >= t implies min(|A|,|B|) >= t*max(|A|,|B|) — a
+    # cheap int predicate evaluated before the O(|A|+|B|) intersect, pruning
+    # most of the O(block²) pairs without changing the result.
+    size_ok = (F.col("_na") >= F.lit(threshold) * F.col("_nb")) & (
+        F.col("_nb") >= F.lit(threshold) * F.col("_na")
+    )
     return (
         a.join(b, on="_block")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & size_ok)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -178,7 +195,7 @@ def minhash_lsh_pairs(
     df: DataFrame,
     *,
     threshold: float = 0.9,
-    num_hashes: int = 32,
+    num_hashes: int = 64,
     bands: int = 8,
     seed: int = 7,
     id_col: str = "doc_id",
@@ -186,14 +203,21 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate generation via banded LSH, then exact-Jaccard verification.
 
-    bands=8 × rows=4 → candidate probability ≈ 1-(1-j⁴)⁸; j=0.9 → 99.8%
-    recall, j=0.5 → ~40%.  Candidates join per (band, bucket) — shuffle-
-    friendly, no cross product.  Hot buckets are handled by AQE skew-join.
+    bands=8 × rows=8 → candidate probability 1-(1-j⁸)⁸: j=0.9 → 98.9%
+    recall; j=0.7 → 38%, j=0.6 → 13% — mid-similarity pairs mostly skip the
+    expensive verification.  (rows=4 floods verification on corpora with
+    large near-dup clusters: measured 8.5M candidates for 246k true pairs.)
+    Candidates join per (band, bucket) — shuffle-friendly, no cross
+    product; hot buckets are handled by AQE skew-join.  Verification
+    applies the same exact size prune as jaccard_pairs.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, num_hashes=num_hashes, seed=seed, id_col=id_col, text_col=text_col
     )
+    # Signatures are the expensive stage (num_hashes universal hashes per
+    # token) and feed both sides of the candidate self-join — persist them.
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     band_entries = sigs.select(
         F.col(id_col),
         F.explode(
@@ -224,18 +248,32 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    toks = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    toks = (
+        df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     with_a = candidates.join(
-        toks.select(F.col(id_col).alias("doc_a"), F.col("_toks").alias("_ta")), on="doc_a"
+        toks.select(
+            F.col(id_col).alias("doc_a"), F.col("_toks").alias("_ta"), F.col("_n").alias("_na")
+        ),
+        on="doc_a",
     )
     with_b = with_a.join(
-        toks.select(F.col(id_col).alias("doc_b"), F.col("_toks").alias("_tb")), on="doc_b"
+        toks.select(
+            F.col(id_col).alias("doc_b"), F.col("_toks").alias("_tb"), F.col("_n").alias("_nb")
+        ),
+        on="doc_b",
+    )
+    size_ok = (F.col("_na") >= F.lit(threshold) * F.col("_nb")) & (
+        F.col("_nb") >= F.lit(threshold) * F.col("_na")
     )
     inter = F.size(F.array_intersect("_ta", "_tb"))
     union = F.size(F.array_distinct(F.concat("_ta", "_tb")))
     jac = inter.cast("double") / union
     return (
-        with_b.select("doc_a", "doc_b", jac.alias("jaccard"))
+        with_b.filter(size_ok)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
