@@ -1,0 +1,245 @@
+"""Advanced analytics surface: multi-dimensional aggregation (cube / rollup /
+grouping sets / pivot), statistical aggregates, JSON extraction, and
+approximate aggregates.
+
+The reference has none of these (SURVEY.md §2.4: "No grouping sets / cube /
+rollup / distinct-agg / approximate aggs") — they are engine extensions a
+complete analytics surface needs.  All exact forms carry DuckDB oracles;
+sketch-based forms (HLL, quantile sketch) are implementation-defined and get
+rows-only checks with invariant tests in tests/test_analytics.py.
+
+Scale notes: cube/rollup expand each input row into 2^d / d+1 grouping
+combinations BEFORE the shuffle — partial aggregation still applies, so the
+shuffle volume is bounded by (distinct groups × combinations), not rows.
+Pivot is a single groupBy with conditional aggregates — one shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.functions.exact import decimal_sum
+from pyspark_kmeans_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        decimal_sum("l_quantity").alias("sum_qty"),
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (orderstatus, orderpriority): hierarchical totals."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        decimal_sum("o_totalprice").alias("sum_price"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (the DataFrame API has no direct
+    grouping-sets call; SQL is the idiomatic Spark spelling)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns per returnflag (explicit value list —
+    an open-ended pivot needs an extra distinct pass; at scale always
+    enumerate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(decimal_sum("l_quantity"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_finished")
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per market segment: sample variance/stddev,
+    covariance, correlation.
+
+    Built from exact DECIMAL moment sums (Σx, Σx², Σxy) so the result is
+    bit-deterministic: native stddev/corr aggregates accumulate in float in
+    an engine- and partition-order-dependent way, which can never
+    hash-match an oracle (nor reproduce across cluster runs).  The moment
+    formula on exact sums is deterministic everywhere.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+    y = F.col("c_nationkey").cast("double")
+    agg = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        decimal_sum(x).alias("sx"),
+        decimal_sum(x * x).alias("sx2"),
+        decimal_sum(y).alias("sy"),
+        decimal_sum(y * y).alias("sy2"),
+        decimal_sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("sx2") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    covar = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sx2") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("sy2") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n",
+        F.round(F.sqrt(var), 6).alias("std_acctbal"),
+        F.round(var, 6).alias("var_acctbal"),
+        F.round(corr, 6).alias("corr_bal_nation"),
+        F.round(covar, 6).alias("covar_bal_nation"),
+    )
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregates (expand+two-phase under the hood)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates: HLL distinct + approximate quantiles.  Sketch
+    internals are engine-specific → rows-only (accuracy bounds pinned in
+    tests/test_analytics.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median_price"
+        ),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props column (scalar path
+    expression — stays in whole-stage codegen)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+def q_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over an extracted JSON field per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cube_agg": q_cube,
+    "rollup_agg": q_rollup,
+    "grouping_sets": q_grouping_sets,
+    "pivot_linestatus": q_pivot,
+    "stats_agg": q_stats_agg,
+    "count_distinct": q_count_distinct,
+    "approx_aggs": q_approx_aggs,
+    "json_extract": q_json_extract,
+    "json_agg": q_json_agg,
+}
+
+ORACLES: dict[str, str] = {
+    "cube_agg": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "rollup_agg": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "pivot_linestatus": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_open,
+               CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_finished
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "stats_agg": """
+        WITH m AS (
+            SELECT c_mktsegment, COUNT(*) AS n,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sx2,
+                   CAST(SUM(CAST(CAST(c_nationkey AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(CAST(c_nationkey AS DOUBLE) * CAST(c_nationkey AS DOUBLE)
+                        AS DECIMAL(18,6))) AS DOUBLE) AS sy2,
+                   CAST(SUM(CAST(c_acctbal * CAST(c_nationkey AS DOUBLE)
+                        AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+            FROM customer
+            GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment, n,
+               ROUND(SQRT((sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6)
+                   AS std_acctbal,
+               ROUND((sx2 - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 6)
+                   AS var_acctbal,
+               ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (SQRT(CAST(n AS DOUBLE) * sx2 - sx * sx)
+                      * SQRT(CAST(n AS DOUBLE) * sy2 - sy * sy)), 6) AS corr_bal_nation,
+               ROUND((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 6)
+                   AS covar_bal_nation
+        FROM m
+    """,
+    "count_distinct": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "json_extract": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+        FROM events
+    """,
+    "json_agg": """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    # approx_aggs: sketch-based, engine-specific → rows-only.
+}

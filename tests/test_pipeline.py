@@ -1,0 +1,138 @@
+"""End-to-end compat pipeline test: five reference-shaped CSVs → features →
+k-scan → results CSV → text report → (mock) email, plus the failure path."""
+
+from __future__ import annotations
+
+import csv
+import datetime
+import os
+
+import pytest
+
+from pyspark_kmeans_spark import reporting
+from pyspark_kmeans_spark.pipeline import PipelineConfig, run
+
+
+class FakeTransport:
+    def __init__(self):
+        self.sent = []
+
+    def send_message(self, msg):
+        self.sent.append(msg)
+
+
+def _write_csv(path, header, rows):
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("gamedata")
+    ts = "2016-01-01 00:00:00"
+    _write_csv(
+        d / "users.csv",
+        ["timestamp", "userId", "nick", "twitter", "dob", "country"],
+        [[ts, u, f"n{u}", f"@n{u}", f"19{70 + u % 20}-01-15", "US"] for u in range(40)],
+    )
+    _write_csv(
+        d / "buy-clicks.csv",
+        ["timestamp", "txId", "userSessionId", "team", "userId", "buyId", "price"],
+        [
+            [ts, i, 100 + u, 1, u, i % 6, float(1 + (u * 7 + i) % 20)]
+            for i, u in enumerate(u for u in range(40) for _ in range(3))
+        ],
+    )
+    _write_csv(
+        d / "game-clicks.csv",
+        ["timestamp", "clickId", "userId", "userSessionId", "isHit", "teamId", "teamLevel"],
+        [
+            [ts, i, u, 100 + u, (u + i) % 2, u % 5, 1]
+            for i, u in enumerate(u for u in range(40) for _ in range(5))
+        ],
+    )
+    _write_csv(
+        d / "user-session.csv",
+        [
+            "timestamp",
+            "userSessionId",
+            "userId",
+            "teamId",
+            "assignmentId",
+            "sessionType",
+            "platformType",
+            "teamLevel",
+        ],
+        [[ts, 100 + u, u, u % 5, 1, "start", "pc", 1] for u in range(35)],
+    )
+    _write_csv(
+        d / "team.csv",
+        ["teamId", "name", "teamCreationTime", "teamEndTime", "strength", "currentLevel"],
+        [[t, f"team{t}", ts, ts, float(10 * t + 5), 1] for t in range(5)],
+    )
+    return str(d)
+
+
+def test_pipeline_happy_path(spark, data_dir, tmp_path):
+    transport = FakeTransport()
+    cfg = PipelineConfig(
+        data_dir=data_dir,
+        results_path=str(tmp_path / "results_csv"),
+        models_dir=str(tmp_path / "models"),
+        k_min=2,
+        k_max=3,
+        num_partitions=4,
+    )
+    out = run(spark, cfg, email_transport=transport)
+    assert out["status"] == "ok"
+    assert out["best_k"] in (2, 3)
+    assert set(out["silhouette"]) == {2, 3}
+
+    # S3 contract: header ['k','cluster','score',*features], one row/center
+    data = reporting.load_results_csv(cfg.results_path)
+    assert list(data.columns)[:3] == ["k", "cluster", "score"]
+    assert len(data) == 2 + 3
+
+    # models persisted per k (S4)
+    assert os.path.isdir(os.path.join(cfg.models_dir, "model_w_k_2"))
+
+    # report content + email (S9)
+    assert "best k by silhouette" in out["report"]
+    assert len(transport.sent) == 1
+    assert transport.sent[0]["Subject"] == "Kmeans Spark Scanning Completed"
+
+
+def test_pipeline_failure_email(spark, tmp_path):
+    transport = FakeTransport()
+    cfg = PipelineConfig(
+        data_dir=str(tmp_path / "missing"),
+        results_path=str(tmp_path / "r"),
+        models_dir=str(tmp_path / "m"),
+    )
+    with pytest.raises(Exception):
+        run(spark, cfg, email_transport=transport)
+    assert len(transport.sent) == 1
+    assert transport.sent[0]["Subject"] == "ERROR: Kmeans Spark Scanning Failed!"
+    # unlike the reference, the traceback is included
+    assert "Traceback" in transport.sent[0].get_content()
+
+
+def test_spark_native_report_forms(spark, sf_dir):
+    from pyspark_kmeans_spark.ml.queries import FLAGSHIP_FEATURES, q_kmeans_centers
+    from pyspark_kmeans_spark.reporting import (
+        distinct_ks,
+        melt_centers,
+        with_cluster_ids,
+    )
+
+    results = q_kmeans_centers(spark, sf_dir).cache()
+    with_ids = with_cluster_ids(results)
+    ids = {
+        (r.k, r.cluster_id) for r in with_ids.collect()
+    }
+    assert all(1 <= c <= k for k, c in ids)  # W1
+    melted = melt_centers(results, FLAGSHIP_FEATURES)
+    assert melted.count() == results.count() * len(FLAGSHIP_FEATURES)  # W2
+    assert distinct_ks(results) == [2, 3, 4]  # W3
