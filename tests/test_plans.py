@@ -1,0 +1,83 @@
+"""Plan-quality regression tests: pushdown, pruning, broadcast, partial agg,
+codegen — the physical-plan contract each operator is designed to keep at
+100 TB (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.operators.relational import (
+    q_customer_features,
+    q_pricing_summary,
+    q_region_volume,
+    q_scan_projection,
+    q_top_customers,
+    q_top_orders,
+)
+from pyspark_kmeans_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_partial_aggregation,
+    assert_pushed_filters,
+    assert_read_schema_pruned,
+    assert_whole_stage_codegen,
+    physical_plan,
+)
+from pyspark_kmeans_spark.sources.tables import load_table
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = q_scan_projection(spark, sf_dir)
+    assert_read_schema_pruned(
+        df, "customer.parquet", {"c_custkey", "c_name", "c_acctbal"}
+    )
+
+
+def test_filter_pushdown(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    df = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    assert_pushed_filters(df, "EqualTo(c_mktsegment,BUILDING)")
+    assert_read_schema_pruned(
+        df, "customer.parquet", {"c_custkey", "c_mktsegment"}
+    )
+
+
+def test_top_orders_pushes_segment_filter(spark, sf_dir):
+    df = q_top_orders(spark, sf_dir)
+    assert_pushed_filters(df, "EqualTo(c_mktsegment,BUILDING)")
+    assert_no_cartesian(df)
+
+
+def test_pricing_summary_partial_agg_and_codegen(spark, sf_dir):
+    df = q_pricing_summary(spark, sf_dir)
+    assert_partial_aggregation(df)
+    assert_whole_stage_codegen(df)
+    # the date filter must reach the scan (Catalyst rewrites the
+    # to_date(ts) <= d predicate into ts < d+1day → LessThan)
+    assert_pushed_filters(df, "LessThan(l_shipdate")
+
+
+def test_region_volume_broadcasts_dims(spark, sf_dir):
+    df = q_region_volume(spark, sf_dir)
+    # nation + region are broadcast; no cartesian anywhere
+    assert_broadcast_join(df, min_count=2)
+    assert_no_cartesian(df)
+
+
+def test_flagship_plan(spark, sf_dir):
+    df = q_customer_features(spark, sf_dir)
+    assert_no_cartesian(df)
+    # strengths (supplier-per-nation) joins broadcast
+    assert_broadcast_join(df, min_count=1)
+    # lineitem scan reads only the 3 columns the revenue agg needs
+    assert_read_schema_pruned(
+        df, "lineitem.parquet", {"l_orderkey", "l_extendedprice", "l_discount"}
+    )
+
+
+def test_top_customers_is_take_ordered(spark, sf_dir):
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
+    # top-k + merge), not a full global sort.
+    plan = physical_plan(q_top_customers(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
