@@ -26,7 +26,7 @@ def _registries() -> list:
     from pyspark_kmeans_spark.operators import relational
 
     mods = [relational]
-    for name in ("dedup", "similarity", "text", "multimodal", "analytics"):
+    for name in ("dedup", "similarity", "text", "multimodal", "analytics", "temporal"):
         try:
             mods.append(
                 __import__(

@@ -149,11 +149,25 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance between consecutive documents' 80-char prefixes
+    (bounded operand length keeps the DP cost O(80²) per pair; the
+    consecutive-pair probe keeps the pair count linear)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 80).alias("_pa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 80).alias("_pb"))
+    return (
+        a.join(b, a.doc_a + 1 == b.doc_b)
+        .select("doc_a", "doc_b", F.levenshtein("_pa", "_pb").alias("edit_distance"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
     "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
+    "text_edit_distance": q_edit_distance,
 }
 
 _SQL_SCORES = ", ".join(
@@ -221,5 +235,11 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                md5(lower(regexp_replace(trim(text), '[ \\t\\n]+', ' ', 'g'))) AS fingerprint
         FROM documents
+    """,
+    "text_edit_distance": """
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80)) AS INT)
+                   AS edit_distance
+        FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
     """,
 }

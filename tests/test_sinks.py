@@ -1,0 +1,52 @@
+"""Sink round-trips + partition-pruning verification."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.plans import physical_plan
+from pyspark_kmeans_spark.sources.sinks import (
+    read_partitioned_parquet,
+    write_csv,
+    write_json,
+    write_partitioned_parquet,
+)
+from pyspark_kmeans_spark.sources.tables import load_table
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "li_part")
+    write_partitioned_parquet(li, out, ["l_returnflag"])
+    # layout: one directory per partition value, one file per partition
+    dirs = [d for d in os.listdir(out) if d.startswith("l_returnflag=")]
+    assert sorted(dirs) == ["l_returnflag=A", "l_returnflag=N", "l_returnflag=R"]
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1
+
+    back = read_partitioned_parquet(spark, out)
+    assert back.count() == li.count()
+
+    filtered = back.filter(F.col("l_returnflag") == "A").select("l_orderkey")
+    plan = physical_plan(filtered)
+    assert "PartitionFilters" in plan
+    assert "l_returnflag" in plan.split("PartitionFilters")[1].split("]")[0]
+    n_direct = li.filter(F.col("l_returnflag") == "A").count()
+    assert filtered.count() == n_direct
+
+
+def test_csv_json_round_trip(spark, sf_dir, tmp_path):
+    cust = load_table(spark, sf_dir, "customer")
+    csv_path, json_path = str(tmp_path / "c_csv"), str(tmp_path / "c_json")
+    write_csv(cust, csv_path, single_file=True)
+    write_json(cust, json_path)
+    csv_back = spark.read.schema(cust.schema).option("header", True).csv(csv_path)
+    json_back = spark.read.schema(cust.schema).json(json_path)
+    assert csv_back.count() == cust.count()
+    assert json_back.count() == cust.count()
+    a = {tuple(r) for r in cust.collect()}
+    assert {tuple(r) for r in csv_back.collect()} == a
+    assert {tuple(r) for r in json_back.collect()} == a
