@@ -216,8 +216,12 @@ def minhash_lsh_pairs(
         df, num_hashes=num_hashes, seed=seed, id_col=id_col, text_col=text_col
     )
     # Signatures are the expensive stage (num_hashes universal hashes per
-    # token) and feed both sides of the candidate self-join — persist them.
+    # token) and feed both sides of the candidate self-join — persist AND
+    # materialize eagerly: with a lazy persist, the join's two sides race
+    # to compute the uncached partitions concurrently and the signature
+    # stage can run twice (measured up to 4× wall-clock variance).
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
     band_entries = sigs.select(
         F.col(id_col),
         F.explode(
@@ -253,6 +257,7 @@ def minhash_lsh_pairs(
         .withColumn("_n", F.size("_toks"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    toks.count()
     with_a = candidates.join(
         toks.select(
             F.col(id_col).alias("doc_a"), F.col("_toks").alias("_ta"), F.col("_n").alias("_na")
@@ -385,12 +390,38 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def lsh_near_dedup_kept(
+    df: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The 100 TB dedup deliverable: the kept-document set via LSH.
+
+    Same greedy lowest-id-wins semantics as near_dedup_kept, but candidates
+    come from banded MinHash instead of an O(block²) self-join — the whole
+    pipeline is shuffle-bound (signatures → bucket join → verify →
+    anti-join), nothing quadratic in corpus size.
+    """
+    pairs = minhash_lsh_pairs(
+        df, threshold=threshold, id_col=id_col, text_col=text_col
+    )
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti").select(id_col)
+
+
+def q_dedup_lsh_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_near_dedup_kept(load_table(spark, sf_dir, "documents"), threshold=0.9)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_kept_docs": q_dedup_kept_docs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_lsh_kept": q_dedup_lsh_kept,
 }
 
 _JACCARD_PAIRS_SQL = """
