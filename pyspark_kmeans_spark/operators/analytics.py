@@ -157,7 +157,42 @@ def q_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/lateral + grouped count + per-group top-k: the 5 most
+    frequent tokens per language (ties break alphabetically)."""
+    from pyspark.sql import Window
+
+    from pyspark_kmeans_spark.operators.dedup import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokens_col()).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n_docs"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "token", "n_docs", "rank")
+    )
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted two-phase aggregation — result-identical to a plain
+    groupBy (the oracle IS the plain groupBy)."""
+    from pyspark_kmeans_spark.functions.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return salted_agg(
+        li, ["l_returnflag"], {"revenue": revenue, "sum_qty": F.col("l_quantity")}
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "top_tokens_per_lang": q_top_tokens_per_lang,
+    "salted_agg": q_salted_agg,
     "cube_agg": q_cube,
     "rollup_agg": q_rollup,
     "grouping_sets": q_grouping_sets,
@@ -170,6 +205,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    # Each doc contributes its DISTINCT tokens (tokens_col dedups per doc).
+    "top_tokens_per_lang": """
+        WITH tok AS (
+            SELECT lang, unnest(list_distinct(regexp_split_to_array(trim(text), '[ \\t\\n]+')))
+                       AS token
+            FROM documents
+        ), counts AS (
+            SELECT lang, token, COUNT(*) AS n_docs FROM tok GROUP BY lang, token
+        ), ranked AS (
+            SELECT lang, token, n_docs,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY n_docs DESC, token ASC
+                   ) AS INT) AS rank
+            FROM counts
+        )
+        SELECT lang, token, n_docs, rank FROM ranked WHERE rank <= 5
+    """,
+    "salted_agg": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS revenue,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     "cube_agg": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
