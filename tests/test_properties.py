@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis): algebraic identities of the engine's
+operators on arbitrary small inputs (SURVEY.md §5).
+
+Spark round-trips are expensive, so examples are few but adversarial:
+hypothesis shrinks failures to minimal counterexamples.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SMALL = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**SMALL)
+def test_salted_agg_equals_plain_groupby(spark, rows):
+    from pyspark_kmeans_spark.functions.skew import salted_agg
+
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "v"]))
+    salted = {
+        (r.k): (r.v_sum, r.n_rows)
+        for r in salted_agg(df, ["k"], {"v_sum": "v"}, salt=4).collect()
+    }
+    plain = {
+        (r.k): (r.v_sum, r.n)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("v_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(salted) == set(plain)
+    for k, (s, n) in plain.items():
+        assert salted[k][1] == n
+        assert math.isclose(salted[k][0], s, rel_tol=0, abs_tol=0)  # exact
+
+
+@given(rows=rows_strategy)
+@settings(**SMALL)
+def test_exact_dedup_keeps_one_per_fingerprint(spark, rows):
+    from pyspark_kmeans_spark.operators.dedup import exact_dedup
+
+    pdf = pd.DataFrame(
+        [(i, f"text {k}") for i, (k, _) in enumerate(rows)],
+        columns=["doc_id", "text"],
+    )
+    df = spark.createDataFrame(pdf)
+    kept = exact_dedup(df).collect()
+    # one survivor per distinct text, and it is the min doc_id
+    by_text = {}
+    for r in pdf.itertuples():
+        by_text.setdefault(r.text, []).append(r.doc_id)
+    assert len(kept) == len(by_text)
+    for r in kept:
+        assert r.doc_id == min(by_text[r.text])
+
+
+@given(rows=rows_strategy)
+@settings(**SMALL)
+def test_decimal_sum_partition_invariant(spark, rows):
+    """The DECIMAL-routed sum must be identical under any repartitioning —
+    the property float sums lack and the whole engine relies on."""
+    from pyspark_kmeans_spark.functions.exact import decimal_sum
+
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "v"]))
+    a = df.coalesce(1).agg(decimal_sum("v").alias("s")).collect()[0].s
+    b = df.repartition(7).agg(decimal_sum("v").alias("s")).collect()[0].s
+    assert a == b  # bit-identical, not approx
+
+
+@given(
+    left_times=st.lists(st.integers(0, 100), min_size=1, max_size=15),
+    right_times=st.lists(st.integers(0, 100), min_size=0, max_size=15),
+)
+@settings(**SMALL)
+def test_asof_join_picks_latest_at_or_before(spark, left_times, right_times):
+    from pyspark_kmeans_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(left_times)], "key int, lid int, lt int"
+    ).withColumn("lt", F.timestamp_seconds("lt"))
+    right = spark.createDataFrame(
+        [(1, i + 1000, t) for i, t in enumerate(right_times)],
+        "rkey int, rid int, rt int",
+    ).withColumn("rt", F.timestamp_seconds("rt"))
+    out = asof_join(
+        left,
+        right,
+        left_key="key",
+        right_key="rkey",
+        left_time="lt",
+        right_time="rt",
+        right_values=["rid"],
+    ).collect()
+    assert len(out) == len(left_times)
+    by_lid = {r.lid: r.last_rid for r in out}
+    for i, lt in enumerate(left_times):
+        eligible = [
+            (rt, i2 + 1000) for i2, rt in enumerate(right_times) if rt <= lt
+        ]
+        expected = max(eligible)[1] if eligible else None
+        assert by_lid[i] == expected, (lt, eligible)
