@@ -190,9 +190,20 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based deterministic sampling (~1/16 of rows): unlike
+    df.sample(), the selected set is a pure function of the key — stable
+    across runs, partitionings, and engines, which is what reproducible
+    pipeline sampling at scale requires."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.filter(bucket == "0").select("doc_id", "lang")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "salted_agg": q_salted_agg,
+    "deterministic_sample": q_deterministic_sample,
     "cube_agg": q_cube,
     "rollup_agg": q_rollup,
     "grouping_sets": q_grouping_sets,
@@ -205,6 +216,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "deterministic_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    """,
     # Each doc contributes its DISTINCT tokens (tokens_col dedups per doc).
     "top_tokens_per_lang": """
         WITH tok AS (

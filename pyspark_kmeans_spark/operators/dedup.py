@@ -49,6 +49,20 @@ def tokens_col(text_col: str = "text") -> F.Column:
     return F.array_distinct(F.split(F.trim(F.col(text_col)), WS_RE))
 
 
+def shingles_col(text_col: str = "text", n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles — order-sensitive dedup unit (token
+    sets are order-blind; shingles catch reshuffled near-dups).  Pure JVM
+    array expressions."""
+    words = F.split(F.trim(F.col(text_col)), WS_RE)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
@@ -415,6 +429,23 @@ def q_dedup_lsh_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dedup_kept(load_table(spark, sf_dir, "documents"), threshold=0.9)
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram shingle Jaccard between consecutive doc pairs — the
+    order-sensitive dedup signal (linear pair probe; the blocked/LSH
+    machinery above scales the same unit to all-pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("doc_a"), shingles_col(n=3).alias("_sa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), shingles_col(n=3).alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size(F.array_distinct(F.concat("_sa", "_sb")))
+    return (
+        a.join(b, a.doc_a + 1 == b.doc_b)
+        .select(
+            "doc_a", "doc_b", (inter.cast("double") / union).alias("trigram_jaccard")
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -422,6 +453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_lsh_kept": q_dedup_lsh_kept,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
 }
 
 _JACCARD_PAIRS_SQL = """
@@ -450,6 +482,24 @@ ORACLES: dict[str, str] = {
     "dedup_kept_docs": f"""
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT doc_b FROM ({_JACCARD_PAIRS_SQL}))
+    """,
+    # concat_ws on BOTH engines: it skips NULLs identically when a doc has
+    # fewer words than the shingle width.
+    "dedup_ngram_jaccard": """
+        WITH words AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n]+') AS w
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 1)),
+                       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+            FROM words
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))) AS trigram_jaccard
+        FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
     """,
     # dedup_minhash_lsh / dedup_simhash: xxhash64-based — rows-only; recall
     # vs the exact-Jaccard oracle is pinned in tests/test_dedup.py.

@@ -149,6 +149,28 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+ROLLING_HASH_MOD = 2147483647  # 2^31-1; keeps acc*31+c within long range
+
+
+def with_rolling_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Polynomial rolling-hash fingerprint (acc*31 + ascii(c) mod 2^31-1)
+    folded over the characters — a cheap order-sensitive fingerprint
+    (md5 is order-sensitive too but 4× the state; rolling hashes extend to
+    windowed/chunked fingerprinting).  Pure JVM fold, no shuffle."""
+    chars = F.split(F.col(text_col), "")
+    rh = F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(ROLLING_HASH_MOD),
+    )
+    return df.withColumn("rolling_hash", rh)
+
+
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_rolling_hash(docs).select("doc_id", "rolling_hash")
+
+
 def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein distance between consecutive documents' 80-char prefixes
     (bounded operand length keeps the DP cost O(80²) per pair; the
@@ -168,6 +190,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
     "text_edit_distance": q_edit_distance,
+    "text_rolling_hash": q_rolling_hash,
 }
 
 _SQL_SCORES = ", ".join(
@@ -241,5 +264,14 @@ ORACLES: dict[str, str] = {
                CAST(levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80)) AS INT)
                    AS edit_distance
         FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+    """,
+    "text_rolling_hash": """
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(regexp_split_to_array(text, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 2147483647) AS rolling_hash
+        FROM documents
     """,
 }

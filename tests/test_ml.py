@@ -69,3 +69,29 @@ def test_kscan_determinism(scaled):
 def test_load_missing_model_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         load_kmeans_model(str(tmp_path / "nope"))
+
+
+def test_feature_pipeline_model_round_trip(spark, scaled, sf_dir, tmp_path):
+    # The fitted assembler+scaler PipelineModel persists and reloads with
+    # identical transform output (deploy path: fit once, ship the model).
+    from pyspark.ml import PipelineModel
+    from pyspark.ml.functions import vector_to_array
+
+    data = _flagship(spark, sf_dir)
+    _, model = prepare_features(data, FLAGSHIP_FEATURES, handle_invalid="skip")
+    path = str(tmp_path / "feature_model")
+    model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+    a = (
+        model.transform(data)
+        .select("c_custkey", vector_to_array("features").alias("f"))
+        .collect()
+    )
+    b = (
+        reloaded.transform(data)
+        .select("c_custkey", vector_to_array("features").alias("f"))
+        .collect()
+    )
+    assert sorted((r.c_custkey, tuple(r.f)) for r in a) == sorted(
+        (r.c_custkey, tuple(r.f)) for r in b
+    )
