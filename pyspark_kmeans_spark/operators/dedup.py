@@ -429,6 +429,76 @@ def q_dedup_lsh_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dedup_kept(load_table(spark, sf_dir, "documents"), threshold=0.9)
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    *,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id, cluster_id)
+    with cluster_id = min doc_id in the component.
+
+    Single-hop drop-the-later-doc dedup (near_dedup_kept) over-keeps on
+    chains a-b-c where only adjacent pairs match; component-level dedup
+    keeps exactly one doc per transitive cluster.  Algorithm: iterative
+    min-label propagation — each round every node adopts the smallest label
+    among itself and its neighbors; converges in O(diameter) rounds, each a
+    shuffle join (the standard large-graph CC approach without a graph
+    library).  localCheckpoint every round truncates the lineage so plans
+    don't grow exponentially.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters from the exact blocked pair graph:
+    (doc_id, cluster_id, cluster_size) for docs in non-trivial clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, 0.9)
+    labels = near_dup_clusters(pairs)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, on="cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram shingle Jaccard between consecutive doc pairs — the
     order-sensitive dedup signal (linear pair probe; the blocked/LSH
@@ -454,6 +524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_lsh_kept": q_dedup_lsh_kept,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 _JACCARD_PAIRS_SQL = """

@@ -1,0 +1,74 @@
+"""Bucketed-table co-located join: writing both fact tables bucketed on the
+join key lets the join run with NO shuffle exchange on either side — the
+layout-level optimization that matters most for repeated 100 TB joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.sources.tables import load_table
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir, tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    (
+        li.write.mode("overwrite")
+        .option("path", str(warehouse / "li"))
+        .bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("li_bucketed")
+    )
+    (
+        orders.write.mode("overwrite")
+        .option("path", str(warehouse / "ord"))
+        .bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("ord_bucketed")
+    )
+    yield spark.table("li_bucketed"), spark.table("ord_bucketed")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed_tables):
+    li, orders = bucketed_tables
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+        "o_custkey"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # Disable broadcast so the join strategy decision is about shuffles.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined.collect()
+        full = joined._jdf.queryExecution().executedPlan().toString()
+        # AQE prints Final + Initial sections; judge only the final plan.
+        plan = full.split("== Initial Plan ==")[0]
+        # the join must read bucketed scans directly: no Exchange below the
+        # SortMergeJoin (the only exchange allowed is for the groupBy on
+        # o_custkey ABOVE the join)
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange" not in join_part, plan
+        assert plan.count("Exchange") <= 1, plan
+        assert "Bucketed: true" in plan, plan
+        # correctness: equals the plain parquet join
+        plain = (
+            load_table(spark, sf_dir, "lineitem")
+            .join(
+                load_table(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted((r.o_custkey, r.n) for r in joined.collect()) == sorted(
+            (r.o_custkey, r.n) for r in plain.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")

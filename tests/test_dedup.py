@@ -63,6 +63,18 @@ def test_minhash_lsh_recall(spark, sf_dir):
     assert recall >= 0.95, f"minhash-LSH recall {recall:.3f}"
 
 
+def test_connected_components_chain(spark):
+    from pyspark_kmeans_spark.operators.dedup import near_dup_clusters
+
+    # chain 1-2-3-4 (transitive cluster) + pair 10-11 + pair (20,21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    labels = {r.doc_id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
 def test_simhash_properties(docs):
     fp = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     assert fp[0] == fp[1] == fp[4]  # identical token sets → identical simhash
