@@ -166,6 +166,91 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    *,
+    n_cells: int = 16,
+    n_probe_cells: int = 4,
+    seed: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    k-means cells, search only each probe's `n_probe_cells` nearest cells.
+
+    Unlike hyperplane LSH, the cells adapt to the data distribution (MLlib
+    k-means over the corpus), which buys much higher recall per candidate
+    scanned on clustered embeddings.  At scale: centroids are tiny and
+    broadcast; the corpus is assigned once (one pass) and the probe-cell
+    join is an equi-join on cell id — shuffle-partitioned, no cross
+    product.  Candidate fraction ≈ n_probe_cells / n_cells.
+    """
+    from pyspark.ml.functions import array_to_vector
+
+    from pyspark_kmeans_spark.ml.kmeans import fit_kmeans
+
+    featurized = with_unit_vectors(corpus).withColumn(
+        "_fv", array_to_vector("vec")
+    )
+    featurized = featurized.persist()
+    model = fit_kmeans(featurized, n_cells, seed=seed, features_col="_fv")
+    assigned = model.transform(featurized).select(
+        F.col(id_col).alias("neighbor_id"),
+        "vec",
+        "norm",
+        F.col("prediction").alias("cell"),
+    )
+
+    # Each probe's n_probe_cells nearest centroids, by L2 over plan-literal
+    # centroid arrays (centroid count is small by construction).
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    p = with_unit_vectors(probes).select(
+        F.col(id_col).alias("probe_id"),
+        F.col("vec").alias("pvec"),
+        F.col("norm").alias("pnorm"),
+    )
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "pvec",
+                        F.array(*[F.lit(v) for v in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probe_cells = p.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(dists), 1, n_probe_cells), lambda s: s["cell"]
+            )
+        ),
+    )
+
+    cos = F.round(_dot("pvec", "vec") / (F.col("pnorm") * F.col("norm")), 6)
+    scored = (
+        assigned.join(probe_cells, on="cell")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "cosine")
+    )
+    return out
+
+
 def cosine_near_dup_pairs(
     df: DataFrame, threshold: float = 0.35, *, id_col: str = "vec_id"
 ) -> DataFrame:
@@ -209,9 +294,15 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _probes(emb), k=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_cosine": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
 }
 

@@ -56,6 +56,23 @@ def test_norms_positive(emb):
     assert bad == 0
 
 
+def test_ivf_topk_recall_beats_lsh(emb, probes):
+    from pyspark_kmeans_spark.operators.similarity import ivf_topk, lsh_topk
+
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in cosine_topk(emb, probes, k=5).collect()
+    }
+    ivf = {
+        (r.probe_id, r.neighbor_id)
+        for r in ivf_topk(emb, probes, k=5, n_cells=16, n_probe_cells=4).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    # scanning 4/16 cells (~25% of corpus); data-adaptive cells should find
+    # well over half of the true top-5
+    assert recall >= 0.5, f"IVF recall {recall:.3f}"
+
+
 def test_lsh_topk_recall(emb, probes):
     exact = {
         (r.probe_id, r.neighbor_id)
