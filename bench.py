@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_jaccard_pairs",
     "ann_topk_cosine",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_quality",
     "text_lang_id",
     "multimodal_features",

@@ -190,6 +190,45 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-customer stats over the day-gaps
+    between consecutive orders (median + max).  The per-group sort +
+    diff + quantile is the shape that genuinely wants pandas; Arrow moves
+    each group as one batch, pandas computes vectorized, nothing row-wise.
+    At scale the shuffle is the one groupBy(o_custkey) exchange.
+    """
+    import pandas as pd
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        # DateType arrives as datetime64 or as object-of-date depending on
+        # the session's Arrow conversion settings — normalize first.
+        days = pd.to_datetime(pdf["d"]).sort_values()
+        diffs = days.diff().dt.days.dropna()
+        if len(diffs) == 0:
+            return pd.DataFrame(
+                {"o_custkey": [pdf["o_custkey"].iloc[0]], "n_gaps": [0],
+                 "median_gap": [None], "max_gap": [None]}
+            )
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n_gaps": [len(diffs)],
+                # linear-interpolated median — matches SQL quantile_cont
+                "median_gap": [float(diffs.median())],
+                "max_gap": [float(diffs.max())],
+            }
+        )
+
+    return orders.groupBy("o_custkey").applyInPandas(
+        gaps,
+        schema="o_custkey long, n_gaps long, median_gap double, max_gap double",
+    )
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-based deterministic sampling (~1/16 of rows): unlike
     df.sample(), the selected set is a pure function of the key — stable
@@ -204,6 +243,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "salted_agg": q_salted_agg,
     "deterministic_sample": q_deterministic_sample,
+    "order_gap_stats": q_order_gap_stats,
     "cube_agg": q_cube,
     "rollup_agg": q_rollup,
     "grouping_sets": q_grouping_sets,
@@ -219,6 +259,22 @@ ORACLES: dict[str, str] = {
     "deterministic_sample": """
         SELECT doc_id, lang FROM documents
         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    """,
+    "order_gap_stats": """
+        WITH gaps AS (
+            SELECT o_custkey,
+                   datediff('day',
+                            LAG(CAST(o_orderdate AS DATE)) OVER (
+                                PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)),
+                            CAST(o_orderdate AS DATE)) AS gap
+            FROM orders
+        )
+        SELECT o_custkey,
+               COUNT(gap) AS n_gaps,
+               CAST(quantile_cont(gap, 0.5) AS DOUBLE) AS median_gap,
+               CAST(MAX(gap) AS DOUBLE) AS max_gap
+        FROM gaps
+        GROUP BY o_custkey
     """,
     # Each doc contributes its DISTINCT tokens (tokens_col dedups per doc).
     "top_tokens_per_lang": """
