@@ -47,15 +47,40 @@ def _registries() -> list:
     return mods
 
 
+# Queries the round-1 driver sweep never recorded (it stopped at 50
+# entries).  Listed first so that, whatever the sweep's cap is (time or row
+# count), these get driver-validated this round; every query is cheap at
+# the oracle SF (the full 61-query sweep runs in ~60 s at sf0.01).
+_SWEEP_FIRST = [
+    "standard_scaled",
+    "asof_last_order",
+    "range_join_recent_orders",
+    "event_hourly_rollup",
+    "event_user_sessions",
+    "json_extract",
+    "json_agg",
+    "count_distinct",
+    "approx_aggs",
+    "kmeans_centers",
+    "kmeans_embedding_clusters",
+]
+
+
+def _prioritized(full: dict) -> dict:
+    head = {k: full[k] for k in _SWEEP_FIRST if k in full}
+    head.update({k: v for k, v in full.items() if k not in head})
+    return head
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _registries():
         out.update(getattr(mod, "QUERIES", {}))
-    return out
+    return _prioritized(out)
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _registries():
         out.update(getattr(mod, "ORACLES", {}))
-    return out
+    return _prioritized(out)
