@@ -252,20 +252,58 @@ def ivf_topk(
 
 
 def cosine_near_dup_pairs(
-    df: DataFrame, threshold: float = 0.35, *, id_col: str = "vec_id"
+    df: DataFrame,
+    threshold: float = 0.35,
+    *,
+    id_col: str = "vec_id",
+    probe_blocks: int = 8,
+    corpus_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs over probe rows (id % PROBE_MODULUS
-    == 0) — bounds the pair count to N²/PROBE_MODULUS."""
+    """EXACT embedding-cosine pairs (probe rows: id % PROBE_MODULUS == 0)
+    via a blocked bipartite equi-join — no broadcast, no nested-loop join.
+
+    Exact all-pairs at a low threshold is inherently O(|probes|·N) compute
+    (at cosine 0.35 no LSH family prunes without losing recall — the
+    similarity gap is too small; high-threshold near-dup belongs to the
+    MinHash/SimHash paths in operators/dedup.py).  What CAN scale is the
+    memory/shuffle shape: hash probes into `probe_blocks` and the corpus
+    into `corpus_blocks`, replicate each probe row across the corpus
+    blocks and each corpus row across the probe blocks, and equi-join on
+    the (probe_block, corpus_block) key.  Every (probe, corpus) pair meets
+    exactly once; each task scores one block-pair, so per-task memory is
+    |probes|/probe_blocks + N/corpus_blocks — bounded by sizing the block
+    counts to the data (vs the previous BroadcastNestedLoopJoin whose
+    broadcast side was 10% of the corpus: unbounded).  Shuffle volume is
+    N·probe_blocks + |probes|·corpus_blocks ≈ O(N·√N) with √N-ish blocks.
+    Plan shape (equi-join, no BNLJ/cartesian) is pinned in test_plans.py.
+    """
     probes = df.filter(F.col(id_col) % PROBE_MODULUS == 0)
-    a = with_unit_vectors(probes).select(
-        F.col(id_col).alias("doc_a"), F.col("vec").alias("va"), F.col("norm").alias("na")
+    # Hash-based block ids: id % B would alias with the probe modulus
+    # (multiples of 10 hit only gcd-many residues mod B).
+    a = (
+        with_unit_vectors(probes)
+        .select(
+            F.col(id_col).alias("doc_a"),
+            F.col("vec").alias("va"),
+            F.col("norm").alias("na"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(probe_blocks)).alias("_pb"),
+        )
+        .withColumn("_cb", F.explode(F.array(*[F.lit(i) for i in range(corpus_blocks)])))
     )
-    b = with_unit_vectors(df).select(
-        F.col(id_col).alias("doc_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
+    b = (
+        with_unit_vectors(df)
+        .select(
+            F.col(id_col).alias("doc_b"),
+            F.col("vec").alias("vb"),
+            F.col("norm").alias("nb"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(corpus_blocks)).alias("_cb"),
+        )
+        .withColumn("_pb", F.explode(F.array(*[F.lit(i) for i in range(probe_blocks)])))
     )
     cos = F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
     return (
-        b.join(F.broadcast(a), F.col("doc_a") < F.col("doc_b"))
+        a.join(b, on=["_pb", "_cb"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -1,6 +1,7 @@
 from pyspark_kmeans_spark.plans.inspect import (
     assert_broadcast_join,
     assert_no_cartesian,
+    assert_no_nested_loop_join,
     assert_partial_aggregation,
     assert_pushed_filters,
     assert_read_schema_pruned,
@@ -11,6 +12,7 @@ from pyspark_kmeans_spark.plans.inspect import (
 __all__ = [
     "assert_broadcast_join",
     "assert_no_cartesian",
+    "assert_no_nested_loop_join",
     "assert_partial_aggregation",
     "assert_pushed_filters",
     "assert_read_schema_pruned",

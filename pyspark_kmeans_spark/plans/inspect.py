@@ -70,6 +70,16 @@ def assert_no_cartesian(df: DataFrame) -> None:
     assert "CartesianProduct" not in plan, f"cartesian product in plan:\n{plan}"
 
 
+def assert_no_nested_loop_join(df: DataFrame) -> None:
+    """No BroadcastNestedLoopJoin anywhere in the plan — a BNLJ's broadcast
+    side must be a true constant; any data-proportional broadcast is a
+    scale-killer."""
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"nested-loop join in plan:\n{plan}"
+    )
+
+
 def assert_partial_aggregation(df: DataFrame) -> None:
     """Grouped agg must run partial (map-side) + final — HashAggregate
     appears for both phases, or ObjectHashAggregate/SortAggregate pairs."""

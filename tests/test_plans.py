@@ -16,6 +16,7 @@ from pyspark_kmeans_spark.operators.relational import (
     q_top_orders,
 )
 from pyspark_kmeans_spark.plans import (
+    assert_no_nested_loop_join,
     assert_broadcast_join,
     assert_no_cartesian,
     assert_partial_aggregation,
@@ -81,3 +82,14 @@ def test_top_customers_is_take_ordered(spark, sf_dir):
     # top-k + merge), not a full global sort.
     plan = physical_plan(q_top_customers(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_embedding_near_dups_no_nested_loop(spark, sf_dir):
+    # VERDICT r1 item 4: the exact cosine pair join must be the blocked
+    # bipartite equi-join (bounded per-task memory), never a
+    # BroadcastNestedLoopJoin whose broadcast side grows with the corpus.
+    from pyspark_kmeans_spark.operators.similarity import q_embedding_near_dups
+
+    df = q_embedding_near_dups(spark, sf_dir)
+    assert_no_nested_loop_join(df)
+    assert_no_cartesian(df)
