@@ -594,6 +594,17 @@ def lsh_near_dup_clusters(
     )
 
 
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive clusters over the MinHash-LSH pair graph (the scale
+    path).  no_oracle: the LSH edge set is approximate (per-edge recall
+    ≈ 0.989 at 8×8 bands / j≥0.9); set-equality vs the exact-graph
+    clusters on the testdata corpus is pinned in tests/test_dedup.py."""
+    release_persisted()
+    return lsh_near_dup_clusters(
+        load_table(spark, sf_dir, "documents"), threshold=0.9
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram shingle Jaccard between consecutive doc pairs — the
     order-sensitive dedup signal (linear pair probe; the blocked/LSH
@@ -620,6 +631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lsh_kept": q_dedup_lsh_kept,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_lsh": q_dedup_clusters_lsh,
 }
 
 _JACCARD_PAIRS_SQL = """
@@ -645,6 +657,26 @@ ORACLES: dict[str, str] = {
         GROUP BY 1
     """,
     "dedup_jaccard_pairs": _JACCARD_PAIRS_SQL,
+    # Connected components as a recursive transitive closure — O(n·e) in
+    # DuckDB, fine at oracle SF; the Spark side is the O(log d)
+    # pointer-doubling propagation.
+    "dedup_clusters": f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+        e AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach(doc_id, r) AS (
+            SELECT DISTINCT a, a FROM e
+            UNION
+            SELECT e.a, reach.r FROM e JOIN reach ON reach.doc_id = e.b
+        ),
+        lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM lab
+    """,
     "dedup_kept_docs": f"""
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT doc_b FROM ({_JACCARD_PAIRS_SQL}))

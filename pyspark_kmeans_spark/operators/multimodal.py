@@ -130,6 +130,27 @@ ORACLES: dict[str, str] = {
                md5(text) AS payload_md5
         FROM documents
     """,
-    # multimodal_features: mapInPandas fake decoder — rows-only (the fake's
-    # exact chunking is pinned by tests/test_multimodal.py instead).
+    # The fake decoder's chunked byte means, re-expressed over DuckDB list
+    # functions: byte values via hex-pair extraction, the same
+    # n = max(nb//8, 1) chunking, empty chunks -> 0.0, mean-of-means
+    # rounded to 6 decimals (chunk sums are exact integers in double, so
+    # the divisions are bit-identical across engines).
+    "multimodal_features": """
+        WITH b AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS nb
+            FROM documents
+        ), chunked AS (
+            SELECT doc_id, nb, greatest(nb // 8, 1) AS n,
+                   list_transform(range(nb), i ->
+                       CAST('0x' || substr(hx, CAST(i*2+1 AS INT), 2) AS INT)) AS bv
+            FROM b
+        )
+        SELECT doc_id, CAST(nb AS INT) AS n_bytes,
+               ROUND(list_aggregate(list_transform(range(8), i ->
+                   coalesce(list_aggregate(
+                       list_slice(bv, CAST(i*n+1 AS INT), CAST((i+1)*n AS INT)),
+                       'avg'), 0.0)), 'sum') / 8, 6) AS feature_mean
+        FROM chunked
+    """,
 }
