@@ -48,6 +48,9 @@ HEADLINE = [
 ]
 
 
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
 def force(df) -> int:
     """Execute the full plan without materializing on the driver."""
     df.write.format("noop").mode("overwrite").save()
@@ -65,24 +68,39 @@ def main() -> None:
     # Warm-up: JVM/codegen/readers (not counted).
     force(queries["scan_projection"](spark, sf_dir))
 
-    timings: dict[str, float] = {}
+    # This host shows real CPU steal (BASELINE.md records 106/490/642 s for
+    # identical runs), so a single-shot measurement can't be trusted against
+    # a 2x gate: run each query REPEATS times and report the per-query
+    # MEDIAN (plus the best, to expose the noise floor), sorted slowest
+    # first.
+    medians: dict[str, float] = {}
+    bests: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        force(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Operators persist intermediates (tokenization, signatures) for
-        # their own multi-use plans; drop them so queries are measured
-        # independently and memory pressure doesn't leak across timings.
-        spark.catalog.clearCache()
+        runs = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            force(queries[name](spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+            # Operators persist intermediates (tokenization, signatures)
+            # for their own multi-use plans; drop them so repeats and
+            # queries are measured independently and memory pressure
+            # doesn't leak across timings.
+            spark.catalog.clearCache()
+        runs.sort()
+        medians[name] = round(runs[len(runs) // 2], 3)
+        bests[name] = round(runs[0], 3)
 
-    total = round(sum(timings.values()), 3)
+    order = sorted(medians, key=medians.get, reverse=True)
+    total = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {n: medians[n] for n in order},
+                "best": {n: bests[n] for n in order},
+                "repeats": REPEATS,
                 "sf": float(sf),
             }
         )
