@@ -115,17 +115,84 @@ def generate_report_text(data: pd.DataFrame) -> str:
     return "\n".join(lines) + "\n"
 
 
-def generate_pdf_report(data: pd.DataFrame, out_path: str) -> str:  # pragma: no cover
-    """S7 (utils/reports.py:56,141-143) — import-gated: reportlab/seaborn are
-    not in this container."""
-    try:
-        import reportlab  # noqa: F401
-    except ImportError as exc:
-        raise ImportError(
-            "PDF report rendering requires reportlab (and seaborn for the "
-            "plots); install them or use generate_report_text()"
-        ) from exc
-    raise NotImplementedError("reportlab present but renderer not implemented")
+_PDF_LINES_PER_PAGE = 54
+_PDF_FONT_SIZE = 10
+_PDF_LEADING = 13
+
+
+def _pdf_escape(line: str) -> str:
+    """PDF string-literal escaping; non-latin-1 chars become '?' (the
+    base-14 Courier font has no wider encoding)."""
+    line = line.encode("latin-1", errors="replace").decode("latin-1")
+    return line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def write_minimal_pdf(lines: list[str], out_path: str, *, title: str = "report") -> str:
+    """Dependency-free PDF 1.4 writer: monospace text pages, valid xref.
+
+    Replaces the reference's reportlab canvas (utils/reports.py:56,141-143)
+    with hand-assembled PDF objects — catalog, page tree, one content
+    stream per page of Courier text.  Deterministic output for fixed input.
+    """
+    pages = [
+        lines[i : i + _PDF_LINES_PER_PAGE]
+        for i in range(0, max(len(lines), 1), _PDF_LINES_PER_PAGE)
+    ]
+    n_pages = len(pages)
+    # Object ids: 1 catalog, 2 pages-root, 3 font, then per page i:
+    # (4+2i) page dict, (5+2i) content stream.
+    objects: list[bytes] = []
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>"
+    )
+    for i, page_lines in enumerate(pages):
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 3 0 R >> >> "
+                f"/Contents {5 + 2 * i} 0 R >>"
+            ).encode()
+        )
+        body = [f"BT /F1 {_PDF_FONT_SIZE} Tf {_PDF_LEADING} TL 40 760 Td"]
+        for line in page_lines:
+            body.append(f"({_pdf_escape(line)}) Tj T*")
+        body.append("ET")
+        stream = "\n".join(body).encode("latin-1")
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, obj in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_at)
+    )
+    with open(out_path, "wb") as f:
+        f.write(bytes(out))
+    return out_path
+
+
+def generate_pdf_report(data: pd.DataFrame, out_path: str) -> str:
+    """S7 (utils/reports.py:56,141-143): the text report rendered as a real
+    PDF via the dependency-free writer above (reportlab/seaborn are not in
+    this container; the plain-text artifact remains the default sink)."""
+    return write_minimal_pdf(
+        generate_report_text(data).splitlines(), out_path, title="kmeans-report"
+    )
 
 
 def generate_email(

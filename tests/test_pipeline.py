@@ -136,3 +136,32 @@ def test_spark_native_report_forms(spark, sf_dir):
     melted = melt_centers(results, FLAGSHIP_FEATURES)
     assert melted.count() == results.count() * len(FLAGSHIP_FEATURES)  # W2
     assert distinct_ks(results) == [2, 3, 4]  # W3
+
+
+def test_minimal_pdf_report_is_structurally_valid(tmp_path):
+    """S7: the dependency-free writer must emit a parseable PDF — header,
+    every xref offset landing on its object, startxref landing on the xref
+    table, and the report text embedded in the content streams."""
+    import re
+
+    import pandas as pd
+
+    data = pd.DataFrame(
+        {
+            "k": [2, 2, 3, 3, 3],
+            "cluster": [1, 2, 1, 2, 3],
+            "score": [0.41, 0.41, 0.57, 0.57, 0.57],
+            "max_buy": [1.0, 2.0, 1.5, 2.5, 3.5],
+            "hit_rate": [0.1, 0.2, 0.15, 0.25, 0.35],
+        }
+    )
+    out = str(tmp_path / "report.pdf")
+    reporting.generate_pdf_report(data, out)
+    raw = open(out, "rb").read()
+    assert raw.startswith(b"%PDF-1.4\n") and raw.rstrip().endswith(b"%%EOF")
+    startxref = int(raw[raw.rindex(b"startxref") :].split()[1])
+    assert raw[startxref : startxref + 4] == b"xref"
+    entries = re.findall(rb"(\d{10}) 00000 n", raw)
+    for i, off in enumerate(int(e) for e in entries):
+        assert raw[off:].startswith(b"%d 0 obj" % (i + 1)), f"xref entry {i+1}"
+    assert b"(best k by silhouette: 3 \\(score=0.570000\\)) Tj" in raw
