@@ -48,17 +48,15 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS via SQL (the DataFrame API has no direct
-    grouping-sets call; SQL is the idiomatic Spark spelling)."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority,
-               COUNT(*) AS n_orders
-        FROM _orders_gs
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
-    )
+    """Explicit GROUPING SETS via DataFrame.groupingSets (Spark 4) — no
+    session-global temp view (the previous SQL spelling leaked
+    `_orders_gs` into the shared catalog)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
 
 
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:

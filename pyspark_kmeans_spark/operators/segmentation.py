@@ -68,9 +68,14 @@ LOG_INPUT_COLS = ["age", "avg_buy", "min_buy", "max_buy"]
 def user_ages(users: DataFrame, reference_date: str = COMPAT_REFERENCE_DATE) -> DataFrame:
     """P1+P2: fractional age in years against a fixed reference date.
 
-    Mirrors utils/kmeans_utils.py:30-32 (including day-resolution datediff
-    divided by 365; the reference's 'yyyy-mm-dd' format quirk is corrected to
-    'yyyy-MM-dd' — same result at day resolution, strict-parser safe).
+    Mirrors utils/kmeans_utils.py:30-32 (day-resolution datediff divided by
+    365).  DELIBERATE SEMANTIC FIX vs the reference: its 'yyyy-mm-dd'
+    pattern makes 'mm' minute-of-hour, so the month silently defaults to
+    January and '2016-06-16' actually parsed as 2016-01-16 — the reference
+    computed every age ~152 days smaller than intended.  This engine uses
+    the correct 'yyyy-MM-dd', so ages differ from the reference's buggy
+    output by that constant offset; pass reference_date='2016-01-16' to
+    reproduce the reference's numeric behavior exactly.
     """
     age = F.datediff(F.to_date(F.lit(reference_date), "yyyy-MM-dd"), F.col("dob")) / 365
     return users.withColumn("age", age).select("userId", "age")

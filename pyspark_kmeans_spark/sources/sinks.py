@@ -27,9 +27,21 @@ def write_partitioned_parquet(
     mode: str = "overwrite",
 ) -> None:
     """Directory-partitioned parquet with controlled file counts per
-    partition value."""
+    partition value.
+
+    Shuffle on (partition_cols + salt-in-[0, files_per_partition)) so each
+    partition value's rows land in at most `files_per_partition` distinct
+    tasks → at most that many files per directory.  (Repartitioning on
+    `(files_per_partition, *cols)` — the previous spelling — instead hashes
+    the partition columns into `files_per_partition` TOTAL tasks: the
+    default funneled the entire dataset through one write task.)
+    """
     if files_per_partition > 0 and partition_cols:
-        df = df.repartition(files_per_partition, *[F.col(c) for c in partition_cols])
+        salt = F.pmod(
+            (F.rand(seed=42) * files_per_partition).cast("int"),
+            F.lit(files_per_partition),
+        )
+        df = df.repartition(*[F.col(c) for c in partition_cols], salt)
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 

@@ -33,7 +33,11 @@ def load_table(
         # (e.g. the verify driver) may hand us an untuned session.  Then
         # convert long-ns → timestamp; integer DIV (not /) because ns epochs
         # exceed double's 2^53 mantissa.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Session-level mutation is deliberate and one-way: the conf is
+        # consulted lazily at scan planning/execution, so "restoring" it
+        # after this call would corrupt the returned (lazy) DataFrame.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     else:

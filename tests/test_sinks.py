@@ -50,3 +50,34 @@ def test_csv_json_round_trip(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in cust.collect()}
     assert {tuple(r) for r in csv_back.collect()} == a
     assert {tuple(r) for r in json_back.collect()} == a
+
+
+def test_partitioned_write_files_per_partition(spark, sf_dir, tmp_path):
+    """files_per_partition=N must yield MULTIPLE files per partition value
+    (up to N), not hash all values into N total tasks (ADVICE r1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "li_part_n")
+    # At test scale AQE coalesces the salted shuffle back into one
+    # partition (groups are far below the 64MB advisory size) — disable
+    # coalescing to observe the salting itself; at real scale the groups
+    # exceed the advisory size and survive AQE untouched.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        write_partitioned_parquet(li, out, ["l_returnflag"], files_per_partition=3)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    per_dir = {}
+    for d in os.listdir(out):
+        if d.startswith("l_returnflag="):
+            per_dir[d] = len(
+                [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+            )
+    assert set(per_dir) == {"l_returnflag=A", "l_returnflag=N", "l_returnflag=R"}
+    # Each value's rows are salted across 3 tasks; hash collisions can
+    # merge salts, so "at most 3, at least 2, for every busy partition".
+    assert all(1 <= n <= 3 for n in per_dir.values()), per_dir
+    assert max(per_dir.values()) >= 2, per_dir
+    back = read_partitioned_parquet(spark, out)
+    assert back.count() == li.count()
