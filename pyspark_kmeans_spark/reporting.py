@@ -195,6 +195,151 @@ def generate_pdf_report(data: pd.DataFrame, out_path: str) -> str:
     )
 
 
+_SVG_W, _SVG_H = 640, 420
+_SVG_ML, _SVG_MR, _SVG_MT, _SVG_MB = 70, 30, 50, 90
+_SVG_COLORS = [
+    "#4c72b0", "#dd8452", "#55a868", "#c44e52", "#8172b3",
+    "#937860", "#da8bc3", "#8c8c8c",
+]
+
+
+def svg_pointplot(
+    series: dict[str, list[tuple[str, float]]],
+    *,
+    title: str,
+    y_label: str = "",
+    out_path: str | None = None,
+) -> str:
+    """S8 (utils/reports.py:64-73,106-114): seaborn-pointplot-shaped chart
+    as hand-assembled SVG — categorical x, linear y, one colored
+    polyline+markers per series, legend, axis ticks.  Dependency-free and
+    deterministic (seaborn/matplotlib are not in this container)."""
+    x_labels: list[str] = []
+    for pts in series.values():
+        for x, _ in pts:
+            if x not in x_labels:
+                x_labels.append(x)
+    ys = [y for pts in series.values() for _, y in pts if y == y]
+    lo, hi = (min(ys), max(ys)) if ys else (0.0, 1.0)
+    if hi == lo:
+        hi, lo = hi + 0.5, lo - 0.5
+    pad = 0.05 * (hi - lo)
+    lo, hi = lo - pad, hi + pad
+    plot_w = _SVG_W - _SVG_ML - _SVG_MR
+    plot_h = _SVG_H - _SVG_MT - _SVG_MB
+
+    def sx(i: int) -> float:
+        n = max(len(x_labels), 1)
+        return _SVG_ML + plot_w * (i + 0.5) / n
+
+    def sy(v: float) -> float:
+        return _SVG_MT + plot_h * (1 - (v - lo) / (hi - lo))
+
+    def esc(s: str) -> str:
+        return (
+            s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{_SVG_W}" '
+        f'height="{_SVG_H}" viewBox="0 0 {_SVG_W} {_SVG_H}">',
+        f'<rect width="{_SVG_W}" height="{_SVG_H}" fill="white"/>',
+        f'<text x="{_SVG_W / 2}" y="28" text-anchor="middle" '
+        f'font-family="sans-serif" font-size="16">{esc(title)}</text>',
+        # axes
+        f'<line x1="{_SVG_ML}" y1="{_SVG_MT}" x2="{_SVG_ML}" '
+        f'y2="{_SVG_MT + plot_h}" stroke="black"/>',
+        f'<line x1="{_SVG_ML}" y1="{_SVG_MT + plot_h}" '
+        f'x2="{_SVG_ML + plot_w}" y2="{_SVG_MT + plot_h}" stroke="black"/>',
+    ]
+    if y_label:
+        parts.append(
+            f'<text x="16" y="{_SVG_MT + plot_h / 2}" text-anchor="middle" '
+            f'font-family="sans-serif" font-size="12" '
+            f'transform="rotate(-90 16 {_SVG_MT + plot_h / 2})">'
+            f"{esc(y_label)}</text>"
+        )
+    for t in range(5):
+        v = lo + (hi - lo) * t / 4
+        y = sy(v)
+        parts.append(
+            f'<line x1="{_SVG_ML - 4}" y1="{y:.1f}" x2="{_SVG_ML}" '
+            f'y2="{y:.1f}" stroke="black"/>'
+        )
+        parts.append(
+            f'<text x="{_SVG_ML - 8}" y="{y + 4:.1f}" text-anchor="end" '
+            f'font-family="sans-serif" font-size="11">{v:.3g}</text>'
+        )
+    for i, xl in enumerate(x_labels):
+        x = sx(i)
+        parts.append(
+            f'<text x="{x:.1f}" y="{_SVG_MT + plot_h + 14}" '
+            f'text-anchor="end" font-family="sans-serif" font-size="11" '
+            f'transform="rotate(-45 {x:.1f} {_SVG_MT + plot_h + 14})">'
+            f"{esc(xl)}</text>"
+        )
+    for si, (label, pts) in enumerate(series.items()):
+        color = _SVG_COLORS[si % len(_SVG_COLORS)]
+        coords = [
+            (sx(x_labels.index(x)), sy(y)) for x, y in pts if y == y
+        ]
+        if len(coords) > 1:
+            path = " ".join(f"{x:.1f},{y:.1f}" for x, y in coords)
+            parts.append(
+                f'<polyline points="{path}" fill="none" stroke="{color}" '
+                f'stroke-width="1.5"/>'
+            )
+        for x, y in coords:
+            parts.append(
+                f'<circle cx="{x:.1f}" cy="{y:.1f}" r="4" fill="{color}"/>'
+            )
+        ly = _SVG_MT + 14 * si
+        parts.append(
+            f'<circle cx="{_SVG_ML + plot_w - 90}" cy="{ly - 4}" r="4" '
+            f'fill="{color}"/>'
+        )
+        parts.append(
+            f'<text x="{_SVG_ML + plot_w - 80}" y="{ly}" '
+            f'font-family="sans-serif" font-size="11">{esc(label)}</text>'
+        )
+    parts.append("</svg>")
+    svg = "\n".join(parts)
+    if out_path is not None:
+        with open(out_path, "w", encoding="utf-8") as f:
+            f.write(svg)
+    return svg
+
+
+def generate_plot_svgs(data: pd.DataFrame, out_dir: str) -> list[str]:
+    """S8 parity with the reference's plot set (utils/reports.py:64-73,
+    106-114): one silhouette-by-k pointplot + one per-k feature pointplot
+    with cluster hue.  Returns the written paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    scores = data.groupby("k")["score"].first().sort_index()
+    score_path = os.path.join(out_dir, "score.svg")
+    svg_pointplot(
+        {"score": [(str(int(k)), float(s)) for k, s in scores.items()]},
+        title="Silhouette scores by k",
+        out_path=score_path,
+    )
+    paths.append(score_path)
+    melted = melt_centers_pandas(data)
+    for k in sorted(melted.k.unique()):
+        sub = melted[melted.k == k]
+        series = {
+            f"cluster {int(c)}": [
+                (str(r.features), float(r.value))
+                for r in sub[sub.cluster == c].itertuples()
+            ]
+            for c in sorted(sub.cluster.unique())
+        }
+        p = os.path.join(out_dir, f"clusters_plot_{int(k)}.svg")
+        svg_pointplot(series, title=f"k={int(k)}", out_path=p)
+        paths.append(p)
+    return paths
+
+
 def generate_email(
     sender: str,
     recipient: str,

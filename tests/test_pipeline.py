@@ -165,3 +165,36 @@ def test_minimal_pdf_report_is_structurally_valid(tmp_path):
     for i, off in enumerate(int(e) for e in entries):
         assert raw[off:].startswith(b"%d 0 obj" % (i + 1)), f"xref entry {i+1}"
     assert b"(best k by silhouette: 3 \\(score=0.570000\\)) Tj" in raw
+
+
+def test_svg_pointplots_are_valid_xml(tmp_path):
+    """S8: plot sink writes one score plot + one per-k cluster plot, each
+    well-formed SVG with the expected marker counts."""
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    data = pd.DataFrame(
+        {
+            "k": [2, 2, 3, 3, 3],
+            "cluster": [1, 2, 1, 2, 3],
+            "score": [0.41, 0.41, 0.57, 0.57, 0.57],
+            "max_buy": [1.0, 2.0, 1.5, 2.5, 3.5],
+            "hit_rate": [0.1, 0.2, 0.15, 0.25, 0.35],
+        }
+    )
+    paths = reporting.generate_plot_svgs(data, str(tmp_path / "plots"))
+    assert [os.path.basename(p) for p in paths] == [
+        "score.svg",
+        "clusters_plot_2.svg",
+        "clusters_plot_3.svg",
+    ]
+    ns = "{http://www.w3.org/2000/svg}"
+    root = ET.parse(paths[0]).getroot()
+    # 2 k-values -> 2 data markers + 1 legend marker
+    assert len(root.findall(f"{ns}circle")) == 3
+    assert "Silhouette scores by k" in ET.tostring(root, encoding="unicode")
+    root3 = ET.parse(paths[2]).getroot()
+    # k=3: 3 clusters x 2 features = 6 data markers + 3 legend markers
+    assert len(root3.findall(f"{ns}circle")) == 9
+    assert len(root3.findall(f"{ns}polyline")) == 3
