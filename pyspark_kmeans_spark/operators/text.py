@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_kmeans_spark.sources.tables import load_table
@@ -184,6 +184,103 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_WINDOW = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (16-token overlap)
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the unit a
+    training pipeline feeds a tokenizer with bounded sequence length.
+
+    Chunk starts are 0, stride, 2·stride, … while start < n_tokens; the
+    final chunk may be shorter than `window`.  Everything is JVM array
+    expressions (split → sequence → explode → slice): one scan, no
+    shuffle, output rows ≈ n_tokens/stride per doc — linear at any corpus
+    size and partition-local.
+    """
+    toks = F.split(F.trim(F.col(text_col)), WS_RE)
+    starts = F.sequence(
+        F.lit(0), F.floor((F.col("_n") - 1) / F.lit(stride)).cast("int")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, window)
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+        .withColumn("chunk_id", F.explode(starts))
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs)
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    k: int = TFIDF_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf: (doc_id, term, tf, df, tfidf).
+
+    idf = ln((N+1)/(df+1)); ranking by (rounded tfidf DESC, term ASC) so
+    ties are stable across engines.  Scale shape: term extraction is
+    partition-local; tf is a (doc, term) partial+final agg; document
+    frequency is a term-level agg (vocabulary-sized, far smaller than the
+    corpus) joined back on term — a shuffle equi-join that AQE can convert
+    to broadcast when the vocabulary is small; the scalar N is a literal
+    broadcast.  No step is quadratic and nothing collects to the driver.
+    """
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    scored = (
+        tf.join(doc_freq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("_n") + 1).cast("double") / (F.col("df") + 1)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "rank", "tfidf")
+    )
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -191,6 +288,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_fingerprint,
     "text_edit_distance": q_edit_distance,
     "text_rolling_hash": q_rolling_hash,
+    "text_chunks": q_text_chunks,
+    "text_tfidf": q_text_tfidf,
 }
 
 _SQL_SCORES = ", ".join(
@@ -273,5 +372,51 @@ ORACLES: dict[str, str] = {
                                       c -> CAST(ascii(c) AS BIGINT))),
                    (acc, c) -> (acc * 31 + c) % 2147483647) AS rolling_hash
         FROM documents
+    """,
+    "text_chunks": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '[ \\t\\n]+') AS t
+            FROM documents
+        )
+        , chunks AS (
+            SELECT doc_id, t,
+                   unnest(range(0, ((len(t) - 1) // {CHUNK_STRIDE}) + 1)) AS cid
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(cid AS INT) AS chunk_id,
+               CAST(len(list_slice(t, cid * {CHUNK_STRIDE} + 1,
+                                   cid * {CHUNK_STRIDE} + {CHUNK_WINDOW}))
+                    AS INT) AS n_chunk_tokens,
+               array_to_string(
+                   list_slice(t, cid * {CHUNK_STRIDE} + 1,
+                              cid * {CHUNK_STRIDE} + {CHUNK_WINDOW}),
+                   ' ') AS chunk_text
+        FROM chunks
+    """,
+    "text_tfidf": f"""
+        WITH terms AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM terms GROUP BY doc_id, term
+        ), docfreq AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+                   ROUND(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (docfreq.df + 1)), 6)
+                       AS tfidf
+            FROM tf JOIN docfreq USING (term), n
+        )
+        SELECT doc_id, term, tf, df, rank, tfidf FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+            ) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= {TFIDF_TOP_K}
     """,
 }
