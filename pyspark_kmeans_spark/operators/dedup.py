@@ -264,6 +264,14 @@ def minhash_lsh_pairs(
     Candidates join per (band, bucket) — shuffle-friendly, no cross
     product; hot buckets are handled by AQE skew-join.  Verification
     applies the same exact size prune as jaccard_pairs.
+
+    LSH finds ~4× MORE pairs than the lang-blocked exact path on the
+    testdata corpus: the blocked path can only see same-lang pairs, while
+    LSH is blind to blocks and surfaces cross-lang duplicates (translated/
+    copied docs with identical token sets), which are true j≥0.9 pairs.
+    Conversely every lang-blocked exact pair must be recalled by LSH —
+    pinned ≥0.98 at sf0.01 in
+    tests/test_dedup.py::test_minhash_lsh_cross_block_recall_sf001.
     """
     rows_per_band = num_hashes // bands
     # ONE cached token-hash frame feeds signatures, banding, AND the exact
