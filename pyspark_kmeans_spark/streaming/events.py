@@ -93,6 +93,31 @@ def streaming_hourly_rollup(
     return hourly_rollup(stream)
 
 
+def dedup_events_stream(stream: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Streaming ingestion dedup — the exactly-once shape for an
+    at-least-once source: drop re-deliveries of the same event_id arriving
+    within the watermark.  State is one key per event_id seen in the
+    watermark horizon and is evicted as the watermark advances — bounded
+    memory at any rate (vs plain dropDuplicates on a stream, whose state
+    grows forever).  Stream==batch equivalence over a duplicated source is
+    pinned in tests/test_streaming.py."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def dedup_events_batch(events: DataFrame) -> DataFrame:
+    """Batch form of ingestion dedup with deterministic output: one row
+    per event_id with the duplicate count and the (unique) payload."""
+    return events.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_deliveries"),
+        F.unix_micros(F.min("ts")).alias("ts_us"),
+        F.min("user_id").alias("user_id"),
+        F.min("event_type").alias("event_type"),
+        F.min("value").alias("value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Query registry (batch forms — semantics identical to streaming)
 # --------------------------------------------------------------------------
@@ -106,12 +131,38 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_sessions(load_table(spark, sf_dir, "events"))
 
 
+def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion dedup over a simulated at-least-once feed: events unioned
+    with a deterministic 10% re-delivery of themselves, then deduped per
+    event_id.  The streaming twin (dropDuplicatesWithinWatermark) is
+    equivalence-tested in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    redelivered = ev.filter(F.col("event_id") % 10 == 0)
+    return dedup_events_batch(ev.unionByName(redelivered))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_hourly_rollup": q_event_hourly,
     "event_user_sessions": q_event_sessions,
+    "event_dedup": q_event_dedup,
 }
 
 ORACLES: dict[str, str] = {
+    "event_dedup": """
+        WITH feed AS (
+            SELECT * FROM events
+            UNION ALL
+            SELECT * FROM events WHERE event_id % 10 = 0
+        )
+        SELECT event_id,
+               COUNT(*) AS n_deliveries,
+               epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS ts_us,
+               MIN(user_id) AS user_id,
+               MIN(event_type) AS event_type,
+               MIN(value) AS value
+        FROM feed
+        GROUP BY event_id
+    """,
     "event_hourly_rollup": """
         SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
                event_type,

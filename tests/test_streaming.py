@@ -37,3 +37,52 @@ def test_stream_equals_batch(spark, sf_dir, agg):
     streamed = _run_stream_to_memory(stream_df, f"stream_{agg}", spark)
     assert _rows(streamed, None) == _rows(batch, None)
     assert streamed.count() > 0
+
+
+def test_streaming_dedup_equals_batch_distinct(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark over a duplicated file feed must yield
+    exactly one row per event_id (stream == batch distinct)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_kmeans_spark.streaming.events import dedup_events_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    # Simulate at-least-once delivery: the full feed plus a re-delivery
+    # file, as two separate parquet files the file source picks up in
+    # separate micro-batches.
+    feed_dir = str(tmp_path / "feed")
+    raw = ev.withColumn("ts_us", F.unix_micros("ts")).drop("ts")
+    raw.coalesce(1).write.parquet(feed_dir)
+    raw.filter(F.col("event_id") % 10 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed_dir)
+
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "value double, props string, ts_us long"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us")
+    )
+    deduped = dedup_events_stream(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", os.path.join(str(tmp_path), "ckpt")
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("stream_dedup")
+    n_ids = ev.select("event_id").distinct().count()
+    assert out.count() == n_ids
+    assert out.select("event_id").distinct().count() == n_ids
