@@ -281,6 +281,40 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs)
 
 
+QUALITY_KEEP_THRESHOLD = 0.5
+
+
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end LLM training-data preparation flow, composed from
+    this engine's own operators: quality-filter → exact dedup (min-id
+    keeper) → overlapping token-window chunking → per-lang corpus stats
+    (docs kept, chunks produced, tokens emitted).
+
+    Every stage is the scale path: the filter and chunker are
+    partition-local projections, dedup is one window shuffle on the
+    fingerprint, the final rollup is a partial+final agg on a 5-value
+    key.  The whole pipeline carries one narrow (doc_id, lang, text)
+    schema between stages — no payload ever widens.
+    """
+    from pyspark_kmeans_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    filtered = with_quality(docs).filter(
+        F.col("quality_score") >= QUALITY_KEEP_THRESHOLD
+    )
+    kept = exact_dedup(filtered).select("doc_id", "lang", "text")
+    chunks = chunk_documents(kept)
+    return (
+        chunks.join(kept.select("doc_id", "lang"), on="doc_id")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("n_tokens"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -290,6 +324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_rolling_hash": q_rolling_hash,
     "text_chunks": q_text_chunks,
     "text_tfidf": q_text_tfidf,
+    "training_pipeline": q_training_pipeline,
 }
 
 _SQL_SCORES = ", ".join(
@@ -394,6 +429,48 @@ ORACLES: dict[str, str] = {
                               cid * {CHUNK_STRIDE} + {CHUNK_WINDOW}),
                    ' ') AS chunk_text
         FROM chunks
+    """,
+    "training_pipeline": f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n]+')) AS INT) AS n_tokens,
+                   len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n]')) AS n_punct,
+                   len(regexp_extract_all(text, '(^| )(the|and|of|to|a|in|is)( |$)')) AS n_stop,
+                   length(text) AS n_len
+            FROM documents
+        ), filtered AS (
+            SELECT d.doc_id, d.lang, d.text
+            FROM documents d JOIN raw USING (doc_id)
+            WHERE ROUND(
+                LEAST(CAST(raw.n_tokens AS DOUBLE) / 100, 1.0) * 0.4
+                + (1.0 - LEAST(CAST(raw.n_punct AS DOUBLE) / raw.n_len * 4, 1.0)) * 0.3
+                + LEAST(CAST(raw.n_stop AS DOUBLE) / raw.n_tokens * 5, 1.0) * 0.3, 6)
+                >= {QUALITY_KEEP_THRESHOLD}
+        ), kept AS (
+            SELECT doc_id, lang, text FROM (
+                SELECT f.*, ROW_NUMBER() OVER (
+                    PARTITION BY md5(lower(regexp_replace(trim(text), '[ \\t\\n]+', ' ', 'g')))
+                    ORDER BY doc_id
+                ) AS rn
+                FROM filtered f
+            ) WHERE rn = 1
+        ), toks AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(trim(text), '[ \\t\\n]+') AS t
+            FROM kept
+        ), chunks AS (
+            SELECT doc_id, lang, t,
+                   unnest(range(0, ((len(t) - 1) // {CHUNK_STRIDE}) + 1)) AS cid
+            FROM toks
+        )
+        SELECT lang,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(len(list_slice(t, cid * {CHUNK_STRIDE} + 1,
+                                       cid * {CHUNK_STRIDE} + {CHUNK_WINDOW}))) AS BIGINT)
+                   AS n_tokens
+        FROM chunks
+        GROUP BY lang
     """,
     "text_tfidf": f"""
         WITH terms AS (
