@@ -93,3 +93,25 @@ def test_embedding_near_dups_no_nested_loop(spark, sf_dir):
     df = q_embedding_near_dups(spark, sf_dir)
     assert_no_nested_loop_join(df)
     assert_no_cartesian(df)
+
+
+def test_minhash_lsh_reuses_cached_token_frame(spark, sf_dir):
+    """Round-2 regression pin for the LSH runtime fix: the banding side and
+    BOTH verify joins must read the one persisted token-hash frame (plan
+    shows InMemoryTableScan), and the documents parquet is scanned at most
+    once (to build that frame) — re-tokenizing per branch is what cost
+    180+ s at sf0.1 in round 1."""
+    from pyspark_kmeans_spark.operators.dedup import q_dedup_minhash_lsh
+
+    plan = physical_plan(q_dedup_minhash_lsh(spark, sf_dir))
+    n_cached_reads = plan.count("InMemoryTableScan")
+    assert n_cached_reads >= 3, plan
+    # The formatted plan reprints each cached relation's DEFINITION (with
+    # its parquet scan) under every InMemoryTableScan, so the honest
+    # assertion is: no parquet scans beyond those embedded definitions —
+    # i.e. every consumer branch reads the cache, none re-scans.
+    n_parquet = plan.count("Scan parquet")
+    assert n_parquet <= n_cached_reads + 1, (
+        f"documents re-scanned outside the cache ({n_parquet} scans, "
+        f"{n_cached_reads} cached reads):\n{plan}"
+    )
