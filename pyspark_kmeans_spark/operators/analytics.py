@@ -237,10 +237,32 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket == "0").select("doc_id", "lang")
 
 
+# Per-lang keep rates out of 256 md5 buckets: up/down-sampling mix a
+# training-data pipeline uses to rebalance language composition.
+STRATA_BUCKETS_OF_256 = {"de": 64, "en": 128, "es": 32, "fr": 16, "zh": 8}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class deterministic sampling: each lang keeps a different
+    fraction (md5-bucket < per-lang threshold).  Like
+    q_deterministic_sample, membership is a pure function of the key —
+    reproducible across runs, partitionings, and engines; no shuffle, the
+    filter is partition-local and pushes nothing to Python."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    thr = F.lit(0)
+    for lang, keep in sorted(STRATA_BUCKETS_OF_256.items()):
+        thr = F.when(F.col("lang") == lang, F.lit(keep)).otherwise(thr)
+    return docs.filter(bucket < thr).select("doc_id", "lang")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "salted_agg": q_salted_agg,
     "deterministic_sample": q_deterministic_sample,
+    "stratified_sample": q_stratified_sample,
     "order_gap_stats": q_order_gap_stats,
     "cube_agg": q_cube,
     "rollup_agg": q_rollup,
@@ -257,6 +279,12 @@ ORACLES: dict[str, str] = {
     "deterministic_sample": """
         SELECT doc_id, lang FROM documents
         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT)
+              < CASE lang WHEN 'de' THEN 64 WHEN 'en' THEN 128 WHEN 'es' THEN 32
+                          WHEN 'fr' THEN 16 WHEN 'zh' THEN 8 ELSE 0 END
     """,
     "order_gap_stats": """
         WITH gaps AS (
