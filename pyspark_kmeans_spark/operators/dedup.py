@@ -139,6 +139,10 @@ def jaccard_pairs(
         # Tokenization feeds BOTH sides of the self-join; persist so the
         # scan+split runs once (spills to disk if it outgrows memory).
     )
+    # Eager materialization: with a lazy persist the self-join's two sides
+    # race to compute uncached partitions and tokenization can run twice
+    # (same guard as the minhash path).
+    toks.count()
     a = toks.select(
         F.col(id_col).alias("doc_a"), "_block", F.col("_toks").alias("_ta"),
         F.col("_n").alias("_na"),
