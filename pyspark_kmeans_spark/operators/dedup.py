@@ -603,6 +603,115 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_kept(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    *,
+    threshold: float = 0.9,
+    block_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingestion dedup (exact, blocked): which NEW docs survive
+    against an existing corpus plus earlier docs in their own batch?
+
+    A new doc is dropped when it has a j≥threshold match to ANY corpus doc
+    (corpus always wins — it is already ingested) or to a lower-id doc in
+    the same batch (greedy min-id-wins, same rule as near_dedup_kept).
+    O(block²) like jaccard_pairs — this is the oracle/bounded-block form;
+    the LSH spelling (lsh_incremental_kept) is the 100 TB path and is
+    subset-tested against this one.
+    """
+
+    def _toks(df: DataFrame, tag: int) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.col(block_col).alias("_block"),
+            tokens_col(text_col).alias("_toks"),
+            F.lit(tag).alias("_is_corpus"),
+        ).withColumn("_n", F.size("_toks"))
+
+    a = _persist(_toks(corpus_df, 1).unionByName(_toks(new_df, 0)))
+    a.count()
+    b = _toks(new_df, 0).select(
+        F.col(id_col).alias("_doc_b"),
+        "_block",
+        F.col("_toks").alias("_tb"),
+        F.col("_n").alias("_nb"),
+    )
+    inter = F.size(F.array_intersect("_toks", "_tb"))
+    union = F.col("_n") + F.col("_nb") - inter
+    jac = inter.cast("double") / union
+    size_ok = (F.col("_n") >= F.lit(threshold) * F.col("_nb")) & (
+        F.col("_nb") >= F.lit(threshold) * F.col("_n")
+    )
+    precedence = (F.col("_is_corpus") == 1) | (F.col(id_col) < F.col("_doc_b"))
+    losers = (
+        a.join(b, on="_block")
+        .filter(precedence & (F.col(id_col) != F.col("_doc_b")))
+        .filter(size_ok)
+        .filter(jac >= threshold)
+        .select(F.col("_doc_b").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(losers, on=id_col, how="left_anti").select(id_col)
+
+
+def lsh_incremental_kept(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The scale form of incremental ingestion dedup: MinHash-LSH pairs over
+    corpus ∪ batch (in production the corpus signatures are precomputed and
+    stored — only the batch is signed per run), keep a new doc unless it
+    pairs with a corpus doc or a lower-id batch doc.  Kills strictly more
+    than the blocked exact path (LSH also sees cross-block duplicates), so
+    kept(LSH) ⊆ kept(exact) — asserted in tests/test_dedup.py."""
+    new_ids = new_df.select(F.col(id_col)).withColumn("_new", F.lit(1))
+    pairs = minhash_lsh_pairs(
+        corpus_df.unionByName(new_df),
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    # Tag each side, then apply precedence: corpus always wins (a new doc
+    # matching a corpus doc loses REGARDLESS of id order); between two new
+    # docs the lower id wins (pair output guarantees doc_a < doc_b).
+    tagged = (
+        pairs.join(
+            new_ids.select(F.col(id_col).alias("doc_a"), F.col("_new").alias("_na")),
+            on="doc_a",
+            how="left",
+        ).join(
+            new_ids.select(F.col(id_col).alias("doc_b"), F.col("_new").alias("_nb")),
+            on="doc_b",
+            how="left",
+        )
+    )
+    lose_a = tagged.filter(
+        (F.col("_na") == 1) & F.col("_nb").isNull()
+    ).select(F.col("doc_a").alias(id_col))
+    lose_b = tagged.filter(F.col("_nb") == 1).select(F.col("doc_b").alias(id_col))
+    losers = lose_a.unionByName(lose_b).distinct()
+    return new_df.join(losers, on=id_col, how="left_anti").select(id_col)
+
+
+INCREMENTAL_BATCH_MOD = 5  # doc_id % 5 == 0 → 20% of docs are the new batch
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup over a 20% batch split of the documents table."""
+    release_persisted()
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD != 0)
+    return incremental_kept(new, corpus, threshold=0.9)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram shingle Jaccard between consecutive doc pairs — the
     order-sensitive dedup signal (linear pair probe; the blocked/LSH
@@ -630,6 +739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_lsh": q_dedup_clusters_lsh,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 _JACCARD_PAIRS_SQL = """
@@ -655,6 +765,24 @@ ORACLES: dict[str, str] = {
         GROUP BY 1
     """,
     "dedup_jaccard_pairs": _JACCARD_PAIRS_SQL,
+    "dedup_incremental": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_distinct(regexp_split_to_array(trim(text), '[ \\t\\n]+')) AS t
+            FROM documents
+        ), newdocs AS (
+            SELECT * FROM toks WHERE doc_id % 5 = 0
+        ), losers AS (
+            SELECT DISTINCT b.doc_id
+            FROM toks a JOIN newdocs b
+              ON a.lang = b.lang AND a.doc_id != b.doc_id
+            WHERE (a.doc_id % 5 != 0 OR a.doc_id < b.doc_id)
+              AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                  / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.9
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
     # Connected components as a recursive transitive closure — O(n·e) in
     # DuckDB, fine at oracle SF; the Spark side is the O(log d)
     # pointer-doubling propagation.

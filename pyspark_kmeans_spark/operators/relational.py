@@ -241,6 +241,31 @@ def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (§2.5 breadth): the remaining window shapes a warehouse
+    workload uses — lag delta, lead, ntile quartiles, percent_rank, and a
+    bounded moving average — all over ONE window spec, so the physical
+    plan is a single partition-sort (one Exchange + one Sort for five
+    functions, not five)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,6)")
+    prev_gap = F.datediff("o_orderdate", F.lag("o_orderdate", 1).over(w))
+    # Exact decimal sum / count (not AVG): both engines divide the same
+    # exact double, so the rounded result is bit-identical.
+    frame = w.rowsBetween(-2, 0)
+    moving = F.sum(price).over(frame).cast("double") / F.count(F.lit(1)).over(frame)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        prev_gap.alias("days_since_prev"),
+        F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(moving, 6).alias("moving_avg_3"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Sorts / limits / set ops (§2.6 — absent in the reference; added here)
 # --------------------------------------------------------------------------
@@ -347,6 +372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot": q_unpivot,
     "distinct_priorities": q_distinct_priorities,
     "running_sum": q_running_sum,
+    "window_suite": q_window_suite,
     "top_customers": q_top_customers,
     "set_ops": q_set_ops,
     "pricing_summary": q_pricing_summary,
@@ -445,6 +471,23 @@ ORACLES: dict[str, str] = {
         UNPIVOT stats ON avg_buy, min_buy, max_buy INTO NAME feature VALUE value
     """,
     "distinct_priorities": "SELECT DISTINCT o_orderpriority FROM orders",
+    "window_suite": """
+        SELECT o_custkey, o_orderkey,
+               CAST(datediff('day',
+                    LAG(CAST(o_orderdate AS DATE), 1) OVER w,
+                    CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev,
+               LEAD(o_orderkey, 1) OVER w AS next_orderkey,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER wf AS DOUBLE)
+                     / COUNT(*) OVER wf, 6) AS moving_avg_3
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+               wf AS (PARTITION BY o_custkey
+                      ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
     "running_sum": """
         SELECT o_custkey, o_orderkey,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (

@@ -186,3 +186,24 @@ def test_dedup_sweep_releases_persisted_blocks(spark):
         f"persisted RDDs grew across sweep: {n_persisted()}"
     )
     dedup.release_persisted()
+
+
+def test_incremental_lsh_kept_is_subset_of_exact(spark):
+    """lsh_incremental_kept kills strictly more than the blocked exact path
+    (it also sees cross-lang duplicates), so its kept set must be a subset;
+    and both must keep at least one doc on the sf0.01 split."""
+    from pyspark.sql import functions as F
+
+    from pyspark_kmeans_spark.operators.dedup import (
+        incremental_kept,
+        lsh_incremental_kept,
+    )
+    from pyspark_kmeans_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    exact = {r.doc_id for r in incremental_kept(new, corpus).collect()}
+    lsh = {r.doc_id for r in lsh_incremental_kept(new, corpus).collect()}
+    assert exact and lsh
+    assert lsh <= exact, sorted(lsh - exact)[:10]
