@@ -258,8 +258,45 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket < thr).select("doc_id", "lang")
 
 
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user: first view, first click AFTER
+    that view, first purchase AFTER that click (strict event-time order —
+    a purchase before the first view does not convert).
+
+    Scale shape: one filtered partial+final agg per stage, then user-keyed
+    equi-joins — every shuffle is on user_id, so the stages co-partition
+    and at 100 TB this is three map-side-combinable aggs + co-located
+    joins, nothing row-quadratic.
+    """
+    ev = _t(spark, sf_dir, "events")
+
+    def first_after(stage: str, prev: DataFrame | None, prev_col: str | None):
+        s = ev.filter(F.col("event_type") == stage)
+        if prev is not None:
+            s = s.join(prev, on="user_id").filter(F.col("ts") > F.col(prev_col))
+        return s.groupBy("user_id").agg(F.min("ts").alias(f"t_{stage}"))
+
+    views = first_after("view", None, None)
+    clicks = first_after("click", views, "t_view")
+    buys = first_after("purchase", clicks, "t_click")
+    return (
+        views.join(clicks, on="user_id", how="left")
+        .join(buys, on="user_id", how="left")
+        .select(
+            "user_id",
+            F.unix_micros("t_view").alias("first_view_us"),
+            F.unix_micros("t_click").alias("first_click_after_view_us"),
+            F.unix_micros("t_purchase").alias("first_purchase_after_click_us"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_tokens_per_lang": q_top_tokens_per_lang,
+    "event_funnel": q_event_funnel,
     "salted_agg": q_salted_agg,
     "deterministic_sample": q_deterministic_sample,
     "stratified_sample": q_stratified_sample,
@@ -276,6 +313,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "event_funnel": """
+        WITH ev AS (
+            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        ), v AS (
+            SELECT user_id, MIN(ts) AS t_view FROM ev
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT ev.user_id, MIN(ev.ts) AS t_click
+            FROM ev JOIN v ON ev.user_id = v.user_id
+            WHERE ev.event_type = 'click' AND ev.ts > v.t_view
+            GROUP BY ev.user_id
+        ), p AS (
+            SELECT ev.user_id, MIN(ev.ts) AS t_purchase
+            FROM ev JOIN c ON ev.user_id = c.user_id
+            WHERE ev.event_type = 'purchase' AND ev.ts > c.t_click
+            GROUP BY ev.user_id
+        )
+        SELECT v.user_id,
+               epoch_us(v.t_view) AS first_view_us,
+               epoch_us(c.t_click) AS first_click_after_view_us,
+               epoch_us(p.t_purchase) AS first_purchase_after_click_us
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id
+    """,
     "deterministic_sample": """
         SELECT doc_id, lang FROM documents
         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
