@@ -294,9 +294,41 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users cohorted by their first 'signup'
+    week; for each (cohort_week, weeks_since) cell, how many of them were
+    active (any event) that week.  Both engines truncate weeks to Monday,
+    so the day-difference is exactly divisible by 7.
+
+    Scale shape: a filtered partial+final agg (cohorts), a distinct over
+    (user, week) (one shuffle), and a user-keyed equi-join into the final
+    small-key agg — all shuffles on user_id or a bounded composite key.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", "ts")).alias("cohort_wk"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_wk")
+    ).distinct()
+    weeks_since = (F.datediff("act_wk", "cohort_wk") / 7).cast("int")
+    return (
+        activity.join(cohorts, on="user_id")
+        .withColumn("weeks_since", weeks_since)
+        .filter(F.col("weeks_since") >= 0)
+        .groupBy(
+            F.unix_micros("cohort_wk").alias("cohort_week_us"), "weeks_since"
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "event_funnel": q_event_funnel,
+    "event_retention": q_event_retention,
     "salted_agg": q_salted_agg,
     "deterministic_sample": q_deterministic_sample,
     "stratified_sample": q_stratified_sample,
@@ -313,6 +345,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "event_retention": """
+        WITH ev AS (
+            SELECT user_id, event_type,
+                   date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+            FROM events
+        ), cohorts AS (
+            SELECT user_id, MIN(wk) AS cohort_wk FROM ev
+            WHERE event_type = 'signup' GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT user_id, wk AS act_wk FROM ev
+        )
+        SELECT epoch_us(CAST(cohort_wk AS TIMESTAMP)) AS cohort_week_us,
+               CAST(datediff('day', cohort_wk, act_wk) // 7 AS INT) AS weeks_since,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+        WHERE datediff('day', cohort_wk, act_wk) >= 0
+        GROUP BY 1, 2
+    """,
     "event_funnel": """
         WITH ev AS (
             SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events

@@ -351,6 +351,43 @@ def q_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7 shape (testdata nation names): shipping volume between two
+    # nations by year — the
+    # supplier nation and customer nation are BOTH dimension joins (each
+    # broadcast; nation is bounded at any SF), with the year derived from
+    # the lineitem ship date so the predicate prunes at the scan.
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10") | (
+        F.col("supp_nation") == "NATION_10"
+    ) & (F.col("cust_nation") == "NATION_9")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("_sk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("_ck"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_date("l_shipdate")).alias("l_year"),
+        )
+        .agg(decimal_sum(revenue).alias("revenue"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -378,6 +415,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "region_volume": q_region_volume,
+    "nation_trade_volume": q_nation_trade_volume,
 }
 
 ORACLES: dict[str, str] = {
@@ -536,6 +574,22 @@ ORACLES: dict[str, str] = {
         WHERE c_mktsegment = 'BUILDING'
         GROUP BY o_orderkey, o_orderpriority
         ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+    "nation_trade_volume": """
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+           OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')
+        GROUP BY 1, 2, 3
     """,
     "region_volume": """
         SELECT n_name,
