@@ -388,6 +388,35 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14 shape: monthly share of revenue from PROMO-type parts.
+    # lineitem ⋈ part on partkey (part grows with SF — no broadcast hint,
+    # AQE picks broadcast vs shuffle by size); both sums are exact DECIMAL,
+    # divided once as doubles so the share is bit-stable cross-engine.
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.year(F.to_date("l_shipdate")).alias("ship_year"),
+            F.month(F.to_date("l_shipdate")).alias("ship_month"),
+        )
+        .agg(
+            decimal_sum(promo_rev).alias("_promo"),
+            decimal_sum(revenue).alias("_total"),
+        )
+        .select(
+            "ship_year",
+            "ship_month",
+            F.round(F.lit(100.0) * F.col("_promo") / F.col("_total"), 6).alias(
+                "promo_share_pct"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -416,6 +445,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders": q_top_orders,
     "region_volume": q_region_volume,
     "nation_trade_volume": q_nation_trade_volume,
+    "promo_revenue_share": q_promo_revenue_share,
 }
 
 ORACLES: dict[str, str] = {
@@ -574,6 +604,19 @@ ORACLES: dict[str, str] = {
         WHERE c_mktsegment = 'BUILDING'
         GROUP BY o_orderkey, o_orderpriority
         ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+    "promo_revenue_share": """
+        SELECT CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS ship_year,
+               CAST(month(CAST(l_shipdate AS DATE)) AS INT) AS ship_month,
+               ROUND(100.0
+                   * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                        THEN l_extendedprice * (1.0 - l_discount)
+                                        ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                                   AS DECIMAL(18,6))) AS DOUBLE), 6)
+                   AS promo_share_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
     """,
     "nation_trade_volume": """
         SELECT n1.n_name AS supp_nation,
