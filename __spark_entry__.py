@@ -47,11 +47,13 @@ def _registries() -> list:
     return mods
 
 
-# Queries the round-1 driver sweep never recorded (it stopped at 50
-# entries).  Listed first so that, whatever the sweep's cap is (time or row
-# count), these get driver-validated this round; every query is cheap at
-# the oracle SF (the full 61-query sweep runs in ~60 s at sf0.01).
+# Queries the driver has never recorded: the 11 the round-1 sweep cut off
+# at 50 entries, plus everything added in round 2.  Listed first so that,
+# whatever the sweep's cap is (time or row count), the never-validated
+# queries get driver-checked this round; every query is cheap at the
+# oracle SF (the full 73-query sweep runs in ~80 s at sf0.01).
 _SWEEP_FIRST = [
+    # unrecorded in CORRECTNESS_r01
     "standard_scaled",
     "asof_last_order",
     "range_join_recent_orders",
@@ -63,6 +65,19 @@ _SWEEP_FIRST = [
     "approx_aggs",
     "kmeans_centers",
     "kmeans_embedding_clusters",
+    # new in round 2
+    "dedup_clusters_lsh",
+    "dedup_incremental",
+    "text_chunks",
+    "text_tfidf",
+    "training_pipeline",
+    "event_dedup",
+    "event_funnel",
+    "event_retention",
+    "stratified_sample",
+    "window_suite",
+    "nation_trade_volume",
+    "promo_revenue_share",
 ]
 
 
