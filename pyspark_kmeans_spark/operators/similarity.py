@@ -263,11 +263,18 @@ def cosine_near_dup_pairs(
     threshold: float = 0.35,
     *,
     id_col: str = "vec_id",
+    probes: DataFrame | None = None,
     probe_blocks: int = 8,
     corpus_blocks: int = 8,
 ) -> DataFrame:
-    """EXACT embedding-cosine pairs (probe rows: id % PROBE_MODULUS == 0)
-    via a blocked bipartite equi-join — no broadcast, no nested-loop join.
+    """EXACT embedding-cosine pairs via a blocked bipartite equi-join — no
+    broadcast, no nested-loop join.
+
+    `probes` bounds the O(|probes|·N) compute: pass an explicit probe
+    DataFrame (same schema as `df`) to score only those rows against the
+    corpus — the knob a scale caller uses to keep the exact path affordable
+    (VERDICT r2 item 5).  Default keeps the registered-query semantics:
+    rows with id % PROBE_MODULUS == 0.
 
     Exact all-pairs at a low threshold is inherently O(|probes|·N) compute
     (at cosine 0.35 no LSH family prunes without losing recall — the
@@ -284,7 +291,8 @@ def cosine_near_dup_pairs(
     N·probe_blocks + |probes|·corpus_blocks ≈ O(N·√N) with √N-ish blocks.
     Plan shape (equi-join, no BNLJ/cartesian) is pinned in test_plans.py.
     """
-    probes = df.filter(F.col(id_col) % PROBE_MODULUS == 0)
+    if probes is None:
+        probes = df.filter(F.col(id_col) % PROBE_MODULUS == 0)
     # Hash-based block ids: id % B would alias with the probe modulus
     # (multiples of 10 hit only gcd-many residues mod B).
     a = (

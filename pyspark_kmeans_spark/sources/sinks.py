@@ -37,8 +37,13 @@ def write_partitioned_parquet(
     default funneled the entire dataset through one write task.)
     """
     if files_per_partition > 0 and partition_cols:
+        # Deterministic content-derived salt: repartitioning on rand() is a
+        # replay hazard — on task retry after a shuffle-fetch failure the
+        # re-evaluated rand() can route rows to different reducers,
+        # duplicating or dropping them.  xxhash64 over the row is a pure
+        # function of content, so any replay routes identically.
         salt = F.pmod(
-            (F.rand(seed=42) * files_per_partition).cast("int"),
+            F.xxhash64(*[F.col(c) for c in df.columns]),
             F.lit(files_per_partition),
         )
         df = df.repartition(*[F.col(c) for c in partition_cols], salt)

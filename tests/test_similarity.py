@@ -88,3 +88,31 @@ def test_lsh_topk_recall(emb, probes):
     assert recall >= 0.4, f"LSH recall {recall:.3f}"
     # and every neighbor it does return shares the probe's cell → no junk
     assert approx, "LSH returned nothing"
+
+
+def test_cosine_near_dup_pairs_probe_parameter(emb):
+    """VERDICT r2 item 5: the probe side is caller-boundable; the default
+    keeps the registered id % PROBE_MODULUS semantics."""
+    from pyspark_kmeans_spark.operators.similarity import (
+        PROBE_MODULUS,
+        cosine_near_dup_pairs,
+    )
+
+    default = {
+        (r.doc_a, r.doc_b) for r in cosine_near_dup_pairs(emb).collect()
+    }
+    explicit = {
+        (r.doc_a, r.doc_b)
+        for r in cosine_near_dup_pairs(
+            emb, probes=emb.filter(F.col("vec_id") % PROBE_MODULUS == 0)
+        ).collect()
+    }
+    assert explicit == default
+    one_id = emb.filter(F.col("vec_id") % PROBE_MODULUS == 0).agg(
+        F.min("vec_id")
+    ).first()[0]
+    single = cosine_near_dup_pairs(
+        emb, probes=emb.filter(F.col("vec_id") == one_id)
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in single} <= default
+    assert all(one_id in (r.doc_a, r.doc_b) for r in single)
