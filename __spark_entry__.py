@@ -35,7 +35,7 @@ def _registries() -> list:
             )
         except ImportError:
             pass
-    for name in ("streaming.events", "ml.queries"):
+    for name in ("streaming.events", "ml.queries", "sources.bucketed"):
         try:
             mods.append(
                 __import__(
@@ -47,37 +47,52 @@ def _registries() -> list:
     return mods
 
 
-# Queries the driver has never recorded: the 11 the round-1 sweep cut off
-# at 50 entries, plus everything added in round 2.  Listed first so that,
-# whatever the sweep's cap is (time or row count), the never-validated
-# queries get driver-checked this round; every query is cheap at the
-# oracle SF (the full 73-query sweep runs in ~80 s at sf0.01).
+# Sweep priority (the driver caps its sweep at 50 entries, so ordering
+# decides what gets validated each round).  Rebuilt every round — VERDICT
+# r2 item 1: lead with oracles the driver has NEVER hash-checked, then
+# queries whose code changed this round, then no_oracle rows, then entries
+# last recorded in round 1; the previous round's green hash rows go last
+# (they rotate through whatever cap headroom remains).
 _SWEEP_FIRST = [
-    # unrecorded in CORRECTNESS_r01
-    "standard_scaled",
-    "asof_last_order",
-    "range_join_recent_orders",
-    "event_hourly_rollup",
-    "event_user_sessions",
-    "json_extract",
-    "json_agg",
-    "count_distinct",
+    # 1. round-2 oracles never driver-hash-checked (sweep-cap artifact)
+    "dedup_clusters",
+    "multimodal_features",
+    "grouping_sets",
+    # 2. changed or added in round 3 (bucket cap / block guard / new queries)
+    "bucketed_order_revenue",
     "approx_aggs",
+    "dedup_incremental_lsh",
+    "dedup_minhash_lsh",
+    "dedup_lsh_kept",
+    "dedup_clusters_lsh",
+    "dedup_jaccard_pairs",
+    "dedup_kept_docs",
+    "dedup_incremental",
+    "embedding_near_dups",
+    # 3. remaining no_oracle rows (re-pin row-count determinism)
     "kmeans_centers",
     "kmeans_embedding_clusters",
-    # new in round 2
-    "dedup_clusters_lsh",
-    "dedup_incremental",
-    "text_chunks",
-    "text_tfidf",
-    "training_pipeline",
-    "event_dedup",
-    "event_funnel",
-    "event_retention",
-    "stratified_sample",
-    "window_suite",
-    "nation_trade_volume",
-    "promo_revenue_share",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    # 4. green in round 1, never re-recorded since
+    "dedup_ngram_jaccard",
+    "ann_topk_cosine",
+    "text_token_counts",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_edit_distance",
+    "text_rolling_hash",
+    "top_tokens_per_lang",
+    "salted_agg",
+    "deterministic_sample",
+    "order_gap_stats",
+    "cube_agg",
+    "rollup_agg",
+    "pivot_linestatus",
+    "stats_agg",
+    "multimodal_metadata",
 ]
 
 

@@ -1,0 +1,112 @@
+"""Bucketed-table layout: the zero-shuffle fact-fact join (SURVEY.md X1
+extension; VERDICT r2 item 8).
+
+At 100 TB the dominant repeated cost is shuffling both fact tables on the
+join key for every query.  Writing the tables ONCE bucketed (and sorted)
+on that key moves the shuffle from query time to layout time: every later
+equi-join on the key runs as a SortMergeJoin directly over the bucketed
+scans — no Exchange on either side (pinned in tests/test_bucketing.py).
+This module turns that layout into a registered query so the driver's
+correctness sweep exercises the bucketed read path end-to-end: the result
+must be bit-identical to the plain-parquet oracle (bucketing is pure
+layout; any difference is a bug).
+
+On a cluster the bucketed copies live in the warehouse / metastore and are
+produced by the ingestion job; here `ensure_bucketed_tables` materializes
+them on first use per (session, sf_dir) into the repo-local warehouse dir
+and reuses them for every subsequent call in the process.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.functions.exact import decimal_sum
+from pyspark_kmeans_spark.sources.tables import load_table
+
+N_BUCKETS = 8
+
+# Repo-local warehouse: the driver's session has whatever cwd it was
+# launched from, so the bucketed copies get an absolute path.
+_WAREHOUSE = "/root/repo/spark-warehouse"
+
+# (table, join key, projected columns) — project BEFORE writing: the
+# bucketed copy is a narrow covering layout for the revenue join, not a
+# second copy of the full fact table.
+_BUCKET_SPECS = {
+    "lineitem": ("l_orderkey", ["l_orderkey", "l_extendedprice", "l_discount"]),
+    "orders": ("o_orderkey", ["o_orderkey", "o_custkey"]),
+}
+
+
+def bucketed_name(table: str, sf_dir: str) -> str:
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    return f"{table}_bucketed_{tag}"
+
+
+def ensure_bucketed_tables(
+    spark: SparkSession, sf_dir: str, *, n_buckets: int = N_BUCKETS
+) -> dict[str, DataFrame]:
+    """Materialize bucketed+sorted copies of the join fact tables (once per
+    session and scale factor) and return them as catalog-backed DataFrames.
+
+    bucketBy(key) + sortBy(key) means a later join on the key needs neither
+    an Exchange (bucket co-location) nor a Sort (files pre-sorted) — the
+    read side starts merge-joining immediately.
+    """
+    out: dict[str, DataFrame] = {}
+    for table, (key, cols) in _BUCKET_SPECS.items():
+        name = bucketed_name(table, sf_dir)
+        if not spark.catalog.tableExists(name):
+            (
+                load_table(spark, sf_dir, table)
+                .select(*cols)
+                .write.mode("overwrite")
+                .option("path", os.path.join(_WAREHOUSE, name))
+                .bucketBy(n_buckets, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+        out[table] = spark.table(name)
+    return out
+
+
+def q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer revenue over the BUCKETED fact copies: the recorded
+    form of the zero-exchange fact-fact join (plan shape pinned in
+    tests/test_bucketing.py; here the driver checks values against the
+    plain-parquet oracle — layout must not change results)."""
+    t = ensure_bucketed_tables(spark, sf_dir)
+    li, orders = t["lineitem"], t["orders"]
+    revenue = decimal_sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            revenue.alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bucketed_order_revenue": q_bucketed_order_revenue,
+}
+
+ORACLES: dict[str, str] = {
+    "bucketed_order_revenue": """
+        SELECT o_custkey,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS revenue,
+               COUNT(DISTINCT o_orderkey) AS n_orders,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey
+    """,
+}

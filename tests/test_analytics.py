@@ -20,6 +20,10 @@ def test_approx_close_to_exact(spark, sf_dir):
         # HLL standard error at default rsd=5%; allow 15%.
         assert abs(a.approx_parts - e.n_parts) / e.n_parts < 0.15
         assert a.approx_median_price > 0
+        # The query's own driver-visible invariant columns must agree.
+        assert a.exact_parts == e.n_parts
+        assert a.parts_in_bounds and a.median_in_bounds
+        assert a.rel_err_parts >= 0.0 and a.rel_err_median >= 0.0
 
 
 def test_cube_has_grand_total(spark, sf_dir):

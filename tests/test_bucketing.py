@@ -72,3 +72,42 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed_tables):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
+def test_registered_bucketed_query_plan_and_values(spark, sf_dir):
+    """The registered bucketed_order_revenue query must (a) join the
+    bucketed scans with no Exchange below the SortMergeJoin when broadcast
+    is off, and (b) return exactly the plain-parquet join's values."""
+    from pyspark_kmeans_spark.sources.bucketed import q_bucketed_order_revenue
+
+    joined = q_bucketed_order_revenue(spark, sf_dir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rows = joined.collect()
+        full = joined._jdf.queryExecution().executedPlan().toString()
+        plan = full.split("== Initial Plan ==")[0]
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange" not in join_part, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    plain = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, plain.collect()))
