@@ -44,6 +44,8 @@ HEADLINE = [
     "asof_last_order",
     "range_join_recent_orders",
     "dedup_lsh_kept",
+    "dedup_incremental_lsh",
+    "bucketed_order_revenue",
     "kmeans_embedding_clusters",
 ]
 
