@@ -4,9 +4,12 @@ Five dedup families, each picked for a different scale/accuracy point:
 
  - **exact** (hash-groupBy): md5 fingerprint → keep min doc_id.  One
    shuffle on the fingerprint; linear at any scale.
- - **token-set Jaccard** (blocked brute force): exact Jaccard over distinct
-   token sets within language blocks.  O(block²) — the correctness oracle
-   for the approximate methods, and usable when blocks are small.
+ - **token-set Jaccard** (prefix-filter join): exact Jaccard over distinct
+   token sets within language blocks, with AllPairs/SSJoin-style prefix
+   filtering (Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06) so candidate
+   generation is an equi-join on rare prefix tokens instead of an O(block²)
+   self-join.  Exact — the correctness oracle for the approximate methods —
+   and no longer quadratic in block size.
  - **MinHash + LSH** (shingle → minhash → band → bucket join): the 100 TB
    path.  Signatures are built with JVM-side array expressions (universal
    hashing over xxhash64 — no Python in the loop), bands hashed and
@@ -124,9 +127,11 @@ def _check_block_bound(
 ) -> None:
     """Raise when any block exceeds `max_block_rows`.
 
-    Runs one cheap agg over an already-persisted frame.  The O(block²)
-    family must fail loudly rather than launch a quadratic job on an
-    unbounded corpus (VERDICT r2 item 3)."""
+    Runs one cheap agg over an already-persisted frame.  Since the round-3
+    prefix-filter rework nothing in this family is O(block²) anymore, so the
+    bound is an OPTIONAL caller-declared contract (default None) rather than
+    a required safety guard; when set, an oversized block still fails loudly
+    (VERDICT r2 item 3)."""
     if max_block_rows is None:
         return
     row = (
@@ -139,11 +144,74 @@ def _check_block_bound(
     if biggest is not None and biggest > max_block_rows:
         raise ValueError(
             f"{caller}: largest block holds {biggest} rows > max_block_rows="
-            f"{max_block_rows}; this path is O(block²) and refuses unbounded "
-            "blocks — use the MinHash-LSH path (minhash_lsh_pairs / "
-            "lsh_near_dedup_kept) for unbounded corpora, or raise "
-            "max_block_rows explicitly if the block size is intentional"
+            f"{max_block_rows}, the caller-declared block-size contract — "
+            "raise max_block_rows (or leave it None: candidate generation "
+            "is prefix-filtered, not O(block²)), or use the MinHash-LSH "
+            "path (minhash_lsh_pairs / lsh_near_dedup_kept) for capped "
+            "candidate volume"
         )
+
+
+def _prefix_docs(
+    base: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Persisted (id, _block, _ts, _n, _prefix [, passthrough cols]) frame
+    for prefix-filter set-similarity joins.
+
+    `base` must carry (id_col, _block, _toks) plus any extra columns to
+    thread through.  Tokens are re-ordered by GLOBAL document frequency
+    ascending (ties by token) — the shared total order the prefix lemma
+    requires; rare-first ordering makes prefix buckets small.  `_ts` is the
+    full reordered token array (set-equal to _toks, so array_intersect
+    verification is unaffected); `_prefix` is its first
+    n − ⌈t·n⌉ + 1 elements.
+
+    Prefix lemma (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07): under a
+    common total order, J(A,B) ≥ t implies |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and two
+    sets with overlap ≥ α must share an element within their first
+    |X| − α + 1 elements — so candidates sharing NO prefix token can be
+    skipped without affecting exactness.  The ⌈·⌉ is computed as
+    ceil(t·n − 1e-9): float jitter may only LENGTHEN the prefix (safe),
+    never shorten it.
+
+    Cost: one groupBy(token) for frequencies, one token-keyed join, one
+    groupBy(id) to re-assemble — all linear in corpus token volume; nothing
+    quadratic in block or corpus size.
+    """
+    extra = [
+        c for c in base.columns if c not in (id_col, "_block", "_toks")
+    ]
+    ex = base.select(
+        F.col(id_col), "_block", *extra, F.explode("_toks").alias("_tok")
+    )
+    freq = ex.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        ex.join(freq, on="_tok")
+        .groupBy(id_col, "_block", *extra)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_tok")))
+            ).alias("_ord")
+        )
+    )
+    n = F.size("_ord")
+    prefix_len = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)) + 1
+    docs = _persist(
+        ordered.select(
+            F.col(id_col),
+            "_block",
+            *extra,
+            F.transform("_ord", lambda s: s["_tok"]).alias("_ts"),
+            n.alias("_n"),
+            F.slice(
+                F.transform("_ord", lambda s: s["_tok"]), F.lit(1), prefix_len
+            ).alias("_prefix"),
+        )
+    )
+    # Eager materialization: the frame feeds both sides of the candidate
+    # join; a lazy persist lets the two sides race and tokenize twice.
+    docs.count()
+    return docs
 
 
 def jaccard_pairs(
@@ -153,42 +221,47 @@ def jaccard_pairs(
     block_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_block_rows: int | None = 100_000,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
-    """All pairs within a block with token-set Jaccard >= threshold.
+    """All pairs within a block with token-set Jaccard >= threshold — EXACT,
+    via a prefix-filter set-similarity join (AllPairs/SSJoin family).
 
     Jaccard = |A∩B| / |A∪B| — two ints, so the double is exact (no rounding
-    needed for oracle equality).  O(block²): use only when blocks are
-    bounded; MinHash-LSH below is the unbounded-scale path.
+    needed for oracle equality).  Candidate generation is an equi-join on
+    (prefix token, block): each doc contributes only its n − ⌈t·n⌉ + 1
+    globally-rarest tokens (~10% at t=0.9), and the prefix lemma guarantees
+    every qualifying pair shares one (see _prefix_docs) — the round-2
+    O(block²) self-join is gone, so the exact path now scales with candidate
+    volume (≈ output size on real corpora), not block².  Verification keeps
+    the exact size prune + single array_intersect per candidate.
 
-    `max_block_rows` enforces that contract: the call RAISES when any block
-    exceeds it, because a block of B rows emits ~B²/2 candidate pairs — a
-    caller pointing this at an unbounded corpus would otherwise get a silent
-    quadratic job (the same loud-failure policy as near_dup_clusters'
-    convergence guard).  Pass None only when the blocking column is known
-    bounded by construction.
+    `max_block_rows` remains as an optional caller-declared contract (raise
+    when any block exceeds it); the default is None because the algorithm no
+    longer degrades quadratically with block size.  Worst-case candidate
+    volume is inherently output-bound: N identical docs genuinely have N²/2
+    qualifying pairs — use lsh_near_dedup_kept / max_bucket for capped
+    behavior.
     """
-    toks = _persist(
-        df.select(
-            F.col(id_col),
-            F.col(block_col).alias("_block"),
-            tokens_col(text_col).alias("_toks"),
-        ).withColumn("_n", F.size("_toks"))
-        # Tokenization feeds BOTH sides of the self-join; persist so the
-        # scan+split runs once (spills to disk if it outgrows memory).
+    base = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("_block"),
+        tokens_col(text_col).alias("_toks"),
     )
-    # Eager materialization: with a lazy persist the self-join's two sides
-    # race to compute uncached partitions and tokenization can run twice
-    # (same guard as the minhash path).
-    toks.count()
-    _check_block_bound(toks, "_block", max_block_rows, "jaccard_pairs")
-    a = toks.select(
-        F.col(id_col).alias("doc_a"), "_block", F.col("_toks").alias("_ta"),
+    docs = _prefix_docs(base, threshold, id_col)
+    _check_block_bound(docs, "_block", max_block_rows, "jaccard_pairs")
+    a = docs.select(
+        F.col(id_col).alias("doc_a"),
+        "_block",
+        F.col("_ts").alias("_ta"),
         F.col("_n").alias("_na"),
+        F.explode("_prefix").alias("_ptok"),
     )
-    b = toks.select(
-        F.col(id_col).alias("doc_b"), "_block", F.col("_toks").alias("_tb"),
+    b = docs.select(
+        F.col(id_col).alias("doc_b"),
+        "_block",
+        F.col("_ts").alias("_tb"),
         F.col("_n").alias("_nb"),
+        F.explode("_prefix").alias("_ptok"),
     )
     inter = F.size(F.array_intersect("_ta", "_tb"))
     # |A∪B| = |A|+|B|-|A∩B| exactly (both arrays are distinct): one
@@ -197,14 +270,17 @@ def jaccard_pairs(
     union = F.col("_na") + F.col("_nb") - inter
     jac = inter.cast("double") / union
     # Exact size prune: j >= t implies min(|A|,|B|) >= t*max(|A|,|B|) — a
-    # cheap int predicate evaluated before the O(|A|+|B|) intersect, pruning
-    # most of the O(block²) pairs without changing the result.
+    # cheap int predicate evaluated before the O(|A|+|B|) intersect.
     size_ok = (F.col("_na") >= F.lit(threshold) * F.col("_nb")) & (
         F.col("_nb") >= F.lit(threshold) * F.col("_na")
     )
     return (
-        a.join(b, on="_block")
+        a.join(b, on=["_ptok", "_block"])
         .filter((F.col("doc_a") < F.col("doc_b")) & size_ok)
+        .select("doc_a", "doc_b", "_ta", "_tb", "_na", "_nb")
+        # A pair sharing k prefix tokens appears k times — dedup BEFORE the
+        # O(|A|+|B|) intersect so each survivor is verified exactly once.
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -217,7 +293,7 @@ def near_dedup_kept(
     block_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_block_rows: int | None = 100_000,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """Greedy lowest-id-wins near-dedup: drop any doc that has a near-dup
     with a smaller id (single-link, one hop — matches the usual
@@ -735,7 +811,7 @@ def incremental_kept(
     block_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_block_rows: int | None = 100_000,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """Incremental ingestion dedup (exact, blocked): which NEW docs survive
     against an existing corpus plus earlier docs in their own batch?
@@ -743,10 +819,12 @@ def incremental_kept(
     A new doc is dropped when it has a j≥threshold match to ANY corpus doc
     (corpus always wins — it is already ingested) or to a lower-id doc in
     the same batch (greedy min-id-wins, same rule as near_dedup_kept).
-    O(block²) like jaccard_pairs — this is the oracle/bounded-block form
-    (and enforces the same max_block_rows loud-failure bound); the LSH
-    spelling (lsh_incremental_kept) is the 100 TB path and is subset-tested
-    against this one.
+    Candidates come from the same exact prefix-filter join as jaccard_pairs
+    (bipartite: any doc × batch doc sharing a rare prefix token within a
+    block), so nothing here is quadratic in block size; `max_block_rows`
+    remains as an optional caller-declared contract.  The LSH spelling
+    (lsh_incremental_kept / incremental_kept_against) is the
+    persisted-signature 100 TB path and is subset-tested against this one.
     """
 
     def _toks(df: DataFrame, tag: int) -> DataFrame:
@@ -755,28 +833,38 @@ def incremental_kept(
             F.col(block_col).alias("_block"),
             tokens_col(text_col).alias("_toks"),
             F.lit(tag).alias("_is_corpus"),
-        ).withColumn("_n", F.size("_toks"))
+        )
 
-    a = _persist(_toks(corpus_df, 1).unionByName(_toks(new_df, 0)))
-    a.count()
-    _check_block_bound(a, "_block", max_block_rows, "incremental_kept")
-    b = _toks(new_df, 0).select(
+    base = _toks(corpus_df, 1).unionByName(_toks(new_df, 0))
+    docs = _prefix_docs(base, threshold, id_col)
+    _check_block_bound(docs, "_block", max_block_rows, "incremental_kept")
+    a = docs.select(
+        F.col(id_col).alias("_doc_a"),
+        "_block",
+        "_is_corpus",
+        F.col("_ts").alias("_ta"),
+        F.col("_n").alias("_na"),
+        F.explode("_prefix").alias("_ptok"),
+    )
+    b = docs.filter(F.col("_is_corpus") == 0).select(
         F.col(id_col).alias("_doc_b"),
         "_block",
-        F.col("_toks").alias("_tb"),
+        F.col("_ts").alias("_tb"),
         F.col("_n").alias("_nb"),
+        F.explode("_prefix").alias("_ptok"),
     )
-    inter = F.size(F.array_intersect("_toks", "_tb"))
-    union = F.col("_n") + F.col("_nb") - inter
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.col("_na") + F.col("_nb") - inter
     jac = inter.cast("double") / union
-    size_ok = (F.col("_n") >= F.lit(threshold) * F.col("_nb")) & (
-        F.col("_nb") >= F.lit(threshold) * F.col("_n")
+    size_ok = (F.col("_na") >= F.lit(threshold) * F.col("_nb")) & (
+        F.col("_nb") >= F.lit(threshold) * F.col("_na")
     )
-    precedence = (F.col("_is_corpus") == 1) | (F.col(id_col) < F.col("_doc_b"))
+    precedence = (F.col("_is_corpus") == 1) | (F.col("_doc_a") < F.col("_doc_b"))
     losers = (
-        a.join(b, on="_block")
-        .filter(precedence & (F.col(id_col) != F.col("_doc_b")))
-        .filter(size_ok)
+        a.join(b, on=["_ptok", "_block"])
+        .filter(precedence & (F.col("_doc_a") != F.col("_doc_b")) & size_ok)
+        .select("_doc_a", "_doc_b", "_ta", "_tb", "_na", "_nb")
+        .dropDuplicates(["_doc_a", "_doc_b"])
         .filter(jac >= threshold)
         .select(F.col("_doc_b").alias(id_col))
         .distinct()

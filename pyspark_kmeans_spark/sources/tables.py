@@ -28,18 +28,26 @@ def load_table(
 ) -> DataFrame:
     """Read one driver parquet table; optionally tag it broadcast-able."""
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the footer, which Spark's parquet reader
-        # rejects unless nanosAsLong is on.  Set it at read time — the caller
-        # (e.g. the verify driver) may hand us an untuned session.  Then
-        # convert long-ns → timestamp; integer DIV (not /) because ns epochs
-        # exceed double's 2^53 mantissa.
+        # The driver has shipped events.ts as TIMESTAMP(NANOS) in some
+        # rounds and TIMESTAMP(MICROS) in others — adapt to the footer
+        # instead of assuming.  NANOS is rejected by Spark's reader unless
+        # nanosAsLong is on; set it at read time — the caller (e.g. the
+        # verify driver) may hand us an untuned session.
         # Session-level mutation is deliberate and one-way: the conf is
         # consulted lazily at scan planning/execution, so "restoring" it
         # after this call would corrupt the returned (lazy) DataFrame.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # long-ns → timestamp; integer DIV (not /) because ns epochs
+            # exceed double's 2^53 mantissa.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Session tz is pinned UTC, so NTZ→TZ keeps the wall clock AND
+            # the instant; downstream code expects plain TimestampType.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if broadcast_hint or name in ALWAYS_BROADCAST_TABLES:

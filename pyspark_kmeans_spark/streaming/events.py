@@ -65,11 +65,18 @@ def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source streaming read of the events table (ns-timestamp safe).
-    maxFilesPerTrigger simulates incremental arrival in tests."""
+    """File-source streaming read of the events table (ns- and µs-footer
+    safe).  maxFilesPerTrigger simulates incremental arrival in tests."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Streaming sources need a declared schema; the driver has shipped ts as
+    # TIMESTAMP(NANOS) (→ bigint under nanosAsLong) in some rounds and
+    # TIMESTAMP(MICROS) in others — peek at the batch-read footer and
+    # declare what is actually there.
+    ts_type = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    )["ts"]
     raw_schema = (
-        "event_id long, ts long, user_id long, "
+        f"event_id long, ts {ts_type}, user_id long, "
         "event_type string, value double, props string"
     )
     # File streaming sources require a directory; select just the events
@@ -80,7 +87,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def streaming_hourly_rollup(
