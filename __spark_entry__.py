@@ -26,7 +26,15 @@ def _registries() -> list:
     from pyspark_kmeans_spark.operators import relational
 
     mods = [relational]
-    for name in ("dedup", "similarity", "text", "multimodal", "analytics", "temporal"):
+    for name in (
+        "dedup",
+        "similarity",
+        "text",
+        "multimodal",
+        "analytics",
+        "temporal",
+        "curation",
+    ):
         try:
             mods.append(
                 __import__(
@@ -59,6 +67,10 @@ _SWEEP_FIRST = [
     "multimodal_features",
     "grouping_sets",
     # 2. changed or added in round 3 (bucket cap / block guard / new queries)
+    "curation_dup_ngrams",
+    "curation_repetition",
+    "curation_contamination",
+    "curation_vocab",
     "bucketed_order_revenue",
     "approx_aggs",
     "dedup_incremental_lsh",

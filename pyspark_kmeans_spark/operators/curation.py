@@ -1,0 +1,342 @@
+"""Corpus-curation operators for LLM training-data pipelines (extension
+beyond the reference's scope, same family as text.py / dedup.py).
+
+The reference repo has no corpus-curation surface (it is a k-means
+segmentation pipeline, `pyspark_kmeans.py:1-30`); these operators cover the
+quality/contamination stages a 100 TB pre-training pipeline runs between
+ingestion and tokenization, following the published recipes (C4: Raffel et
+al. 2020 §2.2 boilerplate removal; Gopher: Rae et al. 2021 §A1.1 repetition
+filters; GPT-3: Brown et al. 2020 §C benchmark-contamination n-gram check).
+
+Scale shapes (the design point is billions of docs, not the 500-row test
+table):
+
+ - `duplicate_ngram_stats`: explode → two linear shuffles (shingle agg,
+   doc re-agg).  Nothing quadratic; the shingle groupBy is the classic
+   word-count shape with map-side partial aggregation.
+ - `with_repetition`: pure per-row array expressions — zero shuffle,
+   whole-stage codegen, linear.
+ - `contamination`: the benchmark side is distinct-shingled and BROADCAST
+   (benchmark suites are MBs, corpora are TBs); the corpus side never
+   shuffles except the final per-doc count, which re-uses the explode
+   partitioning.
+ - `build_vocab`: the heavy token count is a distributed groupBy; the
+   final global rank runs on the AGGREGATED frame (vocabulary-sized —
+   distinct tokens, not token occurrences), where a single-partition
+   window is the honest plan: vocabularies are 1e5–1e7 rows at any corpus
+   size.
+
+All tokenization is single-space `split` (the documents table is
+single-space separated; see TESTDATA.md) so the DuckDB oracles match
+token-for-token.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.sources.tables import load_table
+
+
+def _shingled(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, shingle) — one row per n-token shingle POSITION (duplicates
+    within a doc kept: position count is what the dup-fraction denominator
+    means).  Docs shorter than n tokens are excluded (they have no
+    n-shingle; both the Spark and SQL spellings filter identically).
+
+    `F.sequence(1, size-n+1)` is guarded by the length filter — sequence
+    with a negative span would generate a DESCENDING range, not an empty
+    one.
+    """
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, n)),
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def duplicate_ngram_stats(
+    df: DataFrame,
+    n: int = 8,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc duplicated-n-gram fraction against the WHOLE corpus
+    (C4/FineWeb-style boilerplate signal).
+
+    A shingle position counts as duplicated when its n-gram occurs in ≥2
+    distinct documents.  Returns (id, n_shingles, dup_shingles, dup_frac)
+    for every doc with ≥ n tokens.
+
+    Plan: explode shingles → groupBy(shingle) countDistinct(id) (map-side
+    partial agg; shingle keys are near-unique so no skew) → join back on
+    shingle → groupBy(id).  Linear in corpus token volume.  At 100 TB the
+    join key would be xxhash64(shingle) rather than the string (64-bit keys
+    shuffle ~6× less than 50-byte strings; collision odds ~n²/2⁶⁵) — kept
+    as the string here so the oracle comparison is airtight.
+    """
+    sh = _shingled(df, n, id_col, text_col)
+    freq = sh.groupBy("shingle").agg(
+        F.count_distinct(id_col).alias("_docs_with")
+    )
+    return (
+        sh.join(freq, on="shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("_docs_with") >= 2, 1)).alias(
+                "dup_shingles"
+            ),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("dup_shingles").cast("double") / F.col("n_shingles"), 6
+            ),
+        )
+    )
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals — pure per-row array
+    expressions (zero shuffle, whole-stage codegen):
+
+     - distinct_ratio: |distinct tokens| / |tokens|
+     - dup_bigram_frac: 1 − |distinct bigrams| / |bigrams| (0.0 when the
+       doc has a single token and therefore no bigram)
+     - top_token_frac: occurrences of the most frequent token / |tokens|
+
+    top_token_frac is O(|tokens|·|distinct|) per row — fine for documents
+    (β-bounded length); a corpus with megabyte rows would move it to the
+    explode/groupBy spelling of duplicate_ngram_stats instead.
+    """
+    t = F.split(F.col(text_col), " ")
+    nt = F.size(t)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(nt - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda x: F.size(F.filter(t, lambda y: y == x)),
+        )
+    )
+    return (
+        df.withColumn(
+            "distinct_ratio",
+            F.round(F.size(F.array_distinct(t)).cast("double") / nt, 6),
+        )
+        .withColumn(
+            "dup_bigram_frac",
+            F.when(nt < 2, F.lit(0.0)).otherwise(
+                F.round(
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(bigrams)).cast("double")
+                    / F.size(bigrams),
+                    6,
+                )
+            ),
+        )
+        .withColumn("top_token_frac", F.round(top.cast("double") / nt, 6))
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-3-style benchmark-contamination check: per corpus doc, how many
+    of its n-gram shingle positions appear VERBATIM in the benchmark set.
+
+    Returns (id, n_shingles, n_contam, contam_frac) for every corpus doc
+    with ≥ n tokens — uncontaminated docs included with 0 (the downstream
+    decision is a filter on contam_frac; dropping clean docs from the
+    report would force a second pass).
+
+    The benchmark side is reduced to DISTINCT shingles and broadcast —
+    benchmark suites are MB-scale against a TB corpus, so the corpus side
+    joins map-side with no shuffle; the only exchange is the final
+    per-doc count.
+    """
+    bench_sh = F.broadcast(
+        _shingled(benchmark, n, id_col, text_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        _shingled(corpus, n, id_col, text_col)
+        .join(bench_sh, on="shingle", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_contam"),
+        )
+        .withColumn(
+            "contam_frac",
+            F.round(
+                F.col("n_contam").cast("double") / F.col("n_shingles"), 6
+            ),
+        )
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    min_count: int = 1,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary with contiguous frequency-ranked ids (tokenizer
+    vocab build): (token, n_occurrences, token_id), token_id = 1 for the
+    most frequent token, ties broken alphabetically (deterministic).
+
+    The token count is a distributed word-count groupBy (map-side partial
+    agg).  The rank is a global window over the AGGREGATED frame — a
+    deliberate single-partition sort over vocabulary-sized data (distinct
+    tokens, bounded ~1e7 for any natural corpus), not over the corpus.
+    min_count is applied BEFORE ranking so ids stay contiguous.
+    """
+    counts = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    rank = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return counts.withColumn(
+        "token_id", F.row_number().over(rank).cast("long")
+    )
+
+
+# --------------------------------------------------------------------------
+# Query registry
+# --------------------------------------------------------------------------
+
+# Stand-in benchmark set for the registered contamination query: every
+# 50th doc.  Real callers pass the actual eval-suite DataFrame.
+_BENCH_PRED = "doc_id % 50 = 0"
+
+
+def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_ngram_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_repetition(docs).select(
+        "doc_id", "distinct_ratio", "dup_bigram_frac", "top_token_frac"
+    )
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination(
+        docs.filter(f"NOT ({_BENCH_PRED})"), docs.filter(_BENCH_PRED)
+    )
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_vocab(load_table(spark, sf_dir, "documents"), min_count=5)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "curation_dup_ngrams": q_dup_ngrams,
+    "curation_repetition": q_repetition,
+    "curation_contamination": q_contamination,
+    "curation_vocab": q_vocab,
+}
+
+_SH_CTE = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+{m}], ' ')
+                       for i in generate_series(1, len(t)-{m})]) AS shingle
+        FROM toks WHERE len(t) >= {n}
+    )
+"""
+
+ORACLES: dict[str, str] = {
+    "curation_dup_ngrams": f"""
+        WITH {_SH_CTE.format(n=8, m=7)},
+        freq AS (
+            SELECT shingle, count(DISTINCT doc_id) AS docs_with
+            FROM sh GROUP BY shingle
+        )
+        SELECT sh.doc_id,
+               count(*) AS n_shingles,
+               count(CASE WHEN freq.docs_with >= 2 THEN 1 END) AS dup_shingles,
+               round(count(CASE WHEN freq.docs_with >= 2 THEN 1 END)::DOUBLE
+                     / count(*), 6) AS dup_frac
+        FROM sh JOIN freq USING (shingle)
+        GROUP BY sh.doc_id
+    """,
+    "curation_repetition": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        )
+        SELECT doc_id,
+               round(len(list_distinct(t))::DOUBLE / len(t), 6)
+                   AS distinct_ratio,
+               CASE WHEN len(t) < 2 THEN 0.0 ELSE
+                   round(1.0 - len(list_distinct(
+                       [array_to_string(t[i:i+1], ' ')
+                        for i in generate_series(1, greatest(len(t)-1, 1))]
+                   ))::DOUBLE / greatest(len(t)-1, 1), 6)
+               END AS dup_bigram_frac,
+               round(list_max(
+                   [len(list_filter(t, y -> y = x)) for x in list_distinct(t)]
+               )::DOUBLE / len(t), 6) AS top_token_frac
+        FROM toks
+    """,
+    "curation_contamination": f"""
+        WITH {_SH_CTE.format(n=8, m=7)},
+        bench AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+        ),
+        corpus AS (SELECT * FROM sh WHERE NOT (doc_id % 50 = 0))
+        SELECT corpus.doc_id,
+               count(*) AS n_shingles,
+               count(bench.shingle) AS n_contam,
+               round(count(bench.shingle)::DOUBLE / count(*), 6)
+                   AS contam_frac
+        FROM corpus LEFT JOIN bench USING (shingle)
+        GROUP BY corpus.doc_id
+    """,
+    "curation_vocab": """
+        WITH counts AS (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        agg AS (
+            SELECT token, count(*) AS n_occurrences
+            FROM counts GROUP BY token
+            HAVING count(*) >= 5
+        )
+        SELECT token, n_occurrences,
+               row_number() OVER (ORDER BY n_occurrences DESC, token ASC)
+                   AS token_id
+        FROM agg
+    """,
+}

@@ -1,0 +1,91 @@
+"""Planted-example semantics + plan-shape tests for the curation operators
+(C4 boilerplate signal, Gopher repetition, GPT-3 contamination, vocab)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_kmeans_spark.operators.curation import (
+    build_vocab,
+    contamination,
+    duplicate_ngram_stats,
+    with_repetition,
+)
+from pyspark_kmeans_spark.plans import assert_broadcast_join
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+W8 = "a b c d e f g h"  # one exact 8-gram
+
+
+def test_duplicate_ngram_stats_planted(spark):
+    # doc 0 and 1 share their single 8-gram; doc 2 is unique; doc 3 is
+    # too short to shingle and must be absent from the output.
+    df = _docs(
+        spark,
+        [
+            (0, W8),
+            (1, W8),
+            (2, "p q r s t u v w x"),
+            (3, "too short"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["dup_shingles"], r["dup_frac"])
+        for r in duplicate_ngram_stats(df).collect()
+    }
+    assert got == {0: (1, 1, 1.0), 1: (1, 1, 1.0), 2: (2, 0, 0.0)}
+
+
+def test_repetition_signals_planted(spark):
+    df = _docs(spark, [(0, "x x x x"), (1, "a b c d"), (2, "solo")])
+    got = {
+        r["doc_id"]: (
+            r["distinct_ratio"],
+            r["dup_bigram_frac"],
+            r["top_token_frac"],
+        )
+        for r in with_repetition(df)
+        .select("doc_id", "distinct_ratio", "dup_bigram_frac", "top_token_frac")
+        .collect()
+    }
+    # "x x x x": 1 distinct of 4; bigrams ["x x"]*3 -> 1 distinct of 3.
+    assert got[0] == (0.25, pytest.approx(1 - 1 / 3, abs=1e-6), 1.0)
+    assert got[1] == (1.0, 0.0, 0.25)
+    # single token: no bigram -> defined as 0.0, not null
+    assert got[2] == (1.0, 0.0, 1.0)
+
+
+def test_contamination_planted_and_broadcast(spark):
+    bench = _docs(spark, [(100, W8)])
+    corpus = _docs(
+        spark,
+        [
+            (0, W8 + " i"),  # shingles: abcdefgh (hit), bcdefghi (miss)
+            (1, "p q r s t u v w"),  # clean, must still appear with 0
+        ],
+    )
+    out = contamination(corpus, bench)
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_contam"], r["contam_frac"])
+        for r in out.collect()
+    }
+    assert got == {0: (2, 1, 0.5), 1: (1, 0, 0.0)}
+    # The benchmark side must be broadcast: a shuffle join against an
+    # MB-scale benchmark would shuffle the TB corpus for nothing.
+    assert_broadcast_join(out, min_count=1)
+
+
+def test_vocab_ranks_and_min_count(spark):
+    df = _docs(spark, [(0, "b b b a a c"), (1, "a")])
+    got = [
+        (r["token"], r["n_occurrences"], r["token_id"])
+        for r in build_vocab(df, min_count=2)
+        .orderBy("token_id")
+        .collect()
+    ]
+    # a and b tie at 3 -> alphabetical break; c dropped by min_count.
+    assert got == [("a", 3, 1), ("b", 3, 2)]
