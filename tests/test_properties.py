@@ -124,3 +124,45 @@ def test_asof_join_picks_latest_at_or_before(spark, left_times, right_times):
         ]
         expected = max(eligible)[1] if eligible else None
         assert by_lid[i] == expected, (lt, eligible)
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from("abcdefgh"), min_size=1, max_size=12
+    ).map(lambda toks: " ".join(toks)),
+    min_size=2,
+    max_size=14,
+)
+
+
+@given(texts=docs_strategy, threshold=st.sampled_from([0.5, 0.7, 0.9, 1.0]))
+@settings(**SMALL)
+def test_prefix_filter_jaccard_matches_bruteforce(spark, texts, threshold):
+    """The prefix-filter candidate join is EXACT: its output must equal the
+    all-pairs brute force for any corpus and threshold — this is the prefix
+    lemma (and the ceil-jitter guard) under adversarial shrinking.
+
+    Tokens drawn from a tiny alphabet maximize collisions: duplicate
+    tokens within a doc (distinctness handling), identical docs (j=1.0
+    pairs), and ties in the global-frequency ordering."""
+    from pyspark_kmeans_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, "en", t) for i, t in enumerate(texts)],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=threshold).collect()
+    }
+    sets = {i: set(t.split(" ")) for i, t in enumerate(texts)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= threshold:
+                    want[(a, b)] = j
+    assert set(got) == set(want)
+    for pair, j in want.items():
+        assert math.isclose(got[pair], j, rel_tol=0, abs_tol=0)
