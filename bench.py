@@ -47,6 +47,8 @@ HEADLINE = [
     "dedup_incremental_lsh",
     "bucketed_order_revenue",
     "kmeans_embedding_clusters",
+    "curation_dup_ngrams",
+    "curation_contamination",
 ]
 
 

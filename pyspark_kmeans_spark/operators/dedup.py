@@ -363,13 +363,15 @@ def band_entries_from_sig(
     rows_per_band: int,
     id_col: str = "doc_id",
     sig_col: str = "sig",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, band, bucket) — one row per (doc, band); bucket = hash of the
-    band's signature slice.  Shared by the batch LSH path and the
-    persisted-signature incremental path (banding a stored signature table
-    is a cheap array-slice hash — no re-tokenization)."""
+    """(id [, extra…], band, bucket) — one row per (doc, band); bucket =
+    hash of the band's signature slice.  Shared by the batch LSH path and
+    the persisted-signature incremental path (banding a stored signature
+    table is a cheap array-slice hash — no re-tokenization)."""
     return sig_df.select(
         F.col(id_col),
+        *extra_cols,
         F.explode(
             F.array(
                 *[
@@ -383,38 +385,51 @@ def band_entries_from_sig(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, *extra_cols, "bb.band", "bb.bucket")
 
 
-def _cap_buckets(
-    entries: DataFrame, max_bucket: int | None, caller: str
+def _grouped_buckets(
+    entries: DataFrame,
+    member_col: F.Column,
+    max_bucket: int | None,
+    caller: str,
 ) -> DataFrame:
-    """Persist band-entries with their (band, bucket) group size, drop
-    entries in degenerate groups larger than `max_bucket`, log the dropped
-    volume, and return the capped (persisted-backed) frame.
+    """(band, bucket, _ms: sorted member array) for every bucket with ≥2
+    members, persisted + eagerly materialized; buckets larger than
+    `max_bucket` dropped with a logged member count.
 
-    A bucket of B members emits B² candidate pairs from the self-join —
-    at corpus scale one boilerplate mega-bucket (identical license headers,
-    empty documents) floods a task even with AQE skew-splitting.  Production
-    LSH caps bucket membership; docs whose every band lands in a dropped
-    bucket simply generate no candidates (they are boilerplate floods, not
-    near-dup signal).
+    This is the ONLY shuffle of the LSH candidate stage: ONE
+    groupBy(band, bucket) with map-side partial collect_list.  Candidate
+    pairs are then partition-local array expansions over `_ms` — the
+    round-2 spelling (window count over raw entries + band-entries
+    self-join) paid an extra full exchange+sort of the entry frame for the
+    sizing AND a second exchange for the join's other side; both are gone
+    (measured ~2× on dedup_minhash_lsh at sf0.1).
 
-    Persisting AFTER the size window means the expensive signature
-    expression and the (band, bucket) shuffle run exactly once — the eager
-    count also closes the lazy-persist race (ADVICE r2): the candidate
-    self-join's two sides would otherwise race to compute uncached
-    partitions concurrently.
+    The cap bounds the flood mode: a degenerate (band, bucket) group with B
+    members yields B² candidates — at corpus scale one boilerplate
+    mega-bucket (identical license headers, empty docs) floods a task.
+    With grouped members the size test is a free `size(_ms)` predicate, and
+    an uncapped bucket can no longer skew the JOIN either (there is no
+    join) — the cap only bounds the per-row pair expansion.
+
+    The eager count closes the lazy-persist race (ADVICE r2): downstream
+    consumers would otherwise race to compute uncached partitions and the
+    expensive signature expression could run twice.
     """
-    sized = _persist(
-        entries.withColumn(
-            "_bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-        )
+    grouped = _persist(
+        entries.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(member_col)).alias("_ms"))
+        .filter(F.size("_ms") >= 2)
     )
-    sized.count()
+    grouped.count()
     if max_bucket is None:
-        return sized.drop("_bsz")
-    n_dropped = sized.filter(F.col("_bsz") > max_bucket).count()
+        return grouped
+    n_dropped = (
+        grouped.filter(F.size("_ms") > max_bucket)
+        .agg(F.coalesce(F.sum(F.size("_ms")), F.lit(0)).alias("n"))
+        .first()["n"]
+    )
     if n_dropped:
         _LOG.warning(
             "%s: dropped %d band-entries in degenerate buckets larger than "
@@ -424,7 +439,32 @@ def _cap_buckets(
             n_dropped,
             max_bucket,
         )
-    return sized.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+        return grouped.filter(F.size("_ms") <= max_bucket)
+    return grouped
+
+
+def _bucket_candidates(
+    entries: DataFrame,
+    max_bucket: int | None,
+    caller: str,
+    id_col: str,
+) -> DataFrame:
+    """Distinct candidate (doc_a, doc_b) pairs (doc_a < doc_b) from banded
+    bucket entries — no self-join: posexplode each sorted member list and
+    pair every member with its tail slice, partition-local after the single
+    groupBy shuffle.  Per-row memory is O(bucket size) (the tail slice),
+    never O(bucket²)."""
+    grouped = _grouped_buckets(entries, F.col(id_col), max_bucket, caller)
+    return (
+        grouped.select("_ms", F.posexplode("_ms").alias("_i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("_ms", F.col("_i") + 2, F.size("_ms"))
+            ).alias("doc_b"),
+        )
+        .distinct()
+    )
 
 
 def minhash_lsh_pairs(
@@ -450,7 +490,7 @@ def minhash_lsh_pairs(
 
     `max_bucket` bounds the worst case: a degenerate (band, bucket) group
     with B members would emit B² candidates; groups larger than the cap are
-    dropped with a logged count (see _cap_buckets).  The default is far
+    dropped with a logged count (see _grouped_buckets).  The default is far
     above any honest near-dup cluster at the tested SFs — output is
     unchanged unless the corpus contains a boilerplate flood.
 
@@ -472,12 +512,11 @@ def minhash_lsh_pairs(
         .withColumn("_n", F.size("_toks"))
     )
     toks.count()
-    # Banded bucket entries, derived from the cached hashes.  _cap_buckets
-    # persists + eagerly materializes them (they feed both sides of the
-    # candidate self-join, and the signature — num_hashes universal hashes
-    # per token — is the expensive expression) and drops degenerate buckets.
+    # Banded bucket entries → grouped member lists (ONE shuffle; the
+    # signature — num_hashes universal hashes per token — computes once
+    # into the persisted grouped frame) → partition-local pair expansion.
     sig = _sig_col(F.col("_toks"), num_hashes=num_hashes, seed=seed)
-    band_entries = _cap_buckets(
+    candidates = _bucket_candidates(
         band_entries_from_sig(
             toks.select(F.col(id_col), sig.alias("sig")),
             bands=bands,
@@ -486,19 +525,7 @@ def minhash_lsh_pairs(
         ),
         max_bucket,
         "minhash_lsh_pairs",
-    )
-
-    left = band_entries.select(
-        F.col(id_col).alias("doc_a"), "band", "bucket"
-    )
-    right = band_entries.select(
-        F.col(id_col).alias("doc_b"), "band", "bucket"
-    )
-    candidates = (
-        left.join(right, on=["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        id_col,
     )
 
     with_a = candidates.join(
@@ -988,26 +1015,40 @@ def incremental_kept_against(
     )
     # Bucket cap over the COMBINED entries — the same degenerate-bucket
     # guard (and the same dropped set) as the self-contained LSH spelling.
-    entries = _cap_buckets(
+    # Members carry the corpus flag so pair generation stays bipartite
+    # WITHOUT a join: b-side restricted to batch docs — corpus×corpus
+    # cohabitation is irrelevant to which batch docs survive, so it is
+    # never generated (the self-contained spelling generates and discards
+    # it).  Both explodes are partition-local; the groupBy inside
+    # _grouped_buckets is the only shuffle of the candidate stage.
+    grouped = _grouped_buckets(
         band_entries_from_sig(
-            all_sig, bands=bands, rows_per_band=rows_per_band, id_col=id_col
+            all_sig,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            id_col=id_col,
+            extra_cols=("_is_corpus",),
         ),
+        F.struct(F.col(id_col).alias("_id"), F.col("_is_corpus")),
         max_bucket,
         "incremental_kept_against",
     )
-    # Bipartite candidates: b-side restricted to batch docs — corpus×corpus
-    # cohabitation is irrelevant to which batch docs survive, so it is never
-    # generated (the self-contained spelling generates and discards it).
-    new_ids = new_df.select(F.col(id_col)).distinct()
-    batch_entries = entries.join(new_ids, on=id_col, how="left_semi")
+    b_rows = grouped.select(
+        "_ms",
+        F.explode(
+            F.filter(F.col("_ms"), lambda m: m["_is_corpus"] == 0)
+        ).alias("_b"),
+    )
     candidates = (
-        entries.select(F.col(id_col).alias("doc_a"), "band", "bucket")
-        .join(
-            batch_entries.select(F.col(id_col).alias("doc_b"), "band", "bucket"),
-            on=["band", "bucket"],
+        b_rows.select(
+            F.col("_b")["_id"].alias("doc_b"),
+            F.explode(
+                F.filter(
+                    F.col("_ms"), lambda a: a["_id"] != F.col("_b")["_id"]
+                )
+            ).alias("_a"),
         )
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select(F.col("_a")["_id"].alias("doc_a"), "doc_b")
         .distinct()
     )
     with_a = candidates.join(
