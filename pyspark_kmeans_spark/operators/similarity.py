@@ -141,24 +141,44 @@ def lsh_topk(
 ) -> DataFrame:
     """Bucketed approximate top-k: probes score only candidates sharing an
     LSH cell in ≥1 table.  Equi-join on (table, cell) — shuffle-partitioned,
-    no cross product; per-probe candidate count ≈ N·L/2^m, not N."""
+    no cross product; per-probe candidate count ≈ N·L/2^m, not N.
+
+    The cell join and the pair dedup run SLIM — (id, table, cell) rows,
+    ~16 bytes — and the dim-sized vectors are attached only AFTER
+    dropDuplicates: with L tables a colliding pair appears up to L times,
+    so carrying vectors through the join+dedup shuffles up to L× the
+    vector volume for nothing.  The probe side of the attach is |probes|
+    rows → broadcast; the corpus side shuffles each vector once."""
     c = lsh_cells(
         corpus, n_tables=n_tables, n_planes=n_planes, dim=dim, id_col=id_col
-    ).select(F.col(id_col).alias("neighbor_id"), "vec", "norm", "table", "cell")
+    )
     p = lsh_cells(
         probes, n_tables=n_tables, n_planes=n_planes, dim=dim, id_col=id_col
-    ).select(
-        F.col(id_col).alias("probe_id"),
-        F.col("vec").alias("pvec"),
-        F.col("norm").alias("pnorm"),
-        "table",
-        "cell",
     )
-    candidates = (
-        c.join(p, on=["table", "cell"])
+    pairs = (
+        c.select(F.col(id_col).alias("neighbor_id"), "table", "cell")
+        .join(
+            p.select(F.col(id_col).alias("probe_id"), "table", "cell"),
+            on=["table", "cell"],
+        )
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "neighbor_id", "pvec", "pnorm", "vec", "norm")
+        .select("probe_id", "neighbor_id")
         .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    candidates = pairs.join(
+        with_unit_vectors(corpus).select(
+            F.col(id_col).alias("neighbor_id"), "vec", "norm"
+        ),
+        on="neighbor_id",
+    ).join(
+        F.broadcast(
+            with_unit_vectors(probes).select(
+                F.col(id_col).alias("probe_id"),
+                F.col("vec").alias("pvec"),
+                F.col("norm").alias("pnorm"),
+            )
+        ),
+        on="probe_id",
     )
     cos = F.round(_dot("pvec", "vec") / (F.col("pnorm") * F.col("norm")), 6)
     scored = candidates.select("probe_id", "neighbor_id", cos.alias("cosine"))
