@@ -67,6 +67,7 @@ _SWEEP_FIRST = [
     "multimodal_features",
     "grouping_sets",
     # 2. changed or added in round 3 (bucket cap / block guard / new queries)
+    "event_segment_rollup",
     "curation_dup_ngrams",
     "curation_repetition",
     "curation_contamination",

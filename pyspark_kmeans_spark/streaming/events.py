@@ -106,6 +106,45 @@ def streaming_hourly_rollup(
     return hourly_rollup(stream)
 
 
+def segment_rollup(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream–static enrichment: join events to the customer dimension and
+    roll up hourly per market segment.  Works identically on a batch or
+    streaming events frame.
+
+    The dimension side is BROADCAST — the canonical stream-static join is
+    stateless (no streaming state at all: each micro-batch hash-joins
+    against the small static side), and Structured Streaming re-plans the
+    static side per micro-batch, so dimension updates flow in without a
+    query restart.  The windowed agg shuffles on (window, segment) —
+    bounded cardinality at any stream rate."""
+    dim = F.broadcast(
+        customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return (
+        events.join(dim, on="user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_segment_rollup(
+    spark: SparkSession, sf_dir: str, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """The streaming form of segment_rollup: watermarked events stream,
+    broadcast static dimension, stateless join + windowed agg."""
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return segment_rollup(stream, load_table(spark, sf_dir, "customer"))
+
+
 def dedup_events_stream(stream: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     """Streaming ingestion dedup — the exactly-once shape for an
     at-least-once source: drop re-deliveries of the same event_id arriving
@@ -154,10 +193,18 @@ def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_events_batch(ev.unionByName(redelivered))
 
 
+def q_event_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return segment_rollup(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_hourly_rollup": q_event_hourly,
     "event_user_sessions": q_event_sessions,
     "event_dedup": q_event_dedup,
+    "event_segment_rollup": q_event_segment_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -175,6 +222,14 @@ ORACLES: dict[str, str] = {
                MIN(value) AS value
         FROM feed
         GROUP BY event_id
+    """,
+    "event_segment_rollup": """
+        SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(e.ts AS TIMESTAMP))) AS window_start_us,
+               c.c_mktsegment AS segment,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
     """,
     "event_hourly_rollup": """
         SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window_start_us,

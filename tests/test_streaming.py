@@ -86,3 +86,23 @@ def test_streaming_dedup_equals_batch_distinct(spark, sf_dir, tmp_path):
     n_ids = ev.select("event_id").distinct().count()
     assert out.count() == n_ids
     assert out.select("event_id").distinct().count() == n_ids
+
+
+def test_stream_static_segment_rollup_equals_batch(spark, sf_dir):
+    """Stream–static broadcast enrichment: the streaming form (file-source
+    events joined to the static customer dimension per micro-batch) must
+    equal the batch form exactly."""
+    from pyspark_kmeans_spark.streaming.events import (
+        segment_rollup,
+        streaming_segment_rollup,
+    )
+
+    batch = segment_rollup(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )
+    streamed = _run_stream_to_memory(
+        streaming_segment_rollup(spark, sf_dir), "stream_segment", spark
+    )
+    assert _rows(streamed, None) == _rows(batch, None)
+    assert streamed.count() > 0
