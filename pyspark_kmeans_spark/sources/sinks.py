@@ -63,3 +63,80 @@ def write_csv(df: DataFrame, path: str, *, single_file: bool = False, mode: str 
 
 def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    *,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout: repartitionByRange on `sort_cols`
+    (contiguous, non-overlapping key ranges per file) + sortWithinPartitions
+    (monotone within each file).
+
+    Parquet stores per-row-group min/max statistics; a read with a
+    predicate on `sort_cols` skips every row group whose range misses —
+    on a 100 TB table this turns point/range lookups from full scans into
+    a handful of row groups, and it is why fact tables get laid out by
+    their hottest filter key.  With a random layout the same predicate
+    matches SOME rows in almost every row group and nothing skips.
+    Layout quality (disjoint sorted ranges across files) is asserted from
+    the parquet footers in tests/test_sinks.py.
+
+    The range exchange samples the sort key to build balanced boundaries —
+    skew-safe without manual tuning; one shuffle total, same as any
+    repartition-before-write.
+    """
+    (
+        df.repartitionByRange(num_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Small-files compaction — the table-maintenance job every long-lived
+    ingestion table needs: incremental/streaming writers leave thousands of
+    KB-sized files, and at object-store scale per-file open latency and
+    listing cost come to dominate scans long before bytes do.
+
+    Sizes the output from the SOURCE byte size (sum of file lengths via the
+    catalog listing — no data pass), coalesces to
+    ceil(bytes / target_file_bytes) tasks, and rewrites to `dest_path`.
+    `coalesce` (not repartition) — compaction must not pay a shuffle: each
+    output task concatenates whole input splits.  Writing to a NEW path and
+    swapping at the catalog/manifest level is the safe production form
+    (an in-place overwrite that fails mid-write destroys the table);
+    returns the output file count.
+    """
+    import math
+
+    df = spark.read.parquet(src_path)
+    # Source byte size from the file listing (metadata only, no data pass).
+    n_files = max(1, math.ceil(_dir_bytes(src_path) / target_file_bytes))
+    df.coalesce(n_files).write.mode(mode).parquet(dest_path)
+    return n_files
+
+
+def _dir_bytes(path: str) -> int:
+    """Total bytes of data files under `path` (local FS listing; on a real
+    deployment this is one LIST call against the object store)."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if not name.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, name))
+    return total

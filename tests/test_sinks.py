@@ -81,3 +81,59 @@ def test_partitioned_write_files_per_partition(spark, sf_dir, tmp_path):
     assert max(per_dir.values()) >= 2, per_dir
     back = read_partitioned_parquet(spark, out)
     assert back.count() == li.count()
+
+
+def test_sorted_layout_has_disjoint_rowgroup_ranges(spark, sf_dir, tmp_path):
+    """write_sorted_parquet must produce files whose per-row-group
+    (min, max) ranges on the sort key are internally sorted and
+    non-overlapping ACROSS files — the property parquet min/max skipping
+    needs to prune range predicates."""
+    import pyarrow.parquet as pq
+
+    from pyspark_kmeans_spark.sources.sinks import write_sorted_parquet
+
+    out = str(tmp_path / "sorted")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_sorted_parquet(orders, out, ["o_custkey"], num_files=4)
+
+    ranges = []
+    for name in os.listdir(out):
+        if not name.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(out, name))
+        idx = pf.schema_arrow.names.index("o_custkey")
+        file_ranges = [
+            (
+                pf.metadata.row_group(g).column(idx).statistics.min,
+                pf.metadata.row_group(g).column(idx).statistics.max,
+            )
+            for g in range(pf.metadata.num_row_groups)
+        ]
+        # monotone within the file
+        assert file_ranges == sorted(file_ranges), name
+        ranges.append((file_ranges[0][0], file_ranges[-1][1]))
+    assert len(ranges) == 4
+    # disjoint (at most touching at boundaries) across files
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+
+def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
+    """compact_parquet must turn a many-tiny-files table into
+    ceil(bytes/target) files without losing rows."""
+    from pyspark_kmeans_spark.sources.sinks import _dir_bytes, compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dest = str(tmp_path / "compacted")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(40).write.parquet(src)  # simulate streaming dribble
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src >= 30
+
+    n_out = compact_parquet(spark, src, dest, target_file_bytes=_dir_bytes(src))
+    files = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+    assert n_out == 1 and len(files) == 1
+    assert spark.read.parquet(dest).count() == orders.count()
