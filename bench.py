@@ -49,6 +49,7 @@ HEADLINE = [
     "kmeans_embedding_clusters",
     "curation_dup_ngrams",
     "curation_contamination",
+    "event_segment_rollup",
 ]
 
 
