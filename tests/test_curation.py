@@ -11,7 +11,11 @@ from pyspark_kmeans_spark.operators.curation import (
     duplicate_ngram_stats,
     with_repetition,
 )
-from pyspark_kmeans_spark.plans import assert_broadcast_join
+from pyspark_kmeans_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_partial_aggregation,
+)
 
 
 def _docs(spark, rows):
@@ -89,3 +93,14 @@ def test_vocab_ranks_and_min_count(spark):
     ]
     # a and b tie at 3 -> alphabetical break; c dropped by min_count.
     assert got == [("a", 3, 1), ("b", 3, 2)]
+
+
+def test_dup_ngram_plan_shape(spark, sf_dir):
+    """The corpus-wide dup-n-gram stats must aggregate partially (map-side
+    combine on the shingle groupBy) and contain no cartesian product —
+    the word-count shape that stays linear at 100 TB."""
+    from pyspark_kmeans_spark.operators.curation import q_dup_ngrams
+
+    df = q_dup_ngrams(spark, sf_dir)
+    assert_partial_aggregation(df)
+    assert_no_cartesian(df)
