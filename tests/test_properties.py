@@ -166,3 +166,41 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark, texts, threshold):
     assert set(got) == set(want)
     for pair, j in want.items():
         assert math.isclose(got[pair], j, rel_tol=0, abs_tol=0)
+
+
+entries_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # doc id
+        st.integers(min_value=0, max_value=2),  # band
+        st.integers(min_value=0, max_value=3),  # bucket
+    ),
+    min_size=1,
+    max_size=25,
+).map(lambda rows: list(set(rows)))  # one entry per (doc, band) pair at most
+
+
+@given(rows=entries_strategy)
+@settings(**SMALL)
+def test_grouped_bucket_candidates_match_self_join(spark, rows):
+    """The posexplode + tail-slice pair expansion must produce EXACTLY the
+    pairs the old band-entries self-join produced: {(a, b) : a < b, a and b
+    share ≥1 (band, bucket)} — pinning the 1-based slice arithmetic,
+    array_sort canonicalization, and cross-band distinct."""
+    from pyspark_kmeans_spark.operators.dedup import _bucket_candidates
+
+    df = spark.createDataFrame(rows, "doc_id long, band int, bucket int")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _bucket_candidates(df, None, "prop-test", "doc_id").collect()
+    }
+    buckets = {}
+    for d, band, bucket in rows:
+        buckets.setdefault((band, bucket), set()).add(d)
+    want = {
+        (a, b)
+        for members in buckets.values()
+        for a in members
+        for b in members
+        if a < b
+    }
+    assert got == want
