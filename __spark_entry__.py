@@ -67,6 +67,11 @@ _SWEEP_FIRST = [
     "multimodal_features",
     "grouping_sets",
     # 2. changed or added in round 3 (bucket cap / block guard / new queries)
+    "curation_pii",
+    "curation_pack_sequences",
+    "event_sliding_rollup",
+    "order_count_histogram",
+    "multimodal_frames",
     "event_segment_rollup",
     "curation_dup_ngrams",
     "curation_repetition",

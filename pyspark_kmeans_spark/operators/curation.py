@@ -201,6 +201,79 @@ def contamination(
     )
 
 
+# PII patterns spelled with explicit ASCII classes (Java regex and DuckDB's
+# RE2 agree on these; \d/\b unicode behavior differs between engines).
+# Ordered: the phone pattern is +-anchored so it cannot overlap IPv4, and
+# neither overlaps the email pattern.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": ("[a-zA-Z0-9_.]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+", "<EMAIL>"),
+    "ipv4": ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    "phone": ("\\+[0-9][0-9 ]{6,}[0-9]", "<PHONE>"),
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    patterns: dict[str, tuple[str, str]] = PII_PATTERNS,
+) -> DataFrame:
+    """Scrub PII from a text column before training (C4 §2.2 removes such
+    lines; most production pipelines redact in place to keep context).
+
+    Adds one `n_<kind>` match count per pattern (counted on the ORIGINAL
+    text) and replaces `text_col` with the redacted form, applying patterns
+    in dict order.  Pure per-row regexp expressions — zero shuffle,
+    whole-stage codegen, linear in corpus bytes, same shape as text.py's
+    quality signals.
+    """
+    for kind, (pat, _) in patterns.items():
+        df = df.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+    redacted = F.col(text_col)
+    for pat, token in patterns.values():
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.withColumn(text_col, redacted)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "lang",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-2/T5 style): lay documents
+    end-to-end per shard in `id_col` order and cut training sequences every
+    `budget` tokens.  Returns one row per doc: its shard-local sequence id
+    (`seq_id` = the sequence its FIRST token lands in) and the token offset
+    of the doc within that sequence — the index a trainer needs to
+    materialize packed batches without re-tokenizing.
+
+    Plan: one window (cumulative token sum per shard ordered by id) — a
+    single shuffle on the shard key.  At 100 TB the shard key would be
+    (lang, pmod(xxhash64(id), n_shards)) so no single ordered partition
+    exceeds executor memory; kept to `lang` here so the DuckDB oracle
+    (engine-portable ANSI window) matches bit-for-bit.
+    """
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(n_tokens).over(w) - n_tokens  # tokens before this doc
+    return df.select(
+        id_col,
+        shard_col,
+        n_tokens.alias("n_tokens"),
+        F.floor(start / budget).alias("seq_id"),
+        (start % budget).alias("seq_offset"),
+    )
+
+
 def build_vocab(
     df: DataFrame,
     min_count: int = 1,
@@ -260,11 +333,52 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(load_table(spark, sf_dir, "documents"), min_count=5)
 
 
+def q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The synthetic documents contain no digits at all (TESTDATA.md), so the
+    # registered query appends deterministic PII to a varying subset of docs
+    # (same stand-in pattern as _BENCH_PRED) — the redaction operator itself
+    # is generic.  Emitting the md5 of the redacted text pins the full
+    # replacement output, not just the counts.
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                k % 3 == 0,
+                F.concat(F.lit(" user"), k, F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                k % 4 == 0,
+                F.concat(F.lit(" from 10.0."), k % 256, F.lit(".7")),
+            ).otherwise(F.lit("")),
+            F.when(
+                k % 5 == 0,
+                F.concat(F.lit(" call +1 555 010 "), 1000 + k % 9000),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return redact_pii(seeded).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5(F.col("text")).alias("redacted_md5"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load_table(spark, sf_dir, "documents"), budget=512)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_dup_ngrams": q_dup_ngrams,
     "curation_repetition": q_repetition,
     "curation_contamination": q_contamination,
     "curation_vocab": q_vocab,
+    "curation_pii": q_pii,
+    "curation_pack_sequences": q_pack_sequences,
 }
 
 _SH_CTE = """
@@ -323,6 +437,52 @@ ORACLES: dict[str, str] = {
                    AS contam_frac
         FROM corpus LEFT JOIN bench USING (shingle)
         GROUP BY corpus.doc_id
+    """,
+    "curation_pii": """
+        WITH seeded AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' user' || doc_id || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN ' from 10.0.' || (doc_id % 256) || '.7'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' call +1 555 010 ' || (1000 + doc_id % 9000)
+                           ELSE '' END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[a-zA-Z0-9_.]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+')) AS n_email,
+               len(regexp_extract_all(text,
+                   '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ipv4,
+               len(regexp_extract_all(text,
+                   '\\+[0-9][0-9 ]{6,}[0-9]')) AS n_phone,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[a-zA-Z0-9_.]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+', '<EMAIL>', 'g'),
+                   '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
+                   '\\+[0-9][0-9 ]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+        FROM seeded
+    """,
+    "curation_pack_sequences": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), cum AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS BIGINT) AS start
+            FROM toks
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(floor(start / 512) AS BIGINT) AS seq_id,
+               start % 512 AS seq_offset
+        FROM cum
     """,
     "curation_vocab": """
         WITH counts AS (

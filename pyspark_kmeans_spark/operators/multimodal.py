@@ -53,6 +53,65 @@ def decode_image(payload_col):  # pragma: no cover - stub
     )
 
 
+def decode_audio(payload_col):  # pragma: no cover - stub
+    """STUB — audio decode requires soundfile/librosa, not in this
+    container.  The real implementation is a mapInPandas over Arrow binary
+    batches emitting fixed-rate PCM frames — the 1→N batch shape of
+    `sample_frames` below."""
+    raise NotImplementedError(
+        "audio decode requires an audio library not present in this "
+        "environment; use sample_frames for plumbing tests"
+    )
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_len", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    multimodal: DataFrame, *, frame_bytes: int = 256, every: int = 4
+) -> DataFrame:
+    """Video-style frame sampling over opaque payloads: split each payload
+    into fixed-size frames and keep every `every`-th one (deterministic
+    stand-in for keyframe extraction — a real decoder swaps the byte-slice
+    for a codec call; the Spark-side shape is identical).
+
+    This is the 1→N Arrow batch path (one input row fans out to many output
+    rows inside mapInPandas) that `extract_fake_features`' 1→1 shape does
+    not exercise.  Partition-local, zero shuffle; the payload column is shed
+    at the extractor so downstream stages carry only frame digests."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, lens, digests = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for idx in range(0, n_frames, every):
+                    chunk = b[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    lens.append(len(chunk))
+                    digests.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return multimodal.mapInPandas(batches, schema=_FRAME_SCHEMA)
+
+
 _FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -115,9 +174,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_bytes", F.round(fmean, 6).alias("feature_mean"))
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling over the payload column (every 4th 256-byte
+    frame), digest-pinned."""
+    mm = attach_payload(load_table(spark, sf_dir, "documents"))
+    return sample_frames(mm)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 ORACLES: dict[str, str] = {
@@ -152,5 +219,19 @@ ORACLES: dict[str, str] = {
                        list_slice(bv, CAST(i*n+1 AS INT), CAST((i+1)*n AS INT)),
                        'avg'), 0.0)), 'sum') / 8, 6) AS feature_mean
         FROM chunked
+    """,
+    # The documents corpus is pure ASCII (single-space word tokens,
+    # TESTDATA.md), so byte frames == character frames and substr-based
+    # md5s match the byte-slice digests from the Arrow extractor exactly.
+    "multimodal_frames": """
+        WITH f AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS nb
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST(least(256, nb - i*256) AS INT) AS frame_len,
+               md5(substr(text, CAST(i*256+1 AS INT), 256)) AS frame_md5
+        FROM f, unnest(range(0, CAST(ceil(nb / 256.0) AS BIGINT), 4)) AS t(i)
     """,
 }

@@ -417,6 +417,24 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13 shape: LEFT join so order-less customers count as 0, per-
+    # customer order count, then the distribution of those counts.  Two
+    # linear shuffles (custkey join+agg, then the tiny count-of-counts agg —
+    # its key cardinality is max orders per customer, bounded at any SF).
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -446,6 +464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_volume": q_region_volume,
     "nation_trade_volume": q_nation_trade_volume,
     "promo_revenue_share": q_promo_revenue_share,
+    "order_count_histogram": q_order_count_histogram,
 }
 
 ORACLES: dict[str, str] = {
@@ -646,5 +665,16 @@ ORACLES: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name
+    """,
+    "order_count_histogram": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
     """,
 }

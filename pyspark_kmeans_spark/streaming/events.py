@@ -46,6 +46,33 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_rollup(
+    events: DataFrame, window: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding (hopping) windows per event_type: with window=2×slide each
+    event lands in exactly two overlapping windows.  Works identically on a
+    batch or streaming DataFrame; on a stream the watermark bounds state to
+    the open windows.
+
+    Scale: the explode-by-window-multiplicity is partition-local (window /
+    slide rows per event, a small constant), and the agg shuffles on
+    (window, event_type) — bounded cardinality at any rate, same as
+    hourly_rollup."""
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user: events within `gap` of each other merge.
     Batch/streaming-identical via F.session_window."""
@@ -200,11 +227,16 @@ def q_event_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_rollup(load_table(spark, sf_dir, "events"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_hourly_rollup": q_event_hourly,
     "event_user_sessions": q_event_sessions,
     "event_dedup": q_event_dedup,
     "event_segment_rollup": q_event_segment_rollup,
+    "event_sliding_rollup": q_event_sliding_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -237,6 +269,18 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events
+        GROUP BY 1, 2
+    """,
+    # Sliding 10-min windows hopping by 5 min: an event at t belongs to the
+    # windows starting at bucket5(t) and bucket5(t) − 5 min — exactly
+    # F.window(ts, '10 minutes', '5 minutes')'s epoch-aligned window set.
+    "event_sliding_rollup": """
+        SELECT epoch_us(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                        - k * INTERVAL '5 minutes') AS window_start_us,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events, unnest([0, 1]) AS offs(k)
         GROUP BY 1, 2
     """,
     # Session windows via gaps-and-islands — exactly F.session_window's

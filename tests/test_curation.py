@@ -104,3 +104,51 @@ def test_dup_ngram_plan_shape(spark, sf_dir):
     df = q_dup_ngrams(spark, sf_dir)
     assert_partial_aggregation(df)
     assert_no_cartesian(df)
+
+
+def test_redact_pii_planted(spark):
+    from pyspark_kmeans_spark.operators.curation import redact_pii
+
+    df = _docs(
+        spark,
+        [
+            (0, "mail me at jo.doe@corp.example.org today"),
+            (1, "host 192.168.0.1 and 10.0.0.2 up"),
+            (2, "call +44 20 7946 0958 now"),
+            (3, "clean text only"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_ipv4"], r["n_phone"], r["text"])
+        for r in redact_pii(df).collect()
+    }
+    assert got[0] == (1, 0, 0, "mail me at <EMAIL> today")
+    assert got[1] == (0, 2, 0, "host <IP> and <IP> up")
+    assert got[2] == (0, 0, 1, "call <PHONE> now")
+    assert got[3] == (0, 0, 0, "clean text only")
+
+
+def test_pack_sequences_planted(spark):
+    from pyspark_kmeans_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [
+            (0, "en", "a b c"),        # tokens 0-2   -> seq 0, offset 0
+            (1, "en", "d e f g"),      # tokens 3-6   -> seq 0, offset 3
+            (2, "en", "h i"),          # tokens 7-8   -> seq 1, offset 2
+            (3, "fr", "x y z w v u"),  # fresh shard  -> seq 0, offset 0
+            (4, "fr", "t"),            # token 6      -> seq 1, offset 1
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(df, budget=5).collect()
+    }
+    assert got == {
+        0: (3, 0, 0),
+        1: (4, 0, 3),
+        2: (2, 1, 2),
+        3: (6, 0, 0),
+        4: (1, 1, 1),
+    }

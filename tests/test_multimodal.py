@@ -50,3 +50,30 @@ def test_fake_features_deterministic(mm):
 def test_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(None)
+
+
+def test_sample_frames_planted(spark):
+    import hashlib
+
+    from pyspark_kmeans_spark.operators.multimodal import sample_frames
+
+    # 10-byte payload, 4-byte frames, every 2nd: frames 0 ("abcd") and
+    # 2 (the 2-byte tail "ij") — the 1->N fan-out and the short tail frame.
+    df = spark.createDataFrame(
+        [(7, bytearray(b"abcdefghij"))], "doc_id long, payload binary"
+    )
+    got = sorted(
+        (r.doc_id, r.frame_idx, r.frame_len, r.frame_md5)
+        for r in sample_frames(df, frame_bytes=4, every=2).collect()
+    )
+    assert got == [
+        (7, 0, 4, hashlib.md5(b"abcd").hexdigest()),
+        (7, 2, 2, hashlib.md5(b"ij").hexdigest()),
+    ]
+
+
+def test_audio_decode_is_stubbed():
+    from pyspark_kmeans_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(None)

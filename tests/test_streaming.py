@@ -9,6 +9,7 @@ from pyspark_kmeans_spark.sources.tables import load_table
 from pyspark_kmeans_spark.streaming.events import (
     hourly_rollup,
     read_events_stream,
+    sliding_rollup,
     user_sessions,
 )
 
@@ -29,9 +30,13 @@ def _rows(df, key_cols):
     return sorted(tuple(r) for r in df.collect())
 
 
-@pytest.mark.parametrize("agg", ["hourly", "sessions"])
+@pytest.mark.parametrize("agg", ["hourly", "sessions", "sliding"])
 def test_stream_equals_batch(spark, sf_dir, agg):
-    fn = hourly_rollup if agg == "hourly" else user_sessions
+    fn = {
+        "hourly": hourly_rollup,
+        "sessions": user_sessions,
+        "sliding": sliding_rollup,
+    }[agg]
     batch = fn(load_table(spark, sf_dir, "events"))
     stream_df = fn(read_events_stream(spark, sf_dir))
     streamed = _run_stream_to_memory(stream_df, f"stream_{agg}", spark)
