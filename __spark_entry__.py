@@ -71,6 +71,7 @@ _SWEEP_FIRST = [
     "curation_pack_sequences",
     "event_sliding_rollup",
     "order_count_histogram",
+    "full_outer_fill",
     "multimodal_frames",
     "event_segment_rollup",
     "curation_dup_ngrams",

@@ -417,6 +417,34 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_full_outer_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FULL OUTER join + null-fill (the one join type the inventory lacked).
+    # The disjoint nationkey filters (<20 vs ≥5) structurally guarantee
+    # left-only, right-only, and matched rows at any SF.  Both sides are
+    # pre-aggregated to nation cardinality before the join, so the full
+    # outer join itself is over two bounded frames — at 100 TB the shuffles
+    # are the two groupBys, both linear with map-side partial agg.
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 20)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") >= 5)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust.join(
+        sup, cust.c_nationkey == sup.s_nationkey, "full"
+    ).select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
 def q_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q13 shape: LEFT join so order-less customers count as 0, per-
     # customer order count, then the distribution of those counts.  Two
@@ -465,6 +493,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_trade_volume": q_nation_trade_volume,
     "promo_revenue_share": q_promo_revenue_share,
     "order_count_histogram": q_order_count_histogram,
+    "full_outer_fill": q_full_outer_fill,
 }
 
 ORACLES: dict[str, str] = {
@@ -665,6 +694,19 @@ ORACLES: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name
+    """,
+    "full_outer_fill": """
+        WITH c AS (
+            SELECT c_nationkey, COUNT(*) AS n_cust
+            FROM customer WHERE c_nationkey < 20 GROUP BY c_nationkey
+        ), s AS (
+            SELECT s_nationkey, COUNT(*) AS n_supp
+            FROM supplier WHERE s_nationkey >= 5 GROUP BY s_nationkey
+        )
+        SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+               COALESCE(n_cust, 0) AS n_cust,
+               COALESCE(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
     """,
     "order_count_histogram": """
         SELECT c_count, COUNT(*) AS custdist

@@ -204,3 +204,36 @@ def test_grouped_bucket_candidates_match_self_join(spark, rows):
         if a < b
     }
     assert got == want
+
+
+pack_docs_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "fr"]),
+        st.integers(min_value=1, max_value=9),  # token count per doc
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(docs=pack_docs_strategy, budget=st.sampled_from([3, 5, 16]))
+@settings(**SMALL)
+def test_pack_sequences_invariants(spark, docs, budget):
+    """Packing conservation: offsets stay inside the budget, seq_ids are
+    the contiguous concat-and-chunk layout (floor of the running token
+    total), and per-shard token totals are preserved."""
+    from pyspark_kmeans_spark.operators.curation import pack_sequences
+
+    rows = [
+        (i, lang, " ".join(["w"] * n)) for i, (lang, n) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = pack_sequences(df, budget=budget).collect()
+    assert len(out) == len(rows)
+    running: dict[str, int] = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        start = running.get(r["lang"], 0)
+        assert 0 <= r["seq_offset"] < budget
+        assert r["seq_id"] == start // budget
+        assert r["seq_offset"] == start % budget
+        running[r["lang"]] = start + r["n_tokens"]
