@@ -72,6 +72,7 @@ _SWEEP_FIRST = [
     "event_sliding_rollup",
     "order_count_histogram",
     "full_outer_fill",
+    "event_resample_ffill",
     "multimodal_frames",
     "event_segment_rollup",
     "curation_dup_ngrams",

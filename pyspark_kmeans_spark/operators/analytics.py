@@ -350,8 +350,54 @@ def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with forward fill: per event_type, a dense
+    hourly spine from that series' first to last hour, left-joined to the
+    hourly sums, missing hours carried forward (`gap_filled` marks them).
+
+    Scale shape: the hourly agg is partial+final on a bounded key; the
+    spine explode is series-local (hours between min and max — calendar-
+    bounded, not data-bounded); the forward fill is one window per series.
+    Parallelism equals the series count — a pipeline with few series and
+    years of hours would chunk the fill (fill per (series, month) with a
+    carried seed) rather than one window per series.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hr"), "event_type"
+    ).agg(decimal_sum("value").alias("sum_value"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, on=["event_type", "hr"], how="left")
+        .select(
+            "event_type",
+            F.unix_micros("hr").alias("hour_us"),
+            F.col("sum_value").isNull().alias("gap_filled"),
+            F.last("sum_value", ignorenulls=True).over(w).alias(
+                "sum_value_ffill"
+            ),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_tokens_per_lang": q_top_tokens_per_lang,
+    "event_resample_ffill": q_event_resample_ffill,
     "event_funnel": q_event_funnel,
     "event_retention": q_event_retention,
     "salted_agg": q_salted_agg,
@@ -370,6 +416,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "event_resample_ffill": """
+        WITH hourly AS (
+            SELECT event_type,
+                   time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hr,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1
+            FROM hourly GROUP BY 1
+        ), spine AS (
+            SELECT event_type,
+                   unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hr
+            FROM bounds
+        )
+        SELECT s.event_type,
+               epoch_us(s.hr) AS hour_us,
+               (h.sum_value IS NULL) AS gap_filled,
+               last_value(h.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sum_value_ffill
+        FROM spine s
+        LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hr = h.hr
+    """,
     "event_retention": """
         WITH ev AS (
             SELECT user_id, event_type,

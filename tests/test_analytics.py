@@ -32,3 +32,35 @@ def test_cube_has_grand_total(spark, sf_dir):
     assert len(grand) == 1
     total = sum(r.n_rows for r in rows if r.l_returnflag is not None and r.l_linestatus is not None)
     assert grand[0].n_rows == total
+
+
+def test_resample_ffill_planted(spark):
+    """Hours 10:00 and 12:00 have data, 11:00 is a gap: the spine must
+    contain 11:00 with gap_filled=true carrying 10:00's sum forward."""
+    from pyspark_kmeans_spark.operators.analytics import q_event_resample_ffill
+    from pyspark_kmeans_spark.operators import analytics as mod
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:15:00", 5, "view", 2.0, "{}"),
+            (2, "2024-01-01 10:45:00", 6, "view", 3.0, "{}"),
+            (3, "2024-01-01 12:30:00", 7, "view", 7.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    orig = mod._t
+    mod._t = lambda spark, sf_dir, name: df
+    try:
+        out = {
+            r["hour_us"]: (r["gap_filled"], r["sum_value_ffill"])
+            for r in q_event_resample_ffill(spark, "unused").collect()
+        }
+    finally:
+        mod._t = orig
+    hours = sorted(out)
+    assert len(hours) == 3  # dense spine 10:00..12:00
+    assert out[hours[0]] == (False, 5.0)
+    assert out[hours[1]] == (True, 5.0)   # the gap, carried forward
+    assert out[hours[2]] == (False, 7.0)
