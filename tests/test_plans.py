@@ -115,3 +115,41 @@ def test_minhash_lsh_reuses_cached_token_frame(spark, sf_dir):
         f"documents re-scanned outside the cache ({n_parquet} scans, "
         f"{n_cached_reads} cached reads):\n{plan}"
     )
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """Packing must be exactly one shuffle (the shard-key window) — a
+    second exchange would mean the token counting or projection broke the
+    window's partitioning reuse."""
+    from pyspark_kmeans_spark.operators.curation import q_pack_sequences
+
+    import re
+
+    plan = physical_plan(q_pack_sequences(spark, sf_dir))
+    # Count plan NODES (the formatted string repeats each node in the
+    # details section), excluding reuse markers.
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n == 1, f"expected exactly 1 Exchange node, got {n}:\n{plan}"
+
+
+def test_pii_and_frames_zero_shuffle(spark, sf_dir):
+    """Redaction is a pure projection and frame sampling is scan →
+    MapInPandas: any Exchange means a regression that would shuffle the
+    full corpus/payload volume at 100 TB."""
+    from pyspark_kmeans_spark.operators.curation import q_pii
+    from pyspark_kmeans_spark.operators.multimodal import q_multimodal_frames
+
+    for q in (q_pii, q_multimodal_frames):
+        plan = physical_plan(q(spark, sf_dir))
+        assert "Exchange" not in plan, f"{q.__name__} shuffles:\n{plan}"
+
+
+def test_resample_ffill_bounded_join_and_partial_agg(spark, sf_dir):
+    """The hourly aggregation must be partial+final and the spine↔sums
+    join must not be cartesian; the fill window reuses the series
+    partitioning (no exchange directly above the join)."""
+    from pyspark_kmeans_spark.operators.analytics import q_event_resample_ffill
+
+    df = q_event_resample_ffill(spark, sf_dir)
+    assert_partial_aggregation(df)
+    assert_no_cartesian(df)
