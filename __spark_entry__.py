@@ -73,6 +73,8 @@ _SWEEP_FIRST = [
     "order_count_histogram",
     "full_outer_fill",
     "event_resample_ffill",
+    "merge_upsert",
+    "event_view_click_join",
     "multimodal_frames",
     "event_segment_rollup",
     "curation_dup_ngrams",

@@ -417,6 +417,46 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """SCD-type-1 merge (MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT, as a pure DataFrame transform): rows from `updates`
+    win on key collision, unmatched base rows pass through.
+
+    The scale-correct spelling is anti-join + union, ONE shuffle on the
+    key (plus the update side's broadcast/shuffle, AQE-chosen) — not a
+    full outer join with per-column coalesce, which shuffles both sides
+    AND rewrites every column expression.  Snapshot maintenance at 100 TB
+    additionally partitions the output by the key's bucket so tomorrow's
+    merge prunes to dirty partitions; the transform is the same.
+    """
+    untouched = base.join(
+        updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+    )
+    return updates.unionByName(untouched)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic update batch: every 7th order repriced (+100), every
+    # 1000th re-keyed high (simulating inserts of unseen keys).
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    repriced = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") + 100.0, 2)
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 1000 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 1000000000
+    )
+    merged = merge_upsert(
+        orders, repriced.unionByName(inserts), ["o_orderkey"]
+    )
+    return merged.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "o_orderpriority"
+    )
+
+
 def q_full_outer_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FULL OUTER join + null-fill (the one join type the inventory lacked).
     # The disjoint nationkey filters (<20 vs ≥5) structurally guarantee
@@ -494,6 +534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue_share": q_promo_revenue_share,
     "order_count_histogram": q_order_count_histogram,
     "full_outer_fill": q_full_outer_fill,
+    "merge_upsert": q_merge_upsert,
 }
 
 ORACLES: dict[str, str] = {
@@ -694,6 +735,26 @@ ORACLES: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name
+    """,
+    "merge_upsert": """
+        WITH base AS (
+            SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        ), updates AS (
+            SELECT o_orderkey, round(o_totalprice + 100.0, 2) AS o_totalprice,
+                   o_orderpriority
+            FROM base WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey + 1000000000, o_totalprice, o_orderpriority
+            FROM base WHERE o_orderkey % 1000 = 0
+        )
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+               o_orderpriority
+        FROM (
+            SELECT * FROM updates
+            UNION ALL
+            SELECT * FROM base
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        )
     """,
     "full_outer_fill": """
         WITH c AS (

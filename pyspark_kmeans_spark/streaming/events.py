@@ -172,6 +172,60 @@ def streaming_segment_rollup(
     return segment_rollup(stream, load_table(spark, sf_dir, "customer"))
 
 
+def view_click_join(
+    views: DataFrame, clicks: DataFrame, *, horizon: str = "1 hour"
+) -> DataFrame:
+    """Interval join: per user, every click within `horizon` after a view.
+    Works identically on batch frames and on two watermarked streams —
+    the time-bound condition is exactly what Structured Streaming's
+    stream-stream inner join requires to evict state (each side's buffered
+    rows age out once the other side's watermark passes the horizon).
+
+    Scale: an equi-join on user_id with a range predicate — one shuffle per
+    side on user_id, range filter applied inside the join; state (streaming)
+    / per-task memory (batch) is bounded by events per user per horizon."""
+    v = views.select("user_id", F.col("ts").alias("view_ts"))
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    )
+    return (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (
+                F.col("click_ts")
+                <= F.col("view_ts") + F.expr(f"interval {horizon}")
+            ),
+            "inner",
+        )
+        .select(
+            "user_id",
+            F.unix_micros("view_ts").alias("view_ts_us"),
+            F.unix_micros("click_ts").alias("click_ts_us"),
+        )
+    )
+
+
+def streaming_view_click_join(
+    spark: SparkSession, sf_dir: str, *, horizon: str = "1 hour"
+) -> DataFrame:
+    """The real stream-stream form: two watermarked streams over the same
+    source, inner-joined within the horizon.  Watermarks bound both join
+    state stores."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+    )
+    return view_click_join(views, clicks, horizon=horizon)
+
+
 def dedup_events_stream(stream: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     """Streaming ingestion dedup — the exactly-once shape for an
     at-least-once source: drop re-deliveries of the same event_id arriving
@@ -231,12 +285,21 @@ def q_event_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_rollup(load_table(spark, sf_dir, "events"))
 
 
+def q_event_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return view_click_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_hourly_rollup": q_event_hourly,
     "event_user_sessions": q_event_sessions,
     "event_dedup": q_event_dedup,
     "event_segment_rollup": q_event_segment_rollup,
     "event_sliding_rollup": q_event_sliding_rollup,
+    "event_view_click_join": q_event_view_click_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -270,6 +333,21 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2
+    """,
+    "event_view_click_join": """
+        WITH v AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts
+            FROM events WHERE event_type = 'view'
+        ), c AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT v.user_id,
+               epoch_us(view_ts) AS view_ts_us,
+               epoch_us(click_ts) AS click_ts_us
+        FROM v JOIN c ON v.user_id = c.user_id
+        WHERE click_ts >= view_ts
+          AND click_ts <= view_ts + INTERVAL '1 hour'
     """,
     # Sliding 10-min windows hopping by 5 min: an event at t belongs to the
     # windows starting at bucket5(t) and bucket5(t) − 5 min — exactly

@@ -111,3 +111,39 @@ def test_stream_static_segment_rollup_equals_batch(spark, sf_dir):
     )
     assert _rows(streamed, None) == _rows(batch, None)
     assert streamed.count() > 0
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Real stream-stream inner join: two watermarked streams over the
+    events source joined within a 1-hour horizon must emit exactly the
+    batch interval-join pairs."""
+    from pyspark.sql import functions as F
+
+    from pyspark_kmeans_spark.streaming.events import (
+        streaming_view_click_join,
+        view_click_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = view_click_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    streamed = _run_stream_to_memory_append(
+        streaming_view_click_join(spark, sf_dir), "stream_vc", spark
+    )
+    assert _rows(streamed, None) == _rows(batch, None)
+    assert streamed.count() > 0
+
+
+def _run_stream_to_memory_append(df, name: str, spark):
+    # Stream-stream joins only support append mode.
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
