@@ -75,6 +75,8 @@ _SWEEP_FIRST = [
     "event_resample_ffill",
     "merge_upsert",
     "event_view_click_join",
+    "embedding_lang_norms",
+    "large_orders",
     "multimodal_frames",
     "event_segment_rollup",
     "curation_dup_ngrams",

@@ -417,6 +417,31 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18 shape: HAVING over a grouped sum selects the heavy keys,
+    # then a join pulls their detail rows.  The HAVING side reduces to the
+    # qualifying-key set before the join — at 100 TB that set is small and
+    # AQE broadcasts it into the detail scan instead of shuffling lineitem
+    # twice.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.to_date("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
 def merge_upsert(
     base: DataFrame, updates: DataFrame, key_cols: list[str]
 ) -> DataFrame:
@@ -535,6 +560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_count_histogram": q_order_count_histogram,
     "full_outer_fill": q_full_outer_fill,
     "merge_upsert": q_merge_upsert,
+    "large_orders": q_large_orders,
 }
 
 ORACLES: dict[str, str] = {
@@ -735,6 +761,17 @@ ORACLES: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name
+    """,
+    "large_orders": """
+        WITH big AS (
+            SELECT l_orderkey, SUM(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 150
+        )
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+               o_totalprice, total_qty
+        FROM orders JOIN big ON o_orderkey = l_orderkey
     """,
     "merge_upsert": """
         WITH base AS (

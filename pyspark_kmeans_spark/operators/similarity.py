@@ -373,8 +373,32 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _probes(emb), k=5)
 
 
+def q_embedding_lang_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: embeddings ⋈ documents on id, per-language vector
+    count + mean L2 norm.  The norm is rounded to 6 decimals per vector
+    BEFORE the decimal-sum mean so the group aggregate is order-independent
+    and bit-identical across engines.  One equi-join shuffle on the id +
+    one bounded-key agg — linear at any corpus size."""
+    from pyspark_kmeans_spark.functions.exact import decimal_sum
+
+    emb = with_unit_vectors(load_table(spark, sf_dir, "embeddings"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .select("lang", F.round("norm", 6).alias("_nrm"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(decimal_sum("_nrm") / F.count(F.lit(1)), 6).alias(
+                "mean_norm"
+            ),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_cosine": q_ann_topk,
+    "embedding_lang_norms": q_embedding_lang_norms,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
@@ -385,6 +409,19 @@ _COS_SQL = (
 )
 
 ORACLES: dict[str, str] = {
+    "embedding_lang_norms": """
+        WITH n AS (
+            SELECT e.vec_id, d.lang,
+                   ROUND(sqrt(list_aggregate(
+                       list_transform(CAST(e.embedding AS DOUBLE[]), x -> x*x),
+                       'sum')), 6) AS nrm
+            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        )
+        SELECT lang, COUNT(*) AS n_vecs,
+               ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_norm
+        FROM n GROUP BY lang
+    """,
     "ann_topk_cosine": f"""
         WITH scored AS (
             SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
