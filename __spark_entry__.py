@@ -43,7 +43,7 @@ def _registries() -> list:
             )
         except ImportError:
             pass
-    for name in ("streaming.events", "ml.queries", "sources.bucketed"):
+    for name in ("streaming.events", "ml.queries", "ml.quality", "sources.bucketed"):
         try:
             mods.append(
                 __import__(
@@ -94,6 +94,7 @@ _SWEEP_FIRST = [
     "dedup_incremental",
     "embedding_near_dups",
     # 3. remaining no_oracle rows (re-pin row-count determinism)
+    "quality_classifier",
     "kmeans_centers",
     "kmeans_embedding_clusters",
     "dedup_simhash",

@@ -95,3 +95,34 @@ def test_feature_pipeline_model_round_trip(spark, scaled, sf_dir, tmp_path):
     assert sorted((r.c_custkey, tuple(r.f)) for r in a) == sorted(
         (r.c_custkey, tuple(r.f)) for r in b
     )
+
+
+def test_quality_classifier_learns_separable_label(spark, sf_dir):
+    """The hashed-token LR must actually learn the planted weak label
+    (train accuracy >= 0.95) and score every doc exactly once with a
+    probability in [0, 1]."""
+    from pyspark.sql import functions as F
+
+    from pyspark_kmeans_spark.ml.quality import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from pyspark_kmeans_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = F.array_contains(F.split("text", " "), "spark")
+    model = train_quality_classifier(docs, label)
+    scored = score_quality(model, docs)
+    joined = scored.join(
+        docs.select("doc_id", label.cast("int").alias("truth")), on="doc_id"
+    )
+    n = joined.count()
+    assert n == docs.count()
+    acc = (
+        joined.filter(F.col("predicted_label") == F.col("truth")).count() / n
+    )
+    assert acc >= 0.95, f"train accuracy {acc}"
+    bad = joined.filter(
+        (F.col("quality_score") < 0) | (F.col("quality_score") > 1)
+    ).count()
+    assert bad == 0
