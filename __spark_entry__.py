@@ -69,6 +69,7 @@ _SWEEP_FIRST = [
     # 2. changed or added in round 3 (bucket cap / block guard / new queries)
     "curation_pii",
     "curation_pack_sequences",
+    "curation_importance",
     "event_sliding_rollup",
     "order_count_histogram",
     "full_outer_fill",

@@ -274,6 +274,62 @@ def pack_sequences(
     )
 
 
+def importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per doc, the log-likelihood
+    ratio of its tokens under a unigram model of the TARGET (curated)
+    distribution vs the RAW corpus distribution, with add-1 smoothing.
+    Downstream selection keeps/samples docs by descending weight.
+
+    Plan: two word-count groupBys (linear, map-side partial agg), a
+    vocabulary-sized left join + one-row totals cross join to form the
+    per-token log-ratio table, then explode-join-reaggregate per doc.  The
+    ratio table is broadcast (vocabulary-bounded — distinct tokens, not
+    occurrences; DSIR production hashes tokens into 2^16 buckets, making
+    the broadcast side fixed-width at any corpus size).  Per-token ratios
+    are rounded to 6 decimals BEFORE the per-doc decimal sum, so the
+    aggregate is order-independent and engine-exact.
+    """
+    tok = corpus.select(id_col, F.explode(F.split(text_col, " ")).alias("token"))
+    rcnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cr"))
+    tcnt = (
+        target.select(F.explode(F.split(text_col, " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = rcnt.agg(
+        F.sum("cr").alias("nr"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(tcnt.agg(F.sum("ct").alias("nt")))
+    llr = (
+        rcnt.join(tcnt, on="token", how="left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            F.round(
+                F.log((F.coalesce("ct", F.lit(0)) + 1) / (F.col("nt") + F.col("v")))
+                - F.log((F.col("cr") + 1) / (F.col("nr") + F.col("v"))),
+                6,
+            ).alias("w"),
+        )
+    )
+    from pyspark_kmeans_spark.functions.exact import decimal_sum
+
+    return (
+        tok.join(F.broadcast(llr), on="token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(decimal_sum("w"), 6).alias("importance"),
+        )
+    )
+
+
 def build_vocab(
     df: DataFrame,
     min_count: int = 1,
@@ -372,6 +428,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_table(spark, sf_dir, "documents"), budget=512)
 
 
+def q_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stand-in target distribution: the 'src0' source shard (5% of docs) —
+    # real callers pass the curated-reference DataFrame.
+    docs = load_table(spark, sf_dir, "documents")
+    return importance_weights(docs, docs.filter(F.col("source") == "src0"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_dup_ngrams": q_dup_ngrams,
     "curation_repetition": q_repetition,
@@ -379,6 +442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_vocab": q_vocab,
     "curation_pii": q_pii,
     "curation_pack_sequences": q_pack_sequences,
+    "curation_importance": q_importance,
 }
 
 _SH_CTE = """
@@ -465,6 +529,33 @@ ORACLES: dict[str, str] = {
                    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
                    '\\+[0-9][0-9 ]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
         FROM seeded
+    """,
+    "curation_importance": """
+        WITH toks AS (
+            SELECT doc_id, source,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), r AS (
+            SELECT token, count(*) AS cr FROM toks GROUP BY token
+        ), t AS (
+            SELECT token, count(*) AS ct FROM toks
+            WHERE source = 'src0' GROUP BY token
+        ), tot AS (
+            SELECT CAST((SELECT sum(cr) FROM r) AS BIGINT) AS nr,
+                   CAST((SELECT count(*) FROM r) AS BIGINT) AS v,
+                   CAST((SELECT sum(ct) FROM t) AS BIGINT) AS nt
+        ), llr AS (
+            SELECT r.token,
+                   round(ln((coalesce(t.ct, 0) + 1) / (tot.nt + tot.v))
+                         - ln((r.cr + 1) / (tot.nr + tot.v)), 6) AS w
+            FROM r LEFT JOIN t USING (token), tot
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               round(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE), 6)
+                   AS importance
+        FROM toks JOIN llr USING (token)
+        GROUP BY doc_id
     """,
     "curation_pack_sequences": """
         WITH toks AS (

@@ -152,3 +152,23 @@ def test_pack_sequences_planted(spark):
         3: (6, 0, 0),
         4: (1, 1, 1),
     }
+
+
+def test_importance_weights_ranks_target_like_docs(spark):
+    from pyspark_kmeans_spark.operators.curation import importance_weights
+
+    corpus = _docs(
+        spark,
+        [
+            (0, "gold gold gold"),   # target-like
+            (1, "junk junk junk"),   # raw-typical
+            (2, "gold junk gold"),   # mixed
+        ],
+    )
+    target = _docs(spark, [(100, "gold gold gold gold")])
+    got = {
+        r["doc_id"]: r["importance"]
+        for r in importance_weights(corpus, target).collect()
+    }
+    # More target-distribution tokens -> strictly higher weight.
+    assert got[0] > got[2] > got[1]
