@@ -78,6 +78,7 @@ _SWEEP_FIRST = [
     "event_view_click_join",
     "embedding_lang_norms",
     "large_orders",
+    "collection_functions",
     "multimodal_frames",
     "event_segment_rollup",
     "curation_dup_ngrams",

@@ -417,6 +417,39 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array/collection function surface: per-priority sorted value list
+    # (bounded by the segment-count dimension), its slice/size/contains
+    # forms, and a string aggregation — one bounded-key shuffle.
+    orders = _t(spark, sf_dir, "orders")
+    per_seg = (
+        orders.join(
+            _t(spark, sf_dir, "customer"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("o_orderpriority", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_seg.groupBy("o_orderpriority")
+        .agg(
+            F.array_sort(F.collect_list("c_mktsegment")).alias("_segs"),
+            F.sum("n").alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.size("_segs").alias("n_segments"),
+            F.array_contains("_segs", "BUILDING").alias("has_building"),
+            # Array outputs leave the query as joined strings: the driver
+            # value-hash stringifies cells, and list-vs-ndarray reprs
+            # differ between engines' pandas bridges.
+            F.concat_ws("|", F.slice("_segs", 1, 2)).alias("first_two"),
+            F.concat_ws("|", "_segs").alias("segs_joined"),
+        )
+    )
+
+
 def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q18 shape: HAVING over a grouped sum selects the heavy keys,
     # then a join pulls their detail rows.  The HAVING side reduces to the
@@ -561,6 +594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "full_outer_fill": q_full_outer_fill,
     "merge_upsert": q_merge_upsert,
     "large_orders": q_large_orders,
+    "collection_functions": q_collection_functions,
 }
 
 ORACLES: dict[str, str] = {
@@ -761,6 +795,24 @@ ORACLES: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name
+    """,
+    "collection_functions": """
+        WITH per_seg AS (
+            SELECT o_orderpriority, c_mktsegment, COUNT(*) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ), agg AS (
+            SELECT o_orderpriority,
+                   list_sort(list(c_mktsegment)) AS segs,
+                   CAST(SUM(n) AS BIGINT) AS n_orders
+            FROM per_seg GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, n_orders,
+               CAST(len(segs) AS INT) AS n_segments,
+               list_contains(segs, 'BUILDING') AS has_building,
+               array_to_string(segs[1:2], '|') AS first_two,
+               array_to_string(segs, '|') AS segs_joined
+        FROM agg
     """,
     "large_orders": """
         WITH big AS (

@@ -237,3 +237,31 @@ def test_pack_sequences_invariants(spark, docs, budget):
         assert r["seq_id"] == start // budget
         assert r["seq_offset"] == start % budget
         running[r["lang"]] = start + r["n_tokens"]
+
+
+merge_rows_strategy = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=15,
+             unique=True),
+    st.lists(st.integers(min_value=0, max_value=25), min_size=0, max_size=10,
+             unique=True),
+)
+
+
+@given(keys=merge_rows_strategy)
+@settings(**SMALL)
+def test_merge_upsert_algebra(spark, keys):
+    """Updates win on collision, untouched base rows pass through, and the
+    output key set is exactly base ∪ updates with no duplicates."""
+    from pyspark_kmeans_spark.operators.relational import merge_upsert
+
+    base_keys, upd_keys = keys
+    base = spark.createDataFrame(
+        [(k, f"base_{k}") for k in base_keys], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(k, f"upd_{k}") for k in upd_keys], "k long, v string"
+    ) if upd_keys else spark.createDataFrame([], "k long, v string")
+    got = {r["k"]: r["v"] for r in merge_upsert(base, updates, ["k"]).collect()}
+    want = {k: f"base_{k}" for k in base_keys}
+    want.update({k: f"upd_{k}" for k in upd_keys})
+    assert got == want
