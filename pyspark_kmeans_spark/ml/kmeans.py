@@ -160,9 +160,28 @@ def save_clustering_results(
     result: KScanResult,
     feature_names: list[str],
     path: str,
+    *,
+    distributed: bool = False,
 ) -> None:
-    """S3 sink: single-file CSV for the report stage (small data: O(k²·dim)
-    rows, so coalesce(1) is safe)."""
-    results_df(spark, result, feature_names).coalesce(1).write.mode(
-        "overwrite"
-    ).option("header", True).csv(path)
+    """S3 sink: clustering-results CSV.
+
+    Default is a driver-local single-file write — the reference's own form
+    (`utils/kmeans_utils.py:112-130` uses `csv.writer`), and the right one:
+    the data is O(k²·dim) rows, while a Hadoop-path write pays fixed
+    committer/filesystem overhead (measured ~4 s per tiny write on this
+    host) regardless of size.  `distributed=True` keeps the
+    `df.write.csv` directory form for callers that want the results on
+    shared/object storage next to other job output."""
+    if distributed:
+        results_df(spark, result, feature_names).coalesce(1).write.mode(
+            "overwrite"
+        ).option("header", True).csv(path)
+        return
+    import csv
+
+    df = results_df(spark, result, feature_names)
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(df.columns)
+        for row in df.collect():
+            w.writerow(list(row))

@@ -126,3 +126,28 @@ def test_quality_classifier_learns_separable_label(spark, sf_dir):
         (F.col("quality_score") < 0) | (F.col("quality_score") > 1)
     ).count()
     assert bad == 0
+
+
+def test_save_results_both_forms_equivalent(spark, tmp_path):
+    """The driver-local (reference-parity csv.writer) and distributed
+    (df.write.csv) result sinks must produce identical tables."""
+    import pandas as pd
+
+    from pyspark_kmeans_spark.ml.kmeans import (
+        KScanResult,
+        save_clustering_results,
+    )
+    from pyspark_kmeans_spark.reporting import load_results_csv
+
+    r = KScanResult()
+    for k in (2, 3):
+        r.centers[k] = [[float(i + k) for i in range(3)] for _ in range(k)]
+        r.silhouette[k] = 0.5 + k / 10
+    feats = ["f0", "f1", "f2"]
+    local = str(tmp_path / "local.csv")
+    dist = str(tmp_path / "dist_dir")
+    save_clustering_results(spark, r, feats, local)
+    save_clustering_results(spark, r, feats, dist, distributed=True)
+    a = load_results_csv(local).sort_values(["k", "cluster"]).reset_index(drop=True)
+    b = load_results_csv(dist).sort_values(["k", "cluster"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
