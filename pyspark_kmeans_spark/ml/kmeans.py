@@ -171,14 +171,22 @@ def save_clustering_results(
     committer/filesystem overhead (measured ~4 s per tiny write on this
     host) regardless of size.  `distributed=True` keeps the
     `df.write.csv` directory form for callers that want the results on
-    shared/object storage next to other job output."""
-    if distributed:
+    shared/object storage; a `scheme://` path routes there automatically
+    (the driver-local form is posix-only).  Overwrite semantics match the
+    old default: an existing file OR result directory at `path` is
+    replaced, and missing parent directories are created."""
+    if distributed or "://" in path:
         results_df(spark, result, feature_names).coalesce(1).write.mode(
             "overwrite"
         ).option("header", True).csv(path)
         return
     import csv
+    import shutil
 
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     df = results_df(spark, result, feature_names)
     with open(path, "w", newline="") as f:
         w = csv.writer(f)

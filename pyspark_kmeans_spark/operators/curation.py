@@ -202,13 +202,21 @@ def contamination(
 
 
 # PII patterns spelled with explicit ASCII classes (Java regex and DuckDB's
-# RE2 agree on these; \d/\b unicode behavior differs between engines).
-# Ordered: the phone pattern is +-anchored so it cannot overlap IPv4, and
-# neither overlaps the email pattern.
+# RE2 agree on these; \d/\b unicode behavior differs between engines, and
+# RE2 has no lookaround — so segment structure, not lookahead, bounds the
+# matches).  Ordered: the phone pattern is +-anchored so it cannot overlap
+# IPv4, and neither overlaps the email pattern.  Phone = contiguous
+# international form OR +CC then 2-4-digit groups ENDING in a 3-4-digit
+# group — the final-group rule stops the match swallowing a following
+# standalone small number ('+1 555 0100 12 people' keeps the '12').
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": ("[a-zA-Z0-9_.]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+", "<EMAIL>"),
     "ipv4": ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
-    "phone": ("\\+[0-9][0-9 ]{6,}[0-9]", "<PHONE>"),
+    "phone": (
+        "\\+[0-9]{7,15}"
+        "|\\+[0-9]{1,3}([ -][0-9]{2,4}){0,3}[ -][0-9]{3,4}",
+        "<PHONE>",
+    ),
 }
 
 
@@ -295,8 +303,18 @@ def importance_weights(
     the broadcast side fixed-width at any corpus size).  Per-token ratios
     are rounded to 6 decimals BEFORE the per-doc decimal sum, so the
     aggregate is order-independent and engine-exact.
+
+    The exploded token frame feeds BOTH the raw word count and the final
+    per-doc join, so it is registered-persisted (the dedup convention,
+    functions/persist.py) — without it the broadcast-join branch would
+    re-scan and re-tokenize the whole corpus, doubling the heaviest
+    linear pass.
     """
-    tok = corpus.select(id_col, F.explode(F.split(text_col, " ")).alias("token"))
+    from pyspark_kmeans_spark.functions.persist import registered_persist
+
+    tok = registered_persist(
+        corpus.select(id_col, F.explode(F.split(text_col, " ")).alias("token"))
+    )
     rcnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cr"))
     tcnt = (
         target.select(F.explode(F.split(text_col, " ")).alias("token"))
@@ -431,6 +449,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stand-in target distribution: the 'src0' source shard (5% of docs) —
     # real callers pass the curated-reference DataFrame.
+    from pyspark_kmeans_spark.functions.persist import release_persisted
+
+    release_persisted()
     docs = load_table(spark, sf_dir, "documents")
     return importance_weights(docs, docs.filter(F.col("source") == "src0"))
 
@@ -523,11 +544,11 @@ ORACLES: dict[str, str] = {
                len(regexp_extract_all(text,
                    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ipv4,
                len(regexp_extract_all(text,
-                   '\\+[0-9][0-9 ]{6,}[0-9]')) AS n_phone,
+                   '\\+[0-9]{7,15}|\\+[0-9]{1,3}([ -][0-9]{2,4}){0,3}[ -][0-9]{3,4}')) AS n_phone,
                md5(regexp_replace(regexp_replace(regexp_replace(text,
                    '[a-zA-Z0-9_.]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+', '<EMAIL>', 'g'),
                    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
-                   '\\+[0-9][0-9 ]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+                   '\\+[0-9]{7,15}|\\+[0-9]{1,3}([ -][0-9]{2,4}){0,3}[ -][0-9]{3,4}', '<PHONE>', 'g')) AS redacted_md5
         FROM seeded
     """,
     "curation_importance": """

@@ -488,7 +488,25 @@ def merge_upsert(
     AND rewrites every column expression.  Snapshot maintenance at 100 TB
     additionally partitions the output by the key's bucket so tomorrow's
     merge prunes to dirty partitions; the transform is the same.
+
+    Like SQL MERGE / Delta merge, an updates batch with MORE than one row
+    per key is rejected (an eager bounded agg over the update side — same
+    loud-failure convention as dedup's block-size guard): silently passing
+    both rows through would corrupt the snapshot's primary key.
     """
+    dups = (
+        updates.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dups:
+        raise ValueError(
+            f"merge_upsert: updates batch has multiple rows for key "
+            f"{tuple(dups[0][c] for c in key_cols)}; deduplicate the batch "
+            "(e.g. keep the latest by a version column) before merging"
+        )
     untouched = base.join(
         updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
     )

@@ -51,8 +51,9 @@ def sliding_rollup(
 ) -> DataFrame:
     """Sliding (hopping) windows per event_type: with window=2×slide each
     event lands in exactly two overlapping windows.  Works identically on a
-    batch or streaming DataFrame; on a stream the watermark bounds state to
-    the open windows.
+    batch or streaming DataFrame; streaming callers must watermark the
+    input FIRST (use streaming_sliding_rollup) or window state grows
+    unbounded.
 
     Scale: the explode-by-window-multiplicity is partition-local (window /
     slide rows per event, a small constant), and the agg shuffles on
@@ -71,6 +72,16 @@ def sliding_rollup(
             "sum_value",
         )
     )
+
+
+def streaming_sliding_rollup(
+    spark: SparkSession, sf_dir: str, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """The streaming form of sliding_rollup: the watermark closes windows
+    `watermark` behind the max event time and evicts their state — bounded
+    memory at any rate (mirrors streaming_hourly_rollup)."""
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return sliding_rollup(stream)
 
 
 def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:

@@ -116,6 +116,8 @@ def test_redact_pii_planted(spark):
             (1, "host 192.168.0.1 and 10.0.0.2 up"),
             (2, "call +44 20 7946 0958 now"),
             (3, "clean text only"),
+            (4, "call +1 555 0100 12 people attending"),
+            (5, "reach +15551234567 anytime"),
         ],
     )
     got = {
@@ -126,6 +128,9 @@ def test_redact_pii_planted(spark):
     assert got[1] == (0, 2, 0, "host <IP> and <IP> up")
     assert got[2] == (0, 0, 1, "call <PHONE> now")
     assert got[3] == (0, 0, 0, "clean text only")
+    # The final-group rule must not swallow a following standalone number.
+    assert got[4] == (0, 0, 1, "call <PHONE> 12 people attending")
+    assert got[5] == (0, 0, 1, "reach <PHONE> anytime")
 
 
 def test_pack_sequences_planted(spark):

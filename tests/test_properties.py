@@ -265,3 +265,18 @@ def test_merge_upsert_algebra(spark, keys):
     want = {k: f"base_{k}" for k in base_keys}
     want.update({k: f"upd_{k}" for k in upd_keys})
     assert got == want
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark):
+    """A CDC batch with two rows per key must be rejected loudly (SQL
+    MERGE semantics) instead of silently emitting a corrupt snapshot."""
+    import pytest
+
+    from pyspark_kmeans_spark.operators.relational import merge_upsert
+
+    base = spark.createDataFrame([(1, "b")], "k long, v string")
+    updates = spark.createDataFrame(
+        [(1, "u1"), (1, "u2")], "k long, v string"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_upsert(base, updates, ["k"])

@@ -14,11 +14,13 @@ from pyspark_kmeans_spark.streaming.events import (
 )
 
 
-def _run_stream_to_memory(df, name: str, spark):
+def _run_stream_to_memory(df, name: str, spark, output_mode: str = "complete"):
+    # Stream-stream joins only support append mode; aggregations without a
+    # watermark require complete.
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -129,21 +131,22 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         ev.filter(F.col("event_type") == "view"),
         ev.filter(F.col("event_type") == "click"),
     )
-    streamed = _run_stream_to_memory_append(
-        streaming_view_click_join(spark, sf_dir), "stream_vc", spark
+    streamed = _run_stream_to_memory(
+        streaming_view_click_join(spark, sf_dir),
+        "stream_vc",
+        spark,
+        output_mode="append",
     )
     assert _rows(streamed, None) == _rows(batch, None)
     assert streamed.count() > 0
 
 
-def _run_stream_to_memory_append(df, name: str, spark):
-    # Stream-stream joins only support append mode.
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+def test_streaming_sliding_rollup_equals_batch(spark, sf_dir):
+    from pyspark_kmeans_spark.streaming.events import streaming_sliding_rollup
+
+    batch = sliding_rollup(load_table(spark, sf_dir, "events"))
+    streamed = _run_stream_to_memory(
+        streaming_sliding_rollup(spark, sf_dir), "stream_sliding_wm", spark
     )
-    q.awaitTermination(120)
-    return spark.table(name)
+    assert _rows(streamed, None) == _rows(batch, None)
+    assert streamed.count() > 0
