@@ -77,12 +77,19 @@ _persist = registered_persist
 def shingles_col(text_col: str = "text", n: int = 3) -> F.Column:
     """Distinct word n-gram shingles — order-sensitive dedup unit (token
     sets are order-blind; shingles catch reshuffled near-dups).  Pure JVM
-    array expressions."""
+    array expressions.
+
+    try_element_at, not element_at: a doc with fewer than n words makes the
+    guarded sequence still emit i=1, and under Spark 4's default ANSI mode
+    element_at THROWS on the out-of-bounds tail indices instead of
+    returning NULL — a 2-word doc would abort the whole job.  try_element_at
+    yields NULL and concat_ws skips NULLs, producing the short doc's
+    under-length gram exactly like the DuckDB oracle's slice does."""
     words = F.split(F.trim(F.col(text_col)), WS_RE)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(n)]
+            " ", *[F.try_element_at(words, i + j) for j in range(n)]
         ),
     )
     return F.array_distinct(grams)
@@ -249,19 +256,36 @@ def jaccard_pairs(
     )
     docs = _prefix_docs(base, threshold, id_col)
     _check_block_bound(docs, "_block", max_block_rows, "jaccard_pairs")
+    # Candidate join carries ONLY scalars (id, size, prefix token): a doc
+    # with a p-token prefix would otherwise ship p copies of its FULL token
+    # array through the exchange — O(n²·t'/…) bytes per doc.  The arrays
+    # are attached AFTER the candidate dedup by id-joins against the
+    # persisted docs frame (the same ship-arrays-last pattern as
+    # minhash_lsh_pairs' verify stage).
     a = docs.select(
         F.col(id_col).alias("doc_a"),
         "_block",
-        F.col("_ts").alias("_ta"),
         F.col("_n").alias("_na"),
         F.explode("_prefix").alias("_ptok"),
     )
     b = docs.select(
         F.col(id_col).alias("doc_b"),
         "_block",
-        F.col("_ts").alias("_tb"),
         F.col("_n").alias("_nb"),
         F.explode("_prefix").alias("_ptok"),
+    )
+    # Exact size prune: j >= t implies min(|A|,|B|) >= t*max(|A|,|B|) — a
+    # cheap int predicate evaluated before the candidate dedup.
+    size_ok = (F.col("_na") >= F.lit(threshold) * F.col("_nb")) & (
+        F.col("_nb") >= F.lit(threshold) * F.col("_na")
+    )
+    candidates = (
+        a.join(b, on=["_ptok", "_block"])
+        .filter((F.col("doc_a") < F.col("doc_b")) & size_ok)
+        .select("doc_a", "doc_b", "_na", "_nb")
+        # A pair sharing k prefix tokens appears k times — dedup BEFORE the
+        # O(|A|+|B|) intersect so each survivor is verified exactly once.
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     inter = F.size(F.array_intersect("_ta", "_tb"))
     # |A∪B| = |A|+|B|-|A∩B| exactly (both arrays are distinct): one
@@ -269,18 +293,15 @@ def jaccard_pairs(
     # halves the per-pair cost with an identical double result.
     union = F.col("_na") + F.col("_nb") - inter
     jac = inter.cast("double") / union
-    # Exact size prune: j >= t implies min(|A|,|B|) >= t*max(|A|,|B|) — a
-    # cheap int predicate evaluated before the O(|A|+|B|) intersect.
-    size_ok = (F.col("_na") >= F.lit(threshold) * F.col("_nb")) & (
-        F.col("_nb") >= F.lit(threshold) * F.col("_na")
-    )
     return (
-        a.join(b, on=["_ptok", "_block"])
-        .filter((F.col("doc_a") < F.col("doc_b")) & size_ok)
-        .select("doc_a", "doc_b", "_ta", "_tb", "_na", "_nb")
-        # A pair sharing k prefix tokens appears k times — dedup BEFORE the
-        # O(|A|+|B|) intersect so each survivor is verified exactly once.
-        .dropDuplicates(["doc_a", "doc_b"])
+        candidates.join(
+            docs.select(F.col(id_col).alias("doc_a"), F.col("_ts").alias("_ta")),
+            on="doc_a",
+        )
+        .join(
+            docs.select(F.col(id_col).alias("doc_b"), F.col("_ts").alias("_tb")),
+            on="doc_b",
+        )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -326,7 +347,9 @@ def minhash_signatures(
     """(id, sig: array<bigint>) — minhash over distinct tokens.
 
     One xxhash64 per token, then `num_hashes` universal hashes
-    (a*h+b mod 2^61-1) folded with array_min — all JVM expressions, zero
+    (a*h+b mod 2^31-1, matching the 31-bit folded domain — see the module
+    comment on why a wider modulus destroys recall) folded with array_min
+    — all JVM expressions, zero
     Python per row, no shuffle.
     """
     base = hashed_tokens_col(text_col)
@@ -596,44 +619,56 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = 5000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
     Banding: split the 64-bit fingerprint into 4 × 16-bit quarters; any pair
-    with Hamming ≤ 3 must agree exactly on ≥1 quarter (pigeonhole), so an
-    equi-join per quarter finds all of them — no O(n²).
-    """
+    with Hamming ≤ 3 must agree exactly on ≥1 quarter (pigeonhole), so
+    quarter-bucket co-membership finds all of them — no O(n²).
+
+    Same flood-mode shape as MinHash banding, so it uses the SAME
+    grouped-bucket expansion: ONE groupBy(quarter, value) shuffle, buckets
+    larger than `max_bucket` dropped with a logged count (a hot quarter
+    value — e.g. the near-zero fingerprint of templated short docs — would
+    otherwise expand B² pairs), and the Hamming filter applied
+    row-locally BEFORE the pair `distinct`, so only near-dup volume — not
+    every quarter collision — reaches the dedup exchange."""
     sh = simhash(df, id_col=id_col, text_col=text_col)
-    quarters = sh.select(
-        F.col(id_col),
-        "simhash",
+    entries = sh.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(q).alias("q"),
+                        F.lit(q).alias("band"),
                         F.shiftrightunsigned("simhash", q * 16)
                         .bitwiseAND(F.lit(0xFFFF))
-                        .alias("qv"),
+                        .alias("bucket"),
                     )
                     for q in range(4)
                 ]
             )
-        ).alias("qq"),
-    ).select(id_col, "simhash", "qq.q", "qq.qv")
-    left = quarters.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "q", "qv"
+        ).alias("bb"),
+        F.struct(
+            F.col(id_col).alias("id"), F.col("simhash").alias("sh")
+        ).alias("m"),
+    ).select("bb.band", "bb.bucket", "m")
+    grouped = _grouped_buckets(entries, F.col("m"), max_bucket, "simhash_pairs")
+    pairs = grouped.select(
+        "_ms", F.posexplode("_ms").alias("_i", "ma")
+    ).select(
+        "ma",
+        F.explode(F.slice("_ms", F.col("_i") + 2, F.size("_ms"))).alias("mb"),
     )
-    right = quarters.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "q", "qv"
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("ma.sh").bitwiseXOR(F.col("mb.sh")))
     return (
-        left.join(right, on=["q", "qv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .distinct()
+        pairs.select(
+            F.col("ma.id").alias("doc_a"),
+            F.col("mb.id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -643,6 +678,7 @@ def simhash_pairs(
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    release_persisted()
     return duplicate_groups(load_table(spark, sf_dir, "documents"))
 
 
@@ -662,6 +698,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    release_persisted()
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
@@ -865,33 +902,43 @@ def incremental_kept(
     base = _toks(corpus_df, 1).unionByName(_toks(new_df, 0))
     docs = _prefix_docs(base, threshold, id_col)
     _check_block_bound(docs, "_block", max_block_rows, "incremental_kept")
+    # Scalars-only candidate join + attach-arrays-after-dedup — the same
+    # shuffle-volume fix as jaccard_pairs (see there).
     a = docs.select(
         F.col(id_col).alias("_doc_a"),
         "_block",
         "_is_corpus",
-        F.col("_ts").alias("_ta"),
         F.col("_n").alias("_na"),
         F.explode("_prefix").alias("_ptok"),
     )
     b = docs.filter(F.col("_is_corpus") == 0).select(
         F.col(id_col).alias("_doc_b"),
         "_block",
-        F.col("_ts").alias("_tb"),
         F.col("_n").alias("_nb"),
         F.explode("_prefix").alias("_ptok"),
     )
-    inter = F.size(F.array_intersect("_ta", "_tb"))
-    union = F.col("_na") + F.col("_nb") - inter
-    jac = inter.cast("double") / union
     size_ok = (F.col("_na") >= F.lit(threshold) * F.col("_nb")) & (
         F.col("_nb") >= F.lit(threshold) * F.col("_na")
     )
     precedence = (F.col("_is_corpus") == 1) | (F.col("_doc_a") < F.col("_doc_b"))
-    losers = (
+    candidates = (
         a.join(b, on=["_ptok", "_block"])
         .filter(precedence & (F.col("_doc_a") != F.col("_doc_b")) & size_ok)
-        .select("_doc_a", "_doc_b", "_ta", "_tb", "_na", "_nb")
+        .select("_doc_a", "_doc_b", "_na", "_nb")
         .dropDuplicates(["_doc_a", "_doc_b"])
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.col("_na") + F.col("_nb") - inter
+    jac = inter.cast("double") / union
+    losers = (
+        candidates.join(
+            docs.select(F.col(id_col).alias("_doc_a"), F.col("_ts").alias("_ta")),
+            on="_doc_a",
+        )
+        .join(
+            docs.select(F.col(id_col).alias("_doc_b"), F.col("_ts").alias("_tb")),
+            on="_doc_b",
+        )
         .filter(jac >= threshold)
         .select(F.col("_doc_b").alias(id_col))
         .distinct()
@@ -999,8 +1046,25 @@ def incremental_kept_against(
     lsh_incremental_kept (corpus always wins; between batch docs the lower
     id wins; same bucket cap over the combined entries): output equality is
     pinned in tests/test_dedup.py.  `num_hashes`/`seed` must match the
-    values the signature table was built with.
+    values the signature table was built with — the stored signature WIDTH
+    is validated loudly below (a silent mismatch would band past the stored
+    arrays' end, buckets would never collide, and every duplicate batch doc
+    would be kept); the seed cannot be validated from the data and remains
+    the caller's contract.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"incremental_kept_against: num_hashes={num_hashes} is not "
+            f"divisible by bands={bands} — trailing hashes would be "
+            "silently discarded by the band slicing"
+        )
+    first = signatures.select(F.size("sig").alias("_w")).first()
+    if first is not None and first["_w"] != num_hashes:
+        raise ValueError(
+            f"incremental_kept_against: stored signature width {first['_w']} "
+            f"!= num_hashes={num_hashes}; the table was built with different "
+            "MinHash parameters — rebuild it or pass the matching num_hashes"
+        )
     rows_per_band = num_hashes // bands
     bat = _persist(
         build_signature_table(
@@ -1118,6 +1182,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram shingle Jaccard between consecutive doc pairs — the
     order-sensitive dedup signal (linear pair probe; the blocked/LSH
     machinery above scales the same unit to all-pairs)."""
+    release_persisted()
     docs = load_table(spark, sf_dir, "documents")
     a = docs.select(F.col("doc_id").alias("doc_a"), shingles_col(n=3).alias("_sa"))
     b = docs.select(F.col("doc_id").alias("doc_b"), shingles_col(n=3).alias("_sb"))

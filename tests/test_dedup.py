@@ -288,3 +288,40 @@ def test_incremental_lsh_kept_is_subset_of_exact(spark):
     lsh = {r.doc_id for r in lsh_incremental_kept(new, corpus).collect()}
     assert exact and lsh
     assert lsh <= exact, sorted(lsh - exact)[:10]
+
+
+def test_shingles_survive_short_docs(spark):
+    """Docs shorter than the shingle width must yield their under-length
+    gram, not crash — Spark 4's default ANSI mode makes element_at THROW
+    on out-of-bounds, so this pins the try_element_at spelling."""
+    from pyspark_kmeans_spark.operators.dedup import shingles_col
+
+    df = spark.createDataFrame(
+        [(0, "one two"), (1, "a"), (2, "x y z w")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", shingles_col(n=3).alias("s")).collect()
+    }
+    assert got == {0: ["one two"], 1: ["a"], 2: ["x y z", "y z w"]}
+
+
+def test_incremental_kept_against_rejects_mismatched_signature_table(spark):
+    """A stored signature table built with different MinHash width must be
+    rejected loudly — a silent mismatch would keep every duplicate doc."""
+    import pytest
+
+    from pyspark_kmeans_spark.operators.dedup import (
+        build_signature_table,
+        incremental_kept_against,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "f g h i j")], "doc_id long, text string"
+    )
+    sigs = build_signature_table(docs, num_hashes=32)
+    with pytest.raises(ValueError, match="signature width"):
+        incremental_kept_against(sigs, docs, num_hashes=64)
+    with pytest.raises(ValueError, match="not"):
+        incremental_kept_against(sigs, docs, num_hashes=32, bands=7)
