@@ -52,9 +52,38 @@ def _norm(a) -> F.Column:
 
 def with_unit_vectors(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     """Add `vec` (double array) and `norm` columns — compute norms once,
-    not once per pair."""
+    not once per pair.  (`vec` itself is NOT normalized; divide by `norm`
+    where unit geometry is needed, as ivf_topk does for cell routing.)"""
     vec = _as_double(F.col(emb_col))
     return df.withColumn("vec", vec).withColumn("norm", _norm(F.col("vec")))
+
+
+def _cosine() -> F.Column:
+    """The determinism contract, single-sourced (module docstring): cosine
+    over the (pvec, pnorm) probe and (vec, norm) corpus columns in double
+    with a fixed fold, rounded to 6 decimals.  A function, not a module
+    constant — building a Column requires an active session."""
+    return F.round(_dot("pvec", "vec") / (F.col("pnorm") * F.col("norm")), 6)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(probe_id, neighbor_id, cosine) → top-k per probe with stable rank.
+
+    Scale note: the window shuffles every scored candidate and sorts each
+    probe's full candidate set in one task.  For the bucketed paths the
+    candidate set is already pruned (N·L/2^m or N·n_probe_cells/n_cells
+    per probe); for brute force at very large N the single-task sort is
+    the bottleneck — the fix at that scale is a per-shard pre-top-k
+    (rank within (probe, shard), filter ≤ k, then this global rank; any
+    global top-k row is top-k in its shard, so the output is identical)."""
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "cosine")
+    )
 
 
 def cosine_topk(
@@ -66,8 +95,12 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k: (probe_id, neighbor_id, rank, cosine).
 
-    The probe side is broadcast — the corpus never shuffles, so the join is
-    map-side at any corpus size.
+    The probe side is broadcast — the corpus never shuffles, so the scoring
+    join is map-side at any corpus size.  The broadcast is inherent to
+    brute force (every corpus partition must see every probe): |probes|
+    must fit in a broadcast (~low millions of rows); a bigger probe set
+    belongs to lsh_topk / ivf_topk, or the blocked equi-join shape of
+    cosine_near_dup_pairs.
     """
     c = with_unit_vectors(corpus).select(
         F.col(id_col).alias("neighbor_id"), "vec", "norm"
@@ -77,19 +110,11 @@ def cosine_topk(
         F.col("vec").alias("pvec"),
         F.col("norm").alias("pnorm"),
     )
-    cos = F.round(_dot("pvec", "vec") / (F.col("pnorm") * F.col("norm")), 6)
     scored = (
         c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "neighbor_id", cos.alias("cosine"))
+        .select("probe_id", "neighbor_id", _cosine().alias("cosine"))
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "rank", "cosine")
-    )
+    return _rank_topk(scored, k)
 
 
 def _hyperplanes(n: int, dim: int, seed: int = 11) -> list[list[float]]:
@@ -113,7 +138,18 @@ def lsh_cells(
     data); with L tables a neighbor is found if ANY table collides →
     recall = 1-(1-p^m)^L.  Hyperplanes are plan literals — identical on
     every executor, no closure shipping.
+
+    `dim` is validated against the actual vectors (one limit-1 action): a
+    mismatch would zip NULL-padded planes into NULL cell ids, the cell
+    equi-join would never match, and the caller would get a silently empty
+    result instead of this loud failure.
     """
+    first = df.select(F.size(F.col("embedding")).alias("_d")).first()
+    if first is not None and first["_d"] != dim:
+        raise ValueError(
+            f"lsh_cells: vectors are {first['_d']}-dimensional but dim={dim} "
+            "hyperplanes were requested — pass the matching dim"
+        )
     planes = _hyperplanes(n_tables * n_planes, dim, seed)
     out = with_unit_vectors(df)
     cells = []
@@ -165,29 +201,28 @@ def lsh_topk(
         .select("probe_id", "neighbor_id")
         .dropDuplicates(["probe_id", "neighbor_id"])
     )
+    # The probe-vector attach is an EQUI-join on probe_id — no forced
+    # broadcast: the probe set is a caller-sized knob (the registered query
+    # uses 10% of the corpus), and a forced broadcast of 10% of a 100 TB
+    # corpus's vectors dies at the broadcast limit.  AQE broadcasts it
+    # when it is actually small and shuffle-joins otherwise.
     candidates = pairs.join(
         with_unit_vectors(corpus).select(
             F.col(id_col).alias("neighbor_id"), "vec", "norm"
         ),
         on="neighbor_id",
     ).join(
-        F.broadcast(
-            with_unit_vectors(probes).select(
-                F.col(id_col).alias("probe_id"),
-                F.col("vec").alias("pvec"),
-                F.col("norm").alias("pnorm"),
-            )
+        with_unit_vectors(probes).select(
+            F.col(id_col).alias("probe_id"),
+            F.col("vec").alias("pvec"),
+            F.col("norm").alias("pnorm"),
         ),
         on="probe_id",
     )
-    cos = F.round(_dot("pvec", "vec") / (F.col("pnorm") * F.col("norm")), 6)
-    scored = candidates.select("probe_id", "neighbor_id", cos.alias("cosine"))
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "rank", "cosine")
+    scored = candidates.select(
+        "probe_id", "neighbor_id", _cosine().alias("cosine")
     )
+    return _rank_topk(scored, k)
 
 
 def ivf_topk(
@@ -209,13 +244,26 @@ def ivf_topk(
     broadcast; the corpus is assigned once (one pass) and the probe-cell
     join is an equi-join on cell id — shuffle-partitioned, no cross
     product.  Candidate fraction ≈ n_probe_cells / n_cells.
+
+    Cells are built and routed in UNIT space (vectors divided by their
+    norm) because the final metric is cosine: clustering raw vectors
+    separates same-direction/different-magnitude pairs into different
+    cells, routing a probe away from exactly the high-cosine neighbors
+    the query exists to find.
+
+    `n_cells` also bounds the candidate join's parallelism (the join key
+    has n_cells distinct values, each holding ~N/n_cells corpus vectors):
+    the default 16 fits the test corpus; a production corpus sizes
+    n_cells ~ √N (the standard IVF rule), which simultaneously restores
+    join parallelism and per-cell scan cost.
     """
     from pyspark.ml.functions import array_to_vector
 
     from pyspark_kmeans_spark.ml.kmeans import fit_kmeans
 
+    unit = F.transform("vec", lambda x: x / F.col("norm"))
     featurized = with_unit_vectors(corpus).withColumn(
-        "_fv", array_to_vector("vec")
+        "_fv", array_to_vector(unit)
     )
     # Registered persist: the next dedup/similarity query (or an explicit
     # release_persisted()) frees these blocks — a long driver sweep must
@@ -230,19 +278,21 @@ def ivf_topk(
     )
 
     # Each probe's n_probe_cells nearest centroids, by L2 over plan-literal
-    # centroid arrays (centroid count is small by construction).
+    # centroid arrays (centroid count is small by construction) — distances
+    # taken from the probe's UNIT vector, matching the unit-space cells.
     centroids = [c.tolist() for c in model.clusterCenters()]
     p = with_unit_vectors(probes).select(
         F.col(id_col).alias("probe_id"),
         F.col("vec").alias("pvec"),
         F.col("norm").alias("pnorm"),
+        F.transform("vec", lambda x: x / F.col("norm")).alias("_puvec"),
     )
     dists = F.array(
         *[
             F.struct(
                 F.aggregate(
                     F.zip_with(
-                        "pvec",
+                        "_puvec",
                         F.array(*[F.lit(v) for v in c]),
                         lambda x, y: (x - y) * (x - y),
                     ),
@@ -263,19 +313,12 @@ def ivf_topk(
         ),
     )
 
-    cos = F.round(_dot("pvec", "vec") / (F.col("pnorm") * F.col("norm")), 6)
     scored = (
         assigned.join(probe_cells, on="cell")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "neighbor_id", cos.alias("cosine"))
+        .select("probe_id", "neighbor_id", _cosine().alias("cosine"))
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "rank", "cosine")
-    )
-    return out
+    return _rank_topk(scored, k)
 
 
 def cosine_near_dup_pairs(
@@ -313,6 +356,18 @@ def cosine_near_dup_pairs(
     """
     if probes is None:
         probes = df.filter(F.col(id_col) % PROBE_MODULUS == 0)
+    # Pair semantics: every (probe, non-probe) match is reported regardless
+    # of id order — `doc_a < doc_b` alone would silently drop a probe's
+    # matches to SMALLER corpus ids, halving recall for explicit-probes
+    # callers.  The `<` rule applies only between two probes, where the
+    # mirrored pair would otherwise be reported twice.  Probe membership on
+    # the corpus side comes from a broadcast id-only semi-flag join (ids
+    # are small by the definition of the probes knob).
+    probe_ids = F.broadcast(
+        probes.select(F.col(id_col).alias("doc_b"))
+        .distinct()
+        .withColumn("_bp", F.lit(1))
+    )
     # Hash-based block ids: id % B would alias with the probe modulus
     # (multiples of 10 hit only gcd-many residues mod B).
     a = (
@@ -333,12 +388,16 @@ def cosine_near_dup_pairs(
             F.col("norm").alias("nb"),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(corpus_blocks)).alias("_cb"),
         )
+        .join(probe_ids, on="doc_b", how="left")
         .withColumn("_pb", F.explode(F.array(*[F.lit(i) for i in range(probe_blocks)])))
     )
     cos = F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    keep = (F.col("doc_a") != F.col("doc_b")) & (
+        F.col("_bp").isNull() | (F.col("doc_a") < F.col("doc_b"))
+    )
     return (
         a.join(b, on=["_pb", "_cb"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(keep)
         .select("doc_a", "doc_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
@@ -354,16 +413,19 @@ def _probes(emb: DataFrame) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    release_persisted()
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb, _probes(emb), k=5)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    release_persisted()
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(emb, _probes(emb), k=5)
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    release_persisted()
     return cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
@@ -379,8 +441,9 @@ def q_embedding_lang_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the decimal-sum mean so the group aggregate is order-independent
     and bit-identical across engines.  One equi-join shuffle on the id +
     one bounded-key agg — linear at any corpus size."""
-    from pyspark_kmeans_spark.functions.exact import decimal_sum
+    from pyspark_kmeans_spark.functions.exact import exact_avg
 
+    release_persisted()
     emb = with_unit_vectors(load_table(spark, sf_dir, "embeddings"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return (
@@ -389,9 +452,7 @@ def q_embedding_lang_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(decimal_sum("_nrm") / F.count(F.lit(1)), 6).alias(
-                "mean_norm"
-            ),
+            F.round(exact_avg("_nrm"), 6).alias("mean_norm"),
         )
     )
 
@@ -437,10 +498,14 @@ ORACLES: dict[str, str] = {
         )
         SELECT probe_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
     """,
+    # Every (probe, non-probe) match regardless of id order; the a<b rule
+    # applies only between two probes (where the mirrored pair would be
+    # double-reported) — matching cosine_near_dup_pairs.
     "embedding_near_dups": f"""
         SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, ROUND({_COS_SQL}, 6) AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
         WHERE a.vec_id % {PROBE_MODULUS} = 0
+          AND (b.vec_id % {PROBE_MODULUS} != 0 OR a.vec_id < b.vec_id)
           AND ROUND({_COS_SQL}, 6) >= 0.35
     """,
     # ann_lsh_topk: approximate (recall pinned vs brute force in tests).

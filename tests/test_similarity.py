@@ -116,3 +116,46 @@ def test_cosine_near_dup_pairs_probe_parameter(emb):
     ).collect()
     assert {(r.doc_a, r.doc_b) for r in single} <= default
     assert all(one_id in (r.doc_a, r.doc_b) for r in single)
+
+
+def test_near_dup_pairs_explicit_probe_sees_smaller_ids(spark):
+    """An explicit probe must report matches to SMALLER corpus ids too —
+    the old doc_a < doc_b filter silently dropped half of each probe's
+    matches (review fix)."""
+    from pyspark_kmeans_spark.operators.similarity import cosine_near_dup_pairs
+
+    rows = [
+        (7, [1.0, 0.0]),     # near-dup of the probe, smaller id
+        (500, [0.99, 0.1]),  # the probe
+        (900, [0.0, 1.0]),   # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.filter("vec_id = 500")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in cosine_near_dup_pairs(df, 0.9, probes=probes).collect()
+    }
+    assert got == {(500, 7)}
+
+
+def test_probe_probe_pairs_not_double_reported(spark):
+    """Between two probes the mirrored pair must appear once (a < b)."""
+    from pyspark_kmeans_spark.operators.similarity import cosine_near_dup_pairs
+
+    rows = [(1, [1.0, 0.0]), (2, [0.99, 0.05])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [
+        (r.doc_a, r.doc_b)
+        for r in cosine_near_dup_pairs(df, 0.9, probes=df).collect()
+    ]
+    assert got == [(1, 2)]
+
+
+def test_lsh_cells_rejects_dim_mismatch(spark):
+    from pyspark_kmeans_spark.operators.similarity import lsh_cells
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        lsh_cells(df, dim=64)
