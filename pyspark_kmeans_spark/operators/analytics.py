@@ -94,12 +94,16 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         decimal_sum(y * y).alias("sy2"),
         decimal_sum(x * y).alias("sxy"),
     )
+    # try_divide: under default ANSI mode a single-row group (n-1 = 0) or a
+    # constant column (zero corr denominator) would abort the job with
+    # DIVIDE_BY_ZERO; NULL matches what SQL sample moments return there.
     n = F.col("n").cast("double")
-    var = (F.col("sx2") - F.col("sx") * F.col("sx") / n) / (n - 1)
-    covar = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
-    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+    var = F.try_divide(F.col("sx2") - F.col("sx") * F.col("sx") / n, n - 1)
+    covar = F.try_divide(F.col("sxy") - F.col("sx") * F.col("sy") / n, n - 1)
+    corr = F.try_divide(
+        n * F.col("sxy") - F.col("sx") * F.col("sy"),
         F.sqrt(n * F.col("sx2") - F.col("sx") * F.col("sx"))
-        * F.sqrt(n * F.col("sy2") - F.col("sy") * F.col("sy"))
+        * F.sqrt(n * F.col("sy2") - F.col("sy") * F.col("sy")),
     )
     return agg.select(
         "c_mktsegment",
@@ -361,13 +365,27 @@ def q_event_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parallelism equals the series count — a pipeline with few series and
     years of hours would chunk the fill (fill per (series, month) with a
     carried seed) rather than one window per series.
+
+    `hourly` feeds BOTH the bounds branch and the spine join; it is
+    registered-persisted (group-count-sized, cheap) because the two
+    branches prune different columns, producing non-identical exchanges
+    Spark cannot reuse — without the persist the full events scan and
+    aggregation run twice.
     """
     from pyspark.sql import Window
 
+    from pyspark_kmeans_spark.functions.persist import (
+        registered_persist,
+        release_persisted,
+    )
+
+    release_persisted()
     ev = _t(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("hr"), "event_type"
-    ).agg(decimal_sum("value").alias("sum_value"))
+    hourly = registered_persist(
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hr"), "event_type").agg(
+            decimal_sum("value").alias("sum_value")
+        )
+    )
     bounds = hourly.groupBy("event_type").agg(
         F.min("hr").alias("h0"), F.max("hr").alias("h1")
     )

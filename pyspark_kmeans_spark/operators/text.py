@@ -59,6 +59,10 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     All ratios are exact int/int IEEE divisions; the composite is rounded to
     6 decimals so the oracle comparison is robust to expression reordering.
+
+    try_divide, not `/`: under Spark 4's default ANSI mode a zero-length
+    document would otherwise abort the whole job with DIVIDE_BY_ZERO;
+    try_divide yields NULL, matching DuckDB's x/0 → NULL.
     """
     length = F.length(F.col(text_col))
     n_tokens = F.size(F.split(F.trim(F.col(text_col)), WS_RE))
@@ -66,10 +70,10 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_punct = _count("[^a-zA-Z0-9_ \\t\\n]", text_col)
     n_upper = _count("[A-Z]", text_col)
     n_stop = _count(LANG_PATTERNS["en"], text_col)
-    avg_token_len = n_word_chars.cast("double") / n_tokens
-    punct_ratio = n_punct.cast("double") / length
-    upper_ratio = n_upper.cast("double") / length
-    stop_ratio = n_stop.cast("double") / n_tokens
+    avg_token_len = F.try_divide(n_word_chars.cast("double"), n_tokens)
+    punct_ratio = F.try_divide(n_punct.cast("double"), length)
+    upper_ratio = F.try_divide(n_upper.cast("double"), length)
+    stop_ratio = F.try_divide(n_stop.cast("double"), n_tokens)
     score = (
         F.least(n_tokens.cast("double") / 100, F.lit(1.0)) * 0.4
         + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * 0.3
@@ -99,7 +103,9 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = df
     for lang in sorted(scores):
         out = out.withColumn(f"score_{lang}", scores[lang])
-    return out.withColumn("pred_lang", pred)
+    # NULL text leaves every score NULL and no when-branch fires; fall
+    # through to 'zh' exactly like the oracle CASE's ELSE arm.
+    return out.withColumn("pred_lang", F.coalesce(pred, F.lit("zh")))
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -195,6 +201,7 @@ def chunk_documents(
     stride: int = CHUNK_STRIDE,
     id_col: str = "doc_id",
     text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split documents into overlapping token-window chunks — the unit a
     training pipeline feeds a tokenizer with bounded sequence length.
@@ -204,6 +211,10 @@ def chunk_documents(
     expressions (split → sequence → explode → slice): one scan, no
     shuffle, output rows ≈ n_tokens/stride per doc — linear at any corpus
     size and partition-local.
+
+    `extra_cols` pass through to every chunk row — carrying a grouping key
+    (e.g. lang) here is free, while recovering it downstream would take a
+    doc_id join that re-runs the whole upstream pipeline.
     """
     toks = F.split(F.trim(F.col(text_col)), WS_RE)
     starts = F.sequence(
@@ -211,10 +222,13 @@ def chunk_documents(
     )
     chunk = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, window)
     return (
-        df.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+        df.select(
+            F.col(id_col), *extra_cols, toks.alias("_toks"), F.size(toks).alias("_n")
+        )
         .withColumn("chunk_id", F.explode(starts))
         .select(
             id_col,
+            *extra_cols,
             "chunk_id",
             F.size(chunk).alias("n_chunk_tokens"),
             F.array_join(chunk, " ").alias("chunk_text"),
@@ -250,7 +264,9 @@ def tfidf_top_terms(
     terms = df.select(
         F.col(id_col),
         F.explode(
-            F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
+            )
         ).alias("term"),
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -303,15 +319,15 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality_score") >= QUALITY_KEEP_THRESHOLD
     )
     kept = exact_dedup(filtered).select("doc_id", "lang", "text")
-    chunks = chunk_documents(kept)
-    return (
-        chunks.join(kept.select("doc_id", "lang"), on="doc_id")
-        .groupBy("lang")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum("n_chunk_tokens").alias("n_tokens"),
-        )
+    # lang rides through the chunker, so the rollup groups directly —
+    # the previous doc_id join back to `kept` re-ran the whole
+    # filter+fingerprint+dedup subtree a second time (plan showed two full
+    # scans and zero exchange reuse) just to recover this one column.
+    chunks = chunk_documents(kept, extra_cols=("lang",))
+    return chunks.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("n_tokens"),
     )
 
 

@@ -64,3 +64,22 @@ def test_resample_ffill_planted(spark):
     assert out[hours[0]] == (False, 5.0)
     assert out[hours[1]] == (True, 5.0)   # the gap, carried forward
     assert out[hours[2]] == (False, 7.0)
+
+
+def test_stats_agg_single_row_group_yields_null_not_crash(spark):
+    """A segment with one customer (n-1 = 0) must produce NULL sample
+    moments, not an ANSI DIVIDE_BY_ZERO abort (review fix)."""
+    from pyspark_kmeans_spark.operators import analytics as mod
+
+    df = spark.createDataFrame(
+        [(1, "X", 10.0, 3), (2, "Y", 5.0, 1), (3, "Y", 7.0, 2)],
+        "c_custkey long, c_mktsegment string, c_acctbal double, c_nationkey int",
+    )
+    orig = mod._t
+    mod._t = lambda spark, sf_dir, name: df
+    try:
+        got = {r.c_mktsegment: r for r in mod.q_stats_agg(spark, "unused").collect()}
+    finally:
+        mod._t = orig
+    assert got["X"]["var_acctbal"] is None   # n=1 -> NULL, no crash
+    assert got["Y"]["var_acctbal"] is not None

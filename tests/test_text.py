@@ -46,3 +46,19 @@ def test_tfidf_ranks_distinctive_terms_first(spark):
     # can never outrank a rarer term.
     assert top[1] == "zebra"
     assert top[3] == "unique"
+
+
+def test_quality_survives_empty_and_null_docs(spark):
+    """Zero-length and NULL text must yield NULL ratios / fallthrough lang,
+    not an ANSI DIVIDE_BY_ZERO job abort (review fix)."""
+    from pyspark_kmeans_spark.operators.text import with_lang_id, with_quality
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "real text here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in with_quality(df).collect()}
+    assert got[0]["punct_ratio"] is None  # 0-length denominator -> NULL
+    assert got[2]["punct_ratio"] is not None
+    langs = {r.doc_id: r.pred_lang for r in with_lang_id(df).collect()}
+    assert langs[1] == "zh"  # NULL text falls through like the oracle CASE
