@@ -36,55 +36,79 @@ def asof_join(
     left_time: str,
     right_time: str,
     right_values: list[str],
-    tolerance: None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row of the same key with
     right_time <= left_time (at-or-before semantics).
 
-    Returns all left columns + `right_values` (null when no prior right row).
+    Returns all left columns + `right_values` (null when no prior right
+    row).  Semantic contracts (each latently wrong in the round-2 form):
+
+     - The attached values come from ONE right row, carried as a single
+       struct through the window — per-column last() could tear values
+       from different right rows when some columns are null.
+     - NULL keys follow SQL join semantics: a NULL-keyed left row attaches
+       nothing and NULL-keyed right rows match nothing (the union-sort
+       window would otherwise pair them with each other).
+     - `tolerance` (an INTERVAL string, e.g. '7 days') bounds the
+       lookback like pandas merge_asof: a match older than
+       left_time − tolerance comes back as NULL.
+
+    Ties at equal right_time resolve to the lexicographically greatest
+    (right_values…) tuple — deterministic on both engines.
     """
-    lt = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
-    rt = (
-        right.select(
-            F.col(right_key).alias(left_key),
-            F.col(right_time).alias("_t"),
-            *[F.col(v) for v in right_values],
-        )
-        .withColumn("_side", F.lit(0))
-    )
-    # Align schemas for the union: left misses right_values, right misses
-    # left's payload columns.
     payload = [c for c in left.columns if c != left_key]
-    for v in right_values:
-        lt = lt.withColumn(f"_rv_{v}", F.lit(None).cast(right.schema[v].dataType))
-    lt = lt.select(
-        F.col(left_key), "_t", "_side",
-        *[F.col(c).alias(f"_lp_{c}") for c in payload],
-        *[F.col(f"_rv_{v}").alias(f"_rv_{v}") for v in right_values],
+    r_struct_type = (
+        "struct<_rt:"
+        + right.schema[right_time].dataType.simpleString()
+        + ","
+        + ",".join(
+            f"{v}:{right.schema[v].dataType.simpleString()}" for v in right_values
+        )
+        + ">"
     )
-    rt = rt.select(
-        F.col(left_key), "_t", "_side",
-        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_lp_{c}") for c in payload],
-        *[F.col(v).alias(f"_rv_{v}") for v in right_values],
+    lt = left.select(
+        F.col(left_key),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c).alias(f"_lp_{c}") for c in payload],
+        F.lit(None).cast(r_struct_type).alias("_r"),
+    )
+    rt = right.filter(F.col(right_key).isNotNull()).select(
+        F.col(right_key).alias(left_key),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"_lp_{c}")
+            for c in payload
+        ],
+        F.struct(
+            F.col(right_time).alias("_rt"),
+            *[F.col(v) for v in right_values],
+        ).alias("_r"),
     )
     unioned = lt.unionByName(rt)
     # Order: time asc, right rows (side 0) before left rows at equal time →
     # a right row exactly at left_time IS visible.  Within equal
-    # (time, side), later right rows win via the value sort key below.
+    # (time, side), later right rows win via the struct sort (lexicographic
+    # over (_rt, *right_values)).
     w = (
         Window.partitionBy(left_key)
-        .orderBy(F.col("_t").asc(), F.col("_side").asc(), *[
-            F.col(f"_rv_{v}").asc_nulls_first() for v in right_values
-        ])
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = unioned
-    for v in right_values:
-        out = out.withColumn(f"_last_{v}", F.last(f"_rv_{v}", ignorenulls=True).over(w))
+    last_r = F.last("_r", ignorenulls=True).over(w)
+    if tolerance is not None:
+        last_r = F.when(
+            last_r["_rt"] >= F.col("_t") - F.expr(f"INTERVAL {tolerance}"),
+            last_r,
+        )
+    matched = F.when(F.col(left_key).isNotNull(), last_r)
+    out = unioned.withColumn("_last", matched)
     return out.filter(F.col("_side") == 1).select(
         F.col(left_key),
         *[F.col(f"_lp_{c}").alias(c) for c in payload],
-        *[F.col(f"_last_{v}").alias(f"last_{v}") for v in right_values],
+        *[F.col("_last")[v].alias(f"last_{v}") for v in right_values],
     )
 
 

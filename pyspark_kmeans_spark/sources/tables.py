@@ -19,6 +19,31 @@ from pyspark.sql import functions as F
 from pyspark_kmeans_spark.schemas import ALWAYS_BROADCAST_TABLES, TESTDATA_TABLES
 
 
+def normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Adapt events.ts to plain TimestampType whatever the parquet footer
+    says — the driver has shipped TIMESTAMP(NANOS) in some rounds and
+    TIMESTAMP(MICROS) in others.  Shared by the batch loader and the
+    streaming reader so the two paths cannot drift.
+
+    NANOS is rejected by Spark's reader unless nanosAsLong is on; set it at
+    read time — the caller (e.g. the verify driver) may hand us an untuned
+    session.  The session-level mutation is deliberate and one-way: the
+    conf is consulted lazily at scan planning, so "restoring" it after this
+    call would corrupt the returned (lazy) DataFrame."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # long-ns → timestamp; integer DIV (not /) because ns epochs
+        # exceed double's 2^53 mantissa.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type == "timestamp_ntz":
+        # Session tz is pinned UTC, so NTZ→TZ keeps the wall clock AND
+        # the instant; downstream code expects plain TimestampType.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
@@ -28,26 +53,13 @@ def load_table(
 ) -> DataFrame:
     """Read one driver parquet table; optionally tag it broadcast-able."""
     if name == "events":
-        # The driver has shipped events.ts as TIMESTAMP(NANOS) in some
-        # rounds and TIMESTAMP(MICROS) in others — adapt to the footer
-        # instead of assuming.  NANOS is rejected by Spark's reader unless
-        # nanosAsLong is on; set it at read time — the caller (e.g. the
-        # verify driver) may hand us an untuned session.
-        # Session-level mutation is deliberate and one-way: the conf is
-        # consulted lazily at scan planning/execution, so "restoring" it
-        # after this call would corrupt the returned (lazy) DataFrame.
+        # The conf must be on BEFORE the read: footer schema resolution is
+        # eager and rejects TIMESTAMP(NANOS) without it.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_type = dict(df.dtypes)["ts"]
-        if ts_type == "bigint":
-            # long-ns → timestamp; integer DIV (not /) because ns epochs
-            # exceed double's 2^53 mantissa.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        elif ts_type == "timestamp_ntz":
-            # Session tz is pinned UTC, so NTZ→TZ keeps the wall clock AND
-            # the instant; downstream code expects plain TimestampType.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_event_ts(
+            spark, spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        )
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if broadcast_hint or name in ALWAYS_BROADCAST_TABLES:

@@ -102,14 +102,25 @@ def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source streaming read of the events table (ns- and µs-footer
-    safe).  maxFilesPerTrigger simulates incremental arrival in tests."""
+    safe, via the same normalize_event_ts the batch loader uses — the two
+    paths cannot drift).
+
+    `max_files_per_trigger` is OFF by default: it is a test/backfill
+    throttle (simulate incremental arrival), and baking it in would cap a
+    production backlog at one file per micro-batch regardless of cluster
+    size."""
+    from pyspark_kmeans_spark.sources.tables import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Streaming sources need a declared schema; the driver has shipped ts as
-    # TIMESTAMP(NANOS) (→ bigint under nanosAsLong) in some rounds and
-    # TIMESTAMP(MICROS) in others — peek at the batch-read footer and
-    # declare what is actually there.
+    # Streaming sources need a declared schema — peek at the batch-read
+    # footer and declare what is actually there.
     ts_type = dict(
         spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
     )["ts"]
@@ -119,19 +130,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # File streaming sources require a directory; select just the events
     # table out of the shared sf_dir via a glob filter.
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(raw_schema).option(
+        "pathGlobFilter", "events.parquet"
     )
-    if ts_type == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
-    elif ts_type == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return normalize_event_ts(spark, reader.parquet(sf_dir))
 
 
 def streaming_hourly_rollup(
@@ -151,10 +155,13 @@ def segment_rollup(events: DataFrame, customer: DataFrame) -> DataFrame:
 
     The dimension side is BROADCAST — the canonical stream-static join is
     stateless (no streaming state at all: each micro-batch hash-joins
-    against the small static side), and Structured Streaming re-plans the
-    static side per micro-batch, so dimension updates flow in without a
-    query restart.  The windowed agg shuffles on (window, segment) —
-    bounded cardinality at any stream rate."""
+    against the small static side).  Structured Streaming re-plans the
+    static side per micro-batch, which re-reads the files the dimension's
+    listing already knows about — updates to EXISTING files flow in, but
+    newly ADDED dimension files are not discovered without recreating the
+    static DataFrame (a Delta/Iceberg table, whose snapshot is re-resolved
+    per batch, lifts that limit).  The windowed agg shuffles on
+    (window, segment) — bounded cardinality at any stream rate."""
     dim = F.broadcast(
         customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
     )
@@ -219,20 +226,25 @@ def view_click_join(
 
 
 def streaming_view_click_join(
-    spark: SparkSession, sf_dir: str, *, horizon: str = "1 hour"
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
 ) -> DataFrame:
     """The real stream-stream form: two watermarked streams over the same
     source, inner-joined within the horizon.  Watermarks bound both join
-    state stores."""
+    state stores; `watermark` is the lateness tolerance knob, same as the
+    sibling streaming_* entry points."""
     views = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "view")
-        .withWatermark("ts", "2 hours")
+        .withWatermark("ts", watermark)
     )
     clicks = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
-        .withWatermark("ts", "2 hours")
+        .withWatermark("ts", watermark)
     )
     return view_click_join(views, clicks, horizon=horizon)
 

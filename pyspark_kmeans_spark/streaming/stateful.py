@@ -6,6 +6,13 @@ State is one (count, sum) pair per user — O(distinct users) memory,
 partitioned by user across executors.  Each micro-batch emits the updated
 totals for the users it touched (update semantics), so downstream sees a
 changelog of per-user lifetime counters.
+
+The running sum is carried as INTEGER MICRO-UNITS (value × 1e6, the same
+6-decimal grain as functions/exact.py's DECIMAL(18,6) convention): a float
+accumulator would make the lifetime total depend on micro-batch boundaries
+and arrival order, so a restarted or re-partitioned stream could emit
+last-ulp-different totals than the batch aggregation this operator claims
+equivalence with.
 """
 
 from __future__ import annotations
@@ -29,7 +36,7 @@ OUTPUT_SCHEMA = T.StructType(
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),
-        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("sum_micros", T.LongType()),
     ]
 )
 
@@ -38,12 +45,18 @@ def _update_user_totals(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
-    n, s = state.get if state.exists else (0, 0.0)
+    n, micros = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
-    state.update((n, s))
-    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "sum_value": [s]})
+        micros += int((pdf["value"] * 1_000_000).round().astype("int64").sum())
+    state.update((n, micros))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value": [micros / 1_000_000],
+        }
+    )
 
 
 def running_user_totals(events_stream: DataFrame) -> DataFrame:

@@ -280,3 +280,51 @@ def test_merge_upsert_rejects_duplicate_update_keys(spark):
     )
     with pytest.raises(ValueError, match="multiple rows"):
         merge_upsert(base, updates, ["k"])
+
+
+def test_asof_join_contracts(spark):
+    """Row-atomic attachment (no tearing), SQL NULL-key semantics, and the
+    tolerance bound (review fixes)."""
+    from pyspark_kmeans_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-10"),
+            (None, "2024-01-10"),   # NULL key: must attach nothing
+            (2, "2024-06-01"),      # only an old right row: tolerance test
+        ],
+        "k long, lt string",
+    ).selectExpr("k", "CAST(lt AS TIMESTAMP) AS lt")
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 10.0, 111),
+            (1, "2024-01-05", None, 222),  # latest: a=NULL, b=222
+            (None, "2024-01-01", 99.0, 999),  # NULL key: must match nothing
+            (2, "2024-01-01", 5.0, 555),
+        ],
+        "k long, rt string, a double, b long",
+    ).selectExpr("k", "CAST(rt AS TIMESTAMP) AS rt", "a", "b")
+
+    out = {
+        (r["k"], str(r["lt"])): (r["last_a"], r["last_b"])
+        for r in asof_join(
+            left, right, left_key="k", right_key="k",
+            left_time="lt", right_time="rt", right_values=["a", "b"],
+        ).collect()
+    }
+    # Whole latest row (a=NULL, b=222) — NOT the torn (10.0, 222).
+    assert out[(1, "2024-01-10 00:00:00")] == (None, 222)
+    assert out[(None, "2024-01-10 00:00:00")] == (None, None)
+    assert out[(2, "2024-06-01 00:00:00")] == (5.0, 555)
+
+    bounded = {
+        r["k"]: (r["last_a"], r["last_b"])
+        for r in asof_join(
+            left, right, left_key="k", right_key="k",
+            left_time="lt", right_time="rt", right_values=["a", "b"],
+            tolerance="30 days",
+        ).collect()
+        if r["k"] == 2
+    }
+    # The only match is 5 months old -> outside tolerance -> NULL.
+    assert bounded[2] == (None, None)
