@@ -94,6 +94,13 @@ def kmeans_scan(
     NOT wiped (the reference rm-rf'ed it — utils/kmeans_utils.py:95-98; we
     treat model paths as immutable artifacts and use overwrite()).
     """
+    if k_min < 2 or k_max < k_min:
+        # Fail HERE, not as best_k()'s bare max()-of-empty after the whole
+        # data-prep pipeline has already run.
+        raise ValueError(
+            f"kmeans_scan: invalid k range [{k_min}, {k_max}] — need "
+            "2 <= k_min <= k_max"
+        )
     if cache:
         data = data.persist(StorageLevel.MEMORY_AND_DISK)
     result = KScanResult()
@@ -129,28 +136,50 @@ def kmeans_scan(
 
 def load_kmeans_model(path: str) -> KMeansModel:
     """S5: model source (utils/kmeans_utils.py:133-143) — raises instead of
-    the reference's sys.exit(1) so callers can handle the miss."""
-    if not os.path.exists(path):
+    the reference's sys.exit(1) so callers can handle the miss.  The local
+    existence pre-check only applies to posix paths: a `scheme://` model
+    location (HDFS/S3) is handed straight to KMeansModel.load, which
+    resolves it through the Hadoop filesystem."""
+    if "://" not in path and not os.path.exists(path):
         raise FileNotFoundError(f"no persisted k-means model at {path}")
     return KMeansModel.load(path)
 
 
-def results_df(
-    spark: SparkSession, result: KScanResult, feature_names: list[str]
-) -> DataFrame:
-    """S3: the clustering_results.csv contract as a DataFrame —
-    header ['k','score',*features], one row per (k, center), k ascending,
-    centers in MLlib index order (utils/kmeans_utils.py:123-130).
-    A `cluster` index column is added (the reference relied on file order —
-    SURVEY.md §2.5 W1; an explicit key survives any partitioning)."""
+def _result_header_and_rows(
+    result: KScanResult, feature_names: list[str]
+) -> tuple[list[str], list[tuple]]:
+    """The clustering_results contract, shared by the DataFrame and the
+    driver-local CSV forms: header ['k','cluster','score',*features], one
+    row per (k, center), k ascending, centers in MLlib index order."""
+    header = ["k", "cluster", "score", *feature_names]
     rows = []
     for k in sorted(result.centers):
         for idx, center in enumerate(result.centers[k]):
             rows.append(
                 (k, idx, float(result.silhouette[k]), *[float(x) for x in center])
             )
-    schema = "k int, cluster int, score double, " + ", ".join(
-        f"`{name}` double" for name in feature_names
+    return header, rows
+
+
+def results_df(
+    spark: SparkSession, result: KScanResult, feature_names: list[str]
+) -> DataFrame:
+    """S3: the clustering_results.csv contract as a DataFrame (see
+    _result_header_and_rows; utils/kmeans_utils.py:123-130).
+    A `cluster` index column is added (the reference relied on file order —
+    SURVEY.md §2.5 W1; an explicit key survives any partitioning).
+    The schema is built as a StructType, not a DDL string — zero features
+    or exotic column names must not produce an unparseable schema."""
+    from pyspark.sql import types as T
+
+    header, rows = _result_header_and_rows(result, feature_names)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("score", T.DoubleType()),
+            *[T.StructField(name, T.DoubleType()) for name in feature_names],
+        ]
     )
     return spark.createDataFrame(rows, schema)
 
@@ -187,9 +216,11 @@ def save_clustering_results(
         shutil.rmtree(path)
     parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
-    df = results_df(spark, result, feature_names)
+    # The rows already live on the driver — write them directly; a
+    # createDataFrame+collect round trip would pay a Spark job in the very
+    # sink that exists to avoid Spark write overhead.
+    header, rows = _result_header_and_rows(result, feature_names)
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(df.columns)
-        for row in df.collect():
-            w.writerow(list(row))
+        w.writerow(header)
+        w.writerows(rows)

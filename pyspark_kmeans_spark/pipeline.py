@@ -87,13 +87,24 @@ def run(
         )
         save_clustering_results(spark, result, features, config.results_path)
 
-        data_pd = reporting.load_results_csv(config.results_path)
+        # spark handle for the read-back: a scheme:// results_path was
+        # written as a csv directory on shared storage, which pandas
+        # cannot list.
+        data_pd = reporting.load_results_csv(config.results_path, spark=spark)
         report = reporting.generate_report_text(data_pd)
+        # Reference parity (pyspark_kmeans.py:33-40): the success email
+        # carries the rendered report as an attachment, not only as body.
+        report_path = None
+        if "://" not in config.results_path:
+            report_path = config.results_path + ".report.txt"
+            with open(report_path, "w") as f:
+                f.write(report)
         msg = reporting.generate_email(
             config.email_sender,
             config.email_recipient,
             "Kmeans Spark Scanning Completed",
             report,
+            attachment_path=report_path,
         )
         if email_transport is not None:
             reporting.send_email(msg, transport=email_transport)

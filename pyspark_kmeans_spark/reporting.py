@@ -61,19 +61,37 @@ def distinct_ks(results: DataFrame) -> list[int]:
 # --------------------------------------------------------------------------
 
 
-def load_results_csv(path: str) -> pd.DataFrame:
+def load_results_csv(path: str, spark=None) -> pd.DataFrame:
     """S6 (utils/reports.py:44): read the clustering-results CSV.  Accepts
-    either a file or a Spark csv output directory."""
+    a local file, a local Spark csv output directory (ALL part files are
+    read and concatenated — reading only part-00000 silently drops rows
+    whenever the writer used more than one task), or — when a
+    SparkSession is passed — a `scheme://` directory on shared storage
+    (pandas cannot list object-store keys)."""
+    if "://" in path:
+        if spark is None:
+            raise ValueError(
+                f"load_results_csv: {path} needs a SparkSession to read "
+                "non-local storage (pass spark=...)"
+            )
+        return spark.read.option("header", True).csv(path).toPandas()
     if os.path.isdir(path):
-        parts = [f for f in os.listdir(path) if f.endswith(".csv")]
+        parts = sorted(f for f in os.listdir(path) if f.endswith(".csv"))
         if not parts:
             raise FileNotFoundError(f"no csv part files in {path}")
-        path = os.path.join(path, sorted(parts)[0])
+        frames = [pd.read_csv(os.path.join(path, p)) for p in parts]
+        return pd.concat(frames, ignore_index=True)
     return pd.read_csv(path)
 
 
 def melt_centers_pandas(data: pd.DataFrame) -> pd.DataFrame:
-    """W1+W2 in the reference's pandas spelling (utils/reports.py:83-88)."""
+    """W1+W2 in the reference's pandas spelling (utils/reports.py:83-88).
+
+    Cluster numbering: a reference-shaped CSV (no cluster column) gets the
+    reference's 1-based cumcount labels; this engine's results_df carries
+    an explicit 0-based `cluster` column which is used as-is — the two
+    conventions are deliberate (bit-compat vs explicit-key) and reports
+    label whichever the input carried."""
     data = data.copy()
     if "cluster" not in data.columns:
         data["cluster"] = data.groupby("k").cumcount() + 1
@@ -166,6 +184,9 @@ def write_minimal_pdf(lines: list[str], out_path: str, *, title: str = "report")
         objects.append(
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
         )
+    # Document info dict — where the `title` parameter actually lands.
+    objects.append(f"<< /Title ({_pdf_escape(title)}) >>".encode("latin-1"))
+    info_id = len(objects)
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
@@ -178,8 +199,8 @@ def write_minimal_pdf(lines: list[str], out_path: str, *, title: str = "report")
     for off in offsets[1:]:
         out += b"%010d 00000 n \n" % off
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, xref_at)
+        b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, info_id, xref_at)
     )
     with open(out_path, "wb") as f:
         f.write(bytes(out))

@@ -119,13 +119,34 @@ def compact_parquet(
     swapping at the catalog/manifest level is the safe production form
     (an in-place overwrite that fails mid-write destroys the table);
     returns the output file count.
+
+    Hive-style directory partitioning in the source (`key=value`
+    subdirectories) is DETECTED and preserved with `partitionBy` on the
+    rewrite — silently flattening it would trade the partition pruning
+    this module's own writers establish for slightly fewer files.
     """
     import math
+    import os
 
     df = spark.read.parquet(src_path)
+    partition_cols = []
+    if "://" not in src_path and os.path.isdir(src_path):
+        d = src_path
+        while True:
+            subdirs = [
+                n for n in os.listdir(d)
+                if "=" in n and os.path.isdir(os.path.join(d, n))
+            ]
+            if not subdirs:
+                break
+            partition_cols.append(subdirs[0].split("=", 1)[0])
+            d = os.path.join(d, subdirs[0])
     # Source byte size from the file listing (metadata only, no data pass).
     n_files = max(1, math.ceil(_dir_bytes(src_path) / target_file_bytes))
-    df.coalesce(n_files).write.mode(mode).parquet(dest_path)
+    writer = df.coalesce(n_files).write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(dest_path)
     return n_files
 
 

@@ -151,3 +151,10 @@ def test_save_results_both_forms_equivalent(spark, tmp_path):
     a = load_results_csv(local).sort_values(["k", "cluster"]).reset_index(drop=True)
     b = load_results_csv(dist).sort_values(["k", "cluster"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_kscan_rejects_invalid_k_range(scaled):
+    from pyspark_kmeans_spark.ml.kmeans import kmeans_scan
+
+    with pytest.raises(ValueError, match="invalid k range"):
+        kmeans_scan(scaled, k_min=6, k_max=2)

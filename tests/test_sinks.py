@@ -137,3 +137,27 @@ def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
     files = [f for f in os.listdir(dest) if f.endswith(".parquet")]
     assert n_out == 1 and len(files) == 1
     assert spark.read.parquet(dest).count() == orders.count()
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    """Compacting a hive-partitioned table must keep the key=value layout
+    (and thus PartitionFilters pruning), not flatten it (review fix)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_kmeans_spark.sources.sinks import compact_parquet
+
+    df = spark.range(100).withColumn("part", (F.col("id") % 3).cast("int"))
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    df.write.partitionBy("part").parquet(src)
+    compact_parquet(spark, src, dest)
+    assert sorted(
+        n for n in os.listdir(dest) if n.startswith("part=")
+    ) == ["part=0", "part=1", "part=2"]
+    back = spark.read.parquet(dest)
+    assert back.count() == 100
+    assert back.filter(F.col("part") == 1).count() == df.filter(
+        F.col("part") == 1
+    ).count()
