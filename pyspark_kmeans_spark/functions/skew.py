@@ -29,11 +29,23 @@ def salted_agg(
 
     sum_cols maps output name → input column/expression; output also gets
     `n_rows`.  Use when one key value dominates the distribution.
+
+    The salt is a CONTENT hash of the whole row, not a positional id:
+    monotonically_increasing_id is order-dependent, so a partial recompute
+    after a shuffle-fetch failure could re-salt rows differently and
+    double-count or drop them in the final aggregate (the classic
+    repartition-by-nondeterministic-key hazard; same fix as the
+    partitioned-write salt in sources/sinks.py).  Limitation: rows that are
+    bit-identical across EVERY column share a salt, so a hot key whose rows
+    are exact duplicates does not spread — such inputs should carry any
+    distinguishing column (an event id, an offset) into the frame.
     """
     exprs = {
         name: (F.col(c) if isinstance(c, str) else c) for name, c in sum_cols.items()
     }
-    salted = df.withColumn("_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt)))
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt))
+    )
     partial = salted.groupBy(*keys, "_salt").agg(
         *[F.sum(e.cast(DEC)).alias(f"_s_{name}") for name, e in exprs.items()],
         F.count(F.lit(1)).alias("_n"),

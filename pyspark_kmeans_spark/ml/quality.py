@@ -68,13 +68,15 @@ def train_quality_classifier(
     return quality_pipeline(text_col=text_col).fit(labeled)
 
 
-def score_quality(model: PipelineModel, docs: DataFrame) -> DataFrame:
+def score_quality(
+    model: PipelineModel, docs: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
     """Score documents: P(label=1) extracted from the probability vector.
     Pure transform — no shuffle, broadcastable model, linear at any size."""
     from pyspark.ml.functions import vector_to_array
 
     return model.transform(docs).select(
-        "doc_id",
+        id_col,
         F.round(vector_to_array("probability")[1], 6).alias("quality_score"),
         F.col("prediction").cast("int").alias("predicted_label"),
     )
@@ -90,7 +92,10 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iterative LBFGS fit → no_oracle; the rows-only check pins shape +
     row-count determinism (one row per doc)."""
     docs = load_table(spark, sf_dir, "documents")
-    label = F.array_contains(F.split("text", " "), "spark")
+    # Label via the SAME tokenization Tokenizer applies (lowercase, split
+    # on \s+): a case- or whitespace-divergent label would disagree with
+    # the features on mixed-case corpora and break separability.
+    label = F.array_contains(F.split(F.lower("text"), "\\s+"), "spark")
     model = train_quality_classifier(docs, label)
     return score_quality(model, docs)
 

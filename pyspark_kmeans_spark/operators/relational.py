@@ -122,7 +122,11 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("o_orderstatus").alias("status_upper"),
         F.substring("o_orderpriority", 1, 1).alias("priority_code"),
         F.length("o_orderpriority").alias("priority_len"),
-        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        # F.concat (NULL-propagating) to match the oracle's `||` — concat_ws
+        # skips NULL args and would silently diverge on null inputs.
+        F.concat("o_orderstatus", F.lit("-"), "o_orderpriority").alias(
+            "status_priority"
+        ),
     )
 
 

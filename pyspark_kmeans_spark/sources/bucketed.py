@@ -32,8 +32,12 @@ from pyspark_kmeans_spark.sources.tables import load_table
 N_BUCKETS = 8
 
 # Repo-local warehouse: the driver's session has whatever cwd it was
-# launched from, so the bucketed copies get an absolute path.
-_WAREHOUSE = "/root/repo/spark-warehouse"
+# launched from, so the bucketed copies get an absolute path — derived
+# from this module's location, not hardcoded to one checkout path.
+_WAREHOUSE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "spark-warehouse",
+)
 
 # (table, join key, projected columns) — project BEFORE writing: the
 # bucketed copy is a narrow covering layout for the revenue join, not a
@@ -44,9 +48,18 @@ _BUCKET_SPECS = {
 }
 
 
-def bucketed_name(table: str, sf_dir: str) -> str:
-    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
-    return f"{table}_bucketed_{tag}"
+def bucketed_name(table: str, sf_dir: str, n_buckets: int = N_BUCKETS) -> str:
+    """Cache key for the materialized copy.  Both the FULL absolute path
+    (two sf_dirs sharing a basename must not reuse each other's copy) and
+    the bucket count (an existing 8-bucket table must not satisfy a
+    16-bucket request — the join would silently regain its Exchange) are
+    part of the name."""
+    import hashlib
+
+    abs_dir = os.path.abspath(sf_dir.rstrip("/"))
+    leaf = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(abs_dir))
+    path_tag = hashlib.md5(abs_dir.encode()).hexdigest()[:8]
+    return f"{table}_bucketed_{leaf}_{path_tag}_b{n_buckets}"
 
 
 def ensure_bucketed_tables(
@@ -61,7 +74,7 @@ def ensure_bucketed_tables(
     """
     out: dict[str, DataFrame] = {}
     for table, (key, cols) in _BUCKET_SPECS.items():
-        name = bucketed_name(table, sf_dir)
+        name = bucketed_name(table, sf_dir, n_buckets)
         if not spark.catalog.tableExists(name):
             (
                 load_table(spark, sf_dir, table)

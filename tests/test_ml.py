@@ -110,7 +110,7 @@ def test_quality_classifier_learns_separable_label(spark, sf_dir):
     from pyspark_kmeans_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    label = F.array_contains(F.split("text", " "), "spark")
+    label = F.array_contains(F.split(F.lower("text"), "\\s+"), "spark")
     model = train_quality_classifier(docs, label)
     scored = score_quality(model, docs)
     joined = scored.join(
