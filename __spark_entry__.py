@@ -67,6 +67,9 @@ _SWEEP_FIRST = [
     "multimodal_features",
     "grouping_sets",
     # 2. changed or added in round 3 (bucket cap / block guard / new queries)
+    "source_quota_sample",
+    "training_order",
+    "dedup_semantic",
     "curation_pii",
     "curation_pack_sequences",
     "curation_importance",

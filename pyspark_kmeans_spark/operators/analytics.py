@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_kmeans_spark.functions.exact import decimal_sum
@@ -266,6 +266,128 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket == "0").select("doc_id", "lang")
 
 
+def source_quota_sample(
+    df: DataFrame,
+    quota: int,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    prefilter_factor: int | None = None,
+) -> DataFrame:
+    """Per-source document cap (the RefinedWeb-style anti-domination rule:
+    no single source may contribute more than `quota` docs).  The kept set
+    is the `quota` rows with the smallest md5(id) per source — a pure
+    function of the data, stable across runs/partitionings/engines, unlike
+    df.sampleBy.
+
+    Scale shape: the window sorts each source inside one task, so the
+    biggest source bounds task memory.  For a 100 TB corpus pass
+    `prefilter_factor` (e.g. 4): rows are first cut to those whose 12-hex-
+    digit hash prefix falls under factor·quota/|source| of the hash space
+    (per-source counts via one bounded-key agg, broadcast back) — the
+    window then sorts ~factor·quota survivors per source instead of
+    |source|.  The prefilter is probabilistic, so a loud guard verifies no
+    source lost kept-set rows (P(fail) ≈ e^{-quota·(factor−1)²/2factor},
+    vanishing for factor ≥ 2) — silent wrongness is not on the table.
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    base = df
+    if prefilter_factor is not None:
+        counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_src_n"))
+        hash48 = F.conv(F.substring(key, 1, 12), 16, 10).cast("long")
+        cut = (
+            F.lit(float(prefilter_factor * quota) * float(1 << 48))
+            / F.col("_src_n")
+        ).cast("long")
+        base = (
+            df.join(F.broadcast(counts), on=source_col)
+            .filter((hash48 < cut) | (F.col("_src_n") <= prefilter_factor * quota))
+            .drop("_src_n")
+        )
+        survivors = base.groupBy(source_col).agg(F.count(F.lit(1)).alias("_kept"))
+        short = (
+            survivors.join(F.broadcast(counts), on=source_col)
+            .filter(F.col("_kept") < F.least(F.lit(quota), F.col("_src_n")))
+            .first()
+        )
+        if short is not None:
+            raise ValueError(
+                f"source_quota_sample: prefilter under-selected source "
+                f"{short[0]} ({short['_kept']} survivors < quota) — raise "
+                "prefilter_factor"
+            )
+    w = Window.partitionBy(source_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
+
+
+SOURCE_QUOTA = 40
+
+
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at SOURCE_QUOTA docs, deterministically."""
+    docs = _t(spark, sf_dir, "documents")
+    return source_quota_sample(docs, SOURCE_QUOTA).select(
+        "doc_id", "source", "lang"
+    )
+
+
+def training_order(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    `position` (1-based, gap-free) under the total order
+    (md5(epoch:id), id) — reproducible epoch shuffling for training-data
+    writes, independent of partitioning or engine.
+
+    A naive global row_number needs a single-task sort of the whole
+    corpus.  Instead: rows hash into `n_buckets` ordered by their 2-hex
+    hash prefix (a PREFIX of the sort key, so bucket-major order IS the
+    global order), each bucket is ranked independently (parallel window),
+    and bucket offsets come from one tiny bucket-count agg windowed over
+    n_buckets rows and broadcast back.  Two linear shuffles, sort tasks
+    bounded by N/n_buckets.
+    """
+    key = F.md5(F.concat(F.lit(f"{epoch}:"), F.col(id_col).cast("string")))
+    bucket = F.substring(key, 1, 2)
+    keyed = df.withColumn("_key", key).withColumn("_bkt", bucket)
+    offsets = (
+        keyed.groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_n")
+    )
+    w = Window.partitionBy("_bkt").orderBy(F.col("_key").asc(), F.col(id_col).asc())
+    return (
+        keyed.join(F.broadcast(offsets), on="_bkt")
+        .withColumn("position", F.col("_offset") + F.row_number().over(w))
+        .drop("_key", "_bkt", "_offset")
+    )
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-0 global shuffle order over the documents table."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return training_order(docs)
+
+
 # Per-lang keep rates out of 256 md5 buckets: up/down-sampling mix a
 # training-data pipeline uses to rebalance language composition.
 STRATA_BUCKETS_OF_256 = {"de": 64, "en": 128, "es": 32, "fr": 16, "zh": 8}
@@ -421,6 +543,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_agg": q_salted_agg,
     "deterministic_sample": q_deterministic_sample,
     "stratified_sample": q_stratified_sample,
+    "source_quota_sample": q_source_quota_sample,
+    "training_order": q_training_order,
     "order_gap_stats": q_order_gap_stats,
     "cube_agg": q_cube,
     "rollup_agg": q_rollup,
@@ -503,6 +627,24 @@ ORACLES: dict[str, str] = {
     "deterministic_sample": """
         SELECT doc_id, lang FROM documents
         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    """,
+    "source_quota_sample": f"""
+        SELECT doc_id, source, lang FROM (
+            SELECT doc_id, source, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= {SOURCE_QUOTA}
+    """,
+    "training_order": """
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC
+               ) AS position
+        FROM documents
     """,
     "stratified_sample": """
         SELECT doc_id, lang FROM documents

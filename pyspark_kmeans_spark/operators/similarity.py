@@ -321,6 +321,87 @@ def ivf_topk(
     return _rank_topk(scored, k)
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    *,
+    n_cells: int = 16,
+    seed: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    embedding clusters.  K-means partitions the corpus in UNIT space; only
+    WITHIN-cluster pairs are scored (the paper's core trick — semantic
+    duplicates land in the same cluster, so the quadratic is bounded by
+    cluster size, not corpus size); any row with cosine ≥ threshold to a
+    smaller-id row in its cluster is dropped (greedy lowest-id keeper, the
+    same one-hop rule as dedup.near_dedup_kept).
+
+    Returns (id, cell, kept) for every corpus row — kept=false rows are
+    the semantic duplicates.  At 100 TB: centroids broadcast, assignment
+    is one map-side pass, the pair join is an equi-join on cell; size
+    n_cells ~ N/target_cluster_size so per-cell candidate volume
+    (~(N/n_cells)²) stays bounded — the knob the paper itself tunes (its
+    production runs use tens of thousands of clusters).
+    """
+    from pyspark.ml.functions import array_to_vector
+
+    from pyspark_kmeans_spark.ml.kmeans import fit_kmeans
+
+    unit = F.transform("vec", lambda x: x / F.col("norm"))
+    featurized = registered_persist(
+        with_unit_vectors(corpus).withColumn("_fv", array_to_vector(unit))
+    )
+    model = fit_kmeans(featurized, n_cells, seed=seed, features_col="_fv")
+    assigned = model.transform(featurized).select(
+        F.col(id_col), "vec", "norm", F.col("prediction").alias("cell")
+    )
+    # Slim candidate join (id, cell), vectors attached after — the same
+    # ship-arrays-last shape as lsh_topk; scoring only a < b halves work.
+    a = assigned.select(F.col(id_col).alias("_ida"), "cell")
+    b = assigned.select(F.col(id_col).alias("_idb"), "cell")
+    pairs = a.join(b, on="cell").filter(F.col("_ida") < F.col("_idb"))
+    scored = (
+        pairs.join(
+            assigned.select(
+                F.col(id_col).alias("_ida"),
+                F.col("vec").alias("pvec"),
+                F.col("norm").alias("pnorm"),
+            ),
+            on="_ida",
+        )
+        .join(
+            assigned.select(F.col(id_col).alias("_idb"), "vec", "norm"),
+            on="_idb",
+        )
+        .select("_ida", "_idb", _cosine().alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    dropped = scored.select(F.col("_idb").alias(id_col)).distinct()
+    return assigned.select(id_col, "cell").join(
+        dropped.withColumn("_d", F.lit(1)), on=id_col, how="left"
+    ).select(
+        id_col, "cell", F.col("_d").isNull().alias("kept")
+    )
+
+
+# Same working point as embedding_near_dups: the synthetic embeddings are
+# well-spread (max pairwise cosine ≈ 0.51 at sf0.01), so the paper's
+# ≈0.95 near-identical threshold would drop nothing — 0.35 exercises the
+# drop path with a few-percent duplicate rate.
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table (no_oracle: k-means cells are
+    engine-specific; invariants — kept is the greedy min-id rule given the
+    cells, and recall vs within-cell brute force — are pinned in
+    tests/test_similarity.py)."""
+    release_persisted()
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, SEMDEDUP_THRESHOLD)
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.35,
@@ -463,6 +544,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "dedup_semantic": q_dedup_semantic,
 }
 
 _COS_SQL = (

@@ -83,3 +83,57 @@ def test_stats_agg_single_row_group_yields_null_not_crash(spark):
         mod._t = orig
     assert got["X"]["var_acctbal"] is None   # n=1 -> NULL, no crash
     assert got["Y"]["var_acctbal"] is not None
+
+
+def test_source_quota_prefilter_path_equals_plain(spark, sf_dir):
+    """The hash-threshold prefilter (the 100 TB form) must select the exact
+    same rows as the plain window, and the quota must hold per source."""
+    from pyspark_kmeans_spark.operators.analytics import source_quota_sample
+    from pyspark_kmeans_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plain = sorted(
+        r.doc_id for r in source_quota_sample(docs, 25).select("doc_id").collect()
+    )
+    pre = sorted(
+        r.doc_id
+        for r in source_quota_sample(docs, 25, prefilter_factor=4)
+        .select("doc_id")
+        .collect()
+    )
+    assert plain == pre
+    counts = (
+        source_quota_sample(docs, 25)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 25 for r in counts)
+
+
+def test_training_order_is_gap_free_permutation_of_global_sort(spark, sf_dir):
+    import hashlib
+
+    from pyspark_kmeans_spark.operators.analytics import training_order
+    from pyspark_kmeans_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    rows = training_order(docs).collect()
+    assert sorted(r.position for r in rows) == list(range(1, len(rows) + 1))
+    got = [r.doc_id for r in sorted(rows, key=lambda r: r.position)]
+    want = sorted(
+        (r.doc_id for r in rows),
+        key=lambda i: (hashlib.md5(f"0:{i}".encode()).hexdigest(), i),
+    )
+    assert got == want
+
+
+def test_training_order_epochs_differ(spark, sf_dir):
+    from pyspark_kmeans_spark.operators.analytics import training_order
+    from pyspark_kmeans_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    e0 = [r.doc_id for r in sorted(training_order(docs, epoch=0).collect(), key=lambda r: r.position)]
+    e1 = [r.doc_id for r in sorted(training_order(docs, epoch=1).collect(), key=lambda r: r.position)]
+    assert sorted(e0) == sorted(e1)
+    assert e0 != e1

@@ -159,3 +159,50 @@ def test_lsh_cells_rejects_dim_mismatch(spark):
     )
     with pytest.raises(ValueError, match="dim"):
         lsh_cells(df, dim=64)
+
+
+def test_semantic_dedup_greedy_rule_matches_brute_force(spark, sf_dir):
+    """Given the cells the operator itself assigned, the kept/dropped split
+    must equal the brute-force greedy rule: dropped iff a smaller-id row in
+    the same cell has cosine >= threshold."""
+    from pyspark_kmeans_spark.operators.similarity import (
+        SEMDEDUP_THRESHOLD,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, SEMDEDUP_THRESHOLD).collect()
+    cells = {r.vec_id: r.cell for r in out}
+    kept = {r.vec_id: r.kept for r in out}
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    assert set(cells) == set(vecs)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    n_dropped = 0
+    for vid, cell in cells.items():
+        expect_drop = any(
+            other < vid
+            and cells[other] == cell
+            and cos(vecs[other], vecs[vid]) >= SEMDEDUP_THRESHOLD
+            for other in cells
+        )
+        assert kept[vid] == (not expect_drop), vid
+        n_dropped += int(expect_drop)
+    assert n_dropped > 0  # threshold calibrated to exercise the drop path
+
+
+def test_semantic_dedup_deterministic(spark, sf_dir):
+    from pyspark_kmeans_spark.operators.similarity import (
+        SEMDEDUP_THRESHOLD,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, semantic_dedup(emb, SEMDEDUP_THRESHOLD).collect()))
+    b = sorted(map(tuple, semantic_dedup(emb, SEMDEDUP_THRESHOLD).collect()))
+    assert a == b
