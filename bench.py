@@ -50,6 +50,9 @@ HEADLINE = [
     "curation_dup_ngrams",
     "curation_contamination",
     "event_segment_rollup",
+    "dedup_semantic",
+    "source_quota_sample",
+    "training_order",
 ]
 
 

@@ -16,6 +16,7 @@ Pivot is a single groupBy with conditional aggregates — one shuffle.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -348,15 +349,22 @@ def training_order(
     writes, independent of partitioning or engine.
 
     A naive global row_number needs a single-task sort of the whole
-    corpus.  Instead: rows hash into `n_buckets` ordered by their 2-hex
-    hash prefix (a PREFIX of the sort key, so bucket-major order IS the
+    corpus.  Instead: rows hash into `n_buckets` (a power of 16, so the
+    bucket is a hex PREFIX of the sort key and bucket-major order IS the
     global order), each bucket is ranked independently (parallel window),
     and bucket offsets come from one tiny bucket-count agg windowed over
     n_buckets rows and broadcast back.  Two linear shuffles, sort tasks
-    bounded by N/n_buckets.
+    bounded by N/n_buckets — deepen n_buckets (4096, 65536) as the corpus
+    grows.
     """
+    digits = round(math.log(n_buckets, 16))
+    if 16**digits != n_buckets:
+        raise ValueError(
+            f"training_order: n_buckets={n_buckets} must be a power of 16 "
+            "(the bucket is a hex prefix of the md5 sort key)"
+        )
     key = F.md5(F.concat(F.lit(f"{epoch}:"), F.col(id_col).cast("string")))
-    bucket = F.substring(key, 1, 2)
+    bucket = F.substring(key, 1, digits)
     keyed = df.withColumn("_key", key).withColumn("_bkt", bucket)
     offsets = (
         keyed.groupBy("_bkt")

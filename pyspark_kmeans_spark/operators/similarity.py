@@ -399,7 +399,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py)."""
     release_persisted()
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, SEMDEDUP_THRESHOLD)
+    # X1-style partition control (same rationale as q_kmeans_centers): the
+    # test corpus is thousands of rows, so letting every k-means iteration
+    # schedule 32 near-empty tasks dominates wall-clock; a production run
+    # sizes partitions to the corpus instead.
+    return semantic_dedup(emb.coalesce(8), SEMDEDUP_THRESHOLD)
 
 
 def cosine_near_dup_pairs(

@@ -137,3 +137,19 @@ def test_training_order_epochs_differ(spark, sf_dir):
     e1 = [r.doc_id for r in sorted(training_order(docs, epoch=1).collect(), key=lambda r: r.position)]
     assert sorted(e0) == sorted(e1)
     assert e0 != e1
+
+
+def test_training_order_bucket_depths_agree(spark, sf_dir):
+    """n_buckets=16 and n_buckets=256 must produce the identical order
+    (the bucket is only a parallelism knob, never a semantics knob)."""
+    import pytest as _pytest
+
+    from pyspark_kmeans_spark.operators.analytics import training_order
+    from pyspark_kmeans_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    b16 = sorted(map(tuple, training_order(docs, n_buckets=16).collect()))
+    b256 = sorted(map(tuple, training_order(docs, n_buckets=256).collect()))
+    assert b16 == b256
+    with _pytest.raises(ValueError, match="power of 16"):
+        training_order(docs, n_buckets=100).count()
