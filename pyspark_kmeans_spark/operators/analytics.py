@@ -294,28 +294,50 @@ def source_quota_sample(
     key = F.md5(F.col(id_col).cast("string"))
     base = df
     if prefilter_factor is not None:
-        counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_src_n"))
+        from pyspark_kmeans_spark.functions.persist import registered_persist
+
+        # eqNullSafe join key: a NULL source is its own window partition in
+        # the plain path, so the prefilter path must keep it too — a plain
+        # equi-join would silently drop every NULL-source row.
+        counts = registered_persist(
+            df.groupBy(F.col(source_col).alias("_src")).agg(
+                F.count(F.lit(1)).alias("_src_n")
+            )
+        )
         hash48 = F.conv(F.substring(key, 1, 12), 16, 10).cast("long")
         cut = (
             F.lit(float(prefilter_factor * quota) * float(1 << 48))
             / F.col("_src_n")
         ).cast("long")
-        base = (
-            df.join(F.broadcast(counts), on=source_col)
+        base = registered_persist(
+            df.join(
+                F.broadcast(counts),
+                F.col(source_col).eqNullSafe(F.col("_src")),
+            )
             .filter((hash48 < cut) | (F.col("_src_n") <= prefilter_factor * quota))
-            .drop("_src_n")
+            .drop("_src", "_src_n")
         )
-        survivors = base.groupBy(source_col).agg(F.count(F.lit(1)).alias("_kept"))
+        # Guard from the COUNTS side (left join + coalesce 0): a source
+        # whose survivors dropped all the way to zero is absent from the
+        # survivor agg, and an inner join would hide exactly the worst
+        # under-selection.  `base` is persisted above so this eager action
+        # does not recompute the corpus scan for the caller's real run.
+        survivors = base.groupBy(F.col(source_col).alias("_src2")).agg(
+            F.count(F.lit(1)).alias("_kept")
+        )
         short = (
-            survivors.join(F.broadcast(counts), on=source_col)
+            counts.join(
+                survivors, F.col("_src").eqNullSafe(F.col("_src2")), "left"
+            )
+            .withColumn("_kept", F.coalesce(F.col("_kept"), F.lit(0)))
             .filter(F.col("_kept") < F.least(F.lit(quota), F.col("_src_n")))
             .first()
         )
         if short is not None:
             raise ValueError(
                 f"source_quota_sample: prefilter under-selected source "
-                f"{short[0]} ({short['_kept']} survivors < quota) — raise "
-                "prefilter_factor"
+                f"{short['_src']} ({short['_kept']} survivors < quota) — "
+                "raise prefilter_factor"
             )
     w = Window.partitionBy(source_col).orderBy(key.asc(), F.col(id_col).asc())
     return (

@@ -225,6 +225,30 @@ def lsh_topk(
     return _rank_topk(scored, k)
 
 
+def _kmeans_cells(corpus: DataFrame, n_cells: int, seed: int, id_col: str):
+    """Fit unit-space k-means cells and assign every corpus row.
+
+    Returns (assigned, model): assigned is (id_col, vec, norm, cell).
+    Unit space (vec/norm) because the consumers' metric is cosine —
+    clustering raw vectors separates same-direction/different-magnitude
+    pairs into different cells.  The featurized frame is registered-
+    persisted (fit iterates over it; the registry frees it when the next
+    query runs).  Shared by ivf_topk and semantic_dedup."""
+    from pyspark.ml.functions import array_to_vector
+
+    from pyspark_kmeans_spark.ml.kmeans import fit_kmeans
+
+    unit = F.transform("vec", lambda x: x / F.col("norm"))
+    featurized = registered_persist(
+        with_unit_vectors(corpus).withColumn("_fv", array_to_vector(unit))
+    )
+    model = fit_kmeans(featurized, n_cells, seed=seed, features_col="_fv")
+    assigned = model.transform(featurized).select(
+        F.col(id_col), "vec", "norm", F.col("prediction").alias("cell")
+    )
+    return assigned, model
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -257,24 +281,9 @@ def ivf_topk(
     n_cells ~ √N (the standard IVF rule), which simultaneously restores
     join parallelism and per-cell scan cost.
     """
-    from pyspark.ml.functions import array_to_vector
-
-    from pyspark_kmeans_spark.ml.kmeans import fit_kmeans
-
-    unit = F.transform("vec", lambda x: x / F.col("norm"))
-    featurized = with_unit_vectors(corpus).withColumn(
-        "_fv", array_to_vector(unit)
-    )
-    # Registered persist: the next dedup/similarity query (or an explicit
-    # release_persisted()) frees these blocks — a long driver sweep must
-    # not accumulate featurized corpora (VERDICT r1 item 6).
-    featurized = registered_persist(featurized)
-    model = fit_kmeans(featurized, n_cells, seed=seed, features_col="_fv")
-    assigned = model.transform(featurized).select(
-        F.col(id_col).alias("neighbor_id"),
-        "vec",
-        "norm",
-        F.col("prediction").alias("cell"),
+    cells, model = _kmeans_cells(corpus, n_cells, seed, id_col)
+    assigned = cells.select(
+        F.col(id_col).alias("neighbor_id"), "vec", "norm", "cell"
     )
 
     # Each probe's n_probe_cells nearest centroids, by L2 over plan-literal
@@ -344,18 +353,7 @@ def semantic_dedup(
     (~(N/n_cells)²) stays bounded — the knob the paper itself tunes (its
     production runs use tens of thousands of clusters).
     """
-    from pyspark.ml.functions import array_to_vector
-
-    from pyspark_kmeans_spark.ml.kmeans import fit_kmeans
-
-    unit = F.transform("vec", lambda x: x / F.col("norm"))
-    featurized = registered_persist(
-        with_unit_vectors(corpus).withColumn("_fv", array_to_vector(unit))
-    )
-    model = fit_kmeans(featurized, n_cells, seed=seed, features_col="_fv")
-    assigned = model.transform(featurized).select(
-        F.col(id_col), "vec", "norm", F.col("prediction").alias("cell")
-    )
+    assigned, _ = _kmeans_cells(corpus, n_cells, seed, id_col)
     # Slim candidate join (id, cell), vectors attached after — the same
     # ship-arrays-last shape as lsh_topk; scoring only a < b halves work.
     a = assigned.select(F.col(id_col).alias("_ida"), "cell")

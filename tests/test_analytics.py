@@ -153,3 +153,44 @@ def test_training_order_bucket_depths_agree(spark, sf_dir):
     assert b16 == b256
     with _pytest.raises(ValueError, match="power of 16"):
         training_order(docs, n_buckets=100).count()
+
+
+def test_source_quota_prefilter_keeps_null_sources(spark):
+    """NULL source is its own window partition in the plain path; the
+    prefilter path must keep it too (eqNullSafe join, review fix)."""
+    from pyspark_kmeans_spark.operators.analytics import source_quota_sample
+
+    rows = [(i, None if i % 2 else "s") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plain = sorted(r.doc_id for r in source_quota_sample(df, 5).collect())
+    pre = sorted(
+        r.doc_id
+        for r in source_quota_sample(df, 5, prefilter_factor=8).collect()
+    )
+    assert plain == pre
+    assert sum(1 for i in plain if i % 2) == 5  # 5 NULL-source keepers
+
+
+def test_source_quota_prefilter_guard_catches_wiped_source(spark):
+    """A source whose survivors drop to ZERO must trip the loud guard, not
+    silently vanish (review fix: guard joins from the counts side)."""
+    import hashlib
+
+    from pyspark_kmeans_spark.operators.analytics import source_quota_sample
+
+    # Ids whose 12-hex md5 prefix is in the TOP 40% of hash space: with
+    # quota=1, factor=2 and 5 docs the cut is 2/5 of the space, so every
+    # row of this source is prefiltered away -> 0 survivors < quota.
+    high = [
+        i
+        for i in range(10_000)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        > int(0.6 * (1 << 48))
+    ][:5]
+    df = spark.createDataFrame(
+        [(i, "wiped") for i in high], "doc_id long, source string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="under-selected"):
+        source_quota_sample(df, 1, prefilter_factor=2)
