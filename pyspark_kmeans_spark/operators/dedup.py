@@ -471,20 +471,48 @@ def _bucket_candidates(
     max_bucket: int | None,
     caller: str,
     id_col: str,
+    *,
+    n_col: str | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Distinct candidate (doc_a, doc_b) pairs (doc_a < doc_b) from banded
     bucket entries — no self-join: posexplode each sorted member list and
     pair every member with its tail slice, partition-local after the single
     groupBy shuffle.  Per-row memory is O(bucket size) (the tail slice),
-    never O(bucket²)."""
-    grouped = _grouped_buckets(entries, F.col(id_col), max_bucket, caller)
+    never O(bucket²).
+
+    With `n_col`/`threshold` the member structs carry each doc's token
+    count and the exact size prune (j ≥ t ⟹ min(n) ≥ t·max(n)) runs
+    DURING pair expansion — failing pairs never reach the candidate
+    distinct or the token-array verify joins, instead of being carried
+    through both and filtered at the end."""
+    if n_col is None:
+        grouped = _grouped_buckets(entries, F.col(id_col), max_bucket, caller)
+        return (
+            grouped.select("_ms", F.posexplode("_ms").alias("_i", "doc_a"))
+            .select(
+                "doc_a",
+                F.explode(
+                    F.slice("_ms", F.col("_i") + 2, F.size("_ms"))
+                ).alias("doc_b"),
+            )
+            .distinct()
+        )
+    member = F.struct(F.col(id_col).alias("_id"), F.col(n_col).alias("_sz"))
+    grouped = _grouped_buckets(entries, member, max_bucket, caller)
+    expanded = grouped.select(
+        "_ms", F.posexplode("_ms").alias("_i", "_a")
+    ).select(
+        "_a",
+        F.explode(F.slice("_ms", F.col("_i") + 2, F.size("_ms"))).alias("_b"),
+    )
+    size_ok = (
+        F.col("_a._sz") >= F.lit(threshold) * F.col("_b._sz")
+    ) & (F.col("_b._sz") >= F.lit(threshold) * F.col("_a._sz"))
     return (
-        grouped.select("_ms", F.posexplode("_ms").alias("_i", "doc_a"))
+        expanded.filter(size_ok)
         .select(
-            "doc_a",
-            F.explode(
-                F.slice("_ms", F.col("_i") + 2, F.size("_ms"))
-            ).alias("doc_b"),
+            F.col("_a._id").alias("doc_a"), F.col("_b._id").alias("doc_b")
         )
         .distinct()
     )
@@ -541,14 +569,17 @@ def minhash_lsh_pairs(
     sig = _sig_col(F.col("_toks"), num_hashes=num_hashes, seed=seed)
     candidates = _bucket_candidates(
         band_entries_from_sig(
-            toks.select(F.col(id_col), sig.alias("sig")),
+            toks.select(F.col(id_col), F.col("_n"), sig.alias("sig")),
             bands=bands,
             rows_per_band=rows_per_band,
             id_col=id_col,
+            extra_cols=("_n",),
         ),
         max_bucket,
         "minhash_lsh_pairs",
         id_col,
+        n_col="_n",
+        threshold=threshold,
     )
 
     with_a = candidates.join(

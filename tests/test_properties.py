@@ -328,3 +328,40 @@ def test_asof_join_contracts(spark):
     }
     # The only match is 5 months old -> outside tolerance -> NULL.
     assert bounded[2] == (None, None)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 3), st.integers(1, 40)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**SMALL)
+def test_bucket_candidates_early_size_prune_equals_post_filter(spark, rows):
+    """n_col/threshold pruning during expansion must equal pruning the
+    unpruned candidate set afterwards."""
+    from pyspark.sql import functions as F
+
+    from pyspark_kmeans_spark.operators.dedup import _bucket_candidates
+
+    df = spark.createDataFrame(
+        [(i, b, bkt, n) for i, (b, bkt, n) in enumerate(rows)],
+        "doc_id long, band int, bucket int, _n long",
+    )
+    t = 0.8
+    pruned = {
+        (r.doc_a, r.doc_b)
+        for r in _bucket_candidates(
+            df, None, "prop", "doc_id", n_col="_n", threshold=t
+        ).collect()
+    }
+    plain = _bucket_candidates(df, None, "prop", "doc_id")
+    sizes = {i: n for i, (_, _, n) in enumerate(rows)}
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in plain.collect()
+        if sizes[r.doc_a] >= t * sizes[r.doc_b]
+        and sizes[r.doc_b] >= t * sizes[r.doc_a]
+    }
+    assert pruned == want
