@@ -62,10 +62,12 @@ def _registries() -> list:
 # last recorded in round 1; the previous round's green hash rows go last
 # (they rotate through whatever cap headroom remains).
 _SWEEP_FIRST = [
-    # 1. round-2 oracles never driver-hash-checked (sweep-cap artifact)
+    # 1. oracles the driver has never hash-checked (r2 sweep-cap artifact
+    #    + the round-3 LSH oracle: plane literals embedded in the SQL)
     "dedup_clusters",
     "multimodal_features",
     "grouping_sets",
+    "ann_lsh_topk",
     # 2. changed or added in round 3 (bucket cap / block guard / new queries)
     "source_quota_sample",
     "training_order",
@@ -103,7 +105,6 @@ _SWEEP_FIRST = [
     "kmeans_centers",
     "kmeans_embedding_clusters",
     "dedup_simhash",
-    "ann_lsh_topk",
     "ann_ivf_topk",
     # 4. green in round 1, never re-recorded since
     "dedup_ngram_jaccard",

@@ -9,8 +9,10 @@ Two paths:
    with partitions because each corpus partition scores independently.
  - **Hyperplane-LSH bucketed top-k** (the scale path): sign-bit cell id
    from `n_planes` fixed random hyperplanes; probes only search their own
-   cell → candidate set shrinks ~2^n_planes×.  Approximate — recall vs the
-   brute-force baseline is pinned in tests/test_similarity.py.
+   cell → candidate set shrinks ~2^n_planes×.  Approximate vs brute force
+   (recall pinned in tests/test_similarity.py) but fully DETERMINISTIC:
+   the planes are seeded plan literals, so the query has an exact DuckDB
+   oracle with the same plane arrays embedded in the SQL.
 
 Determinism: cosine is computed in double with a fixed left-to-right fold
 and rounded to 6 decimals; ranking orders by (rounded cosine DESC, vec_id)
@@ -592,5 +594,58 @@ ORACLES: dict[str, str] = {
           AND (b.vec_id % {PROBE_MODULUS} != 0 OR a.vec_id < b.vec_id)
           AND ROUND({_COS_SQL}, 6) >= 0.35
     """,
-    # ann_lsh_topk: approximate (recall pinned vs brute force in tests).
 }
+
+
+def _lsh_topk_oracle_sql(
+    *, n_tables: int = 8, n_planes: int = 4, dim: int = 64, seed: int = 11, k: int = 5
+) -> str:
+    """DuckDB oracle for q_ann_lsh_topk.  The hyperplanes are deterministic
+    plan literals (seeded, engine-independent), so the 'approximate' query
+    is in fact fully SQL-expressible: embed the same plane arrays in the
+    SQL, recompute the sign-bit cells, and replicate the cell equi-join +
+    pair dedup + rounded-cosine ranking.  Sign decisions compare a dot
+    product to 0.0 with no rounding guard; both engines sum left-to-right
+    in double and the margin on real data is ~1e-1, so agreement is
+    structural, and a disagreement would fail the hash check loudly."""
+    planes = _hyperplanes(n_tables * n_planes, dim, seed)
+
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in vec) + "]"
+
+    entries = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {lit(planes[t * n_planes + j])})"
+            f" >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        entries.append(f"SELECT vec_id, {t} AS tbl, {bits} AS cell FROM cells")
+    entries_sql = "\n            UNION ALL ".join(entries)
+    return f"""
+        WITH cells AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), entries AS (
+            {entries_sql}
+        ), pairs AS (
+            SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+            FROM entries p JOIN entries c ON p.tbl = c.tbl AND p.cell = c.cell
+            WHERE p.vec_id % {PROBE_MODULUS} = 0 AND p.vec_id != c.vec_id
+        ), scored AS (
+            SELECT probe_id, neighbor_id,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM pairs
+            JOIN cells a ON a.vec_id = probe_id
+            JOIN cells b ON b.vec_id = neighbor_id
+        ), ranked AS (
+            SELECT probe_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC
+                   ) AS INT) AS rank
+            FROM scored
+        )
+        SELECT probe_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
+ORACLES["ann_lsh_topk"] = _lsh_topk_oracle_sql()
