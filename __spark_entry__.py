@@ -80,6 +80,7 @@ _SWEEP_FIRST = [
     "full_outer_fill",
     "event_resample_ffill",
     "merge_upsert",
+    "cdc_apply",
     "event_view_click_join",
     "embedding_lang_norms",
     "large_orders",

@@ -537,6 +537,79 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    *,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change feed to a base snapshot (the lakehouse
+    change-data-capture primitive: op ∈ {'I','U','D'} rows ordered by
+    `seq_col`).  Per key, the LATEST change wins: D removes the key, I/U
+    replace the row; untouched base keys pass through.  Callers must make
+    (key, seq) unique — ties get a deterministic op tie-break but
+    mean the feed itself is ambiguous.
+
+    Scale shape: the window runs over the CHANGE FEED only (a day's
+    changes, not the snapshot) — one key shuffle of the feed; the base
+    pays one anti-join key shuffle and is never windowed.  Same
+    partition-pruning note as merge_upsert: bucket the snapshot by key so
+    tomorrow's apply prunes to dirty partitions.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    surviving = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+    untouched = base.join(
+        latest.select(*key_cols), on=key_cols, how="left_anti"
+    )
+    return surviving.unionByName(untouched)
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic change feed over the orders snapshot: seq 1 reprices
+    # every 7th key (U) and inserts unseen high keys (I); seq 2 deletes
+    # every 14th key — proving latest-wins over the earlier reprice.
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    u1 = (
+        base.filter(k % 7 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") + 50.0, 2))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+    )
+    i1 = (
+        base.filter(k % 1000 == 0)
+        .withColumn("o_orderkey", k + 2000000000)
+        .withColumn("op", F.lit("I"))
+        .withColumn("seq", F.lit(1))
+    )
+    d2 = base.filter(k % 14 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    applied = cdc_apply(
+        base, u1.unionByName(i1).unionByName(d2), ["o_orderkey"]
+    )
+    return applied.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+
+
 def q_full_outer_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FULL OUTER join + null-fill (the one join type the inventory lacked).
     # The disjoint nationkey filters (<20 vs ≥5) structurally guarantee
@@ -615,6 +688,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_count_histogram": q_order_count_histogram,
     "full_outer_fill": q_full_outer_fill,
     "merge_upsert": q_merge_upsert,
+    "cdc_apply": q_cdc_apply,
     "large_orders": q_large_orders,
     "collection_functions": q_collection_functions,
 }
@@ -865,6 +939,38 @@ ORACLES: dict[str, str] = {
             UNION ALL
             SELECT * FROM base
             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        )
+    """,
+    "cdc_apply": """
+        WITH base AS (
+            SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        ), changes AS (
+            SELECT o_orderkey, round(o_totalprice + 50.0, 2) AS o_totalprice,
+                   o_orderpriority, 'U' AS op, 1 AS seq
+            FROM base WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey + 2000000000, o_totalprice, o_orderpriority,
+                   'I' AS op, 1 AS seq
+            FROM base WHERE o_orderkey % 1000 = 0
+            UNION ALL
+            SELECT o_orderkey, NULL, NULL, 'D' AS op, 2 AS seq
+            FROM base WHERE o_orderkey % 14 = 0
+        ), latest AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY o_orderkey ORDER BY seq DESC, op DESC
+                ) AS rn
+                FROM changes
+            ) WHERE rn = 1
+        )
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+               o_orderpriority
+        FROM (
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM latest WHERE op != 'D'
+            UNION ALL
+            SELECT * FROM base
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
         )
     """,
     "full_outer_fill": """

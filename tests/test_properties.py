@@ -365,3 +365,52 @@ def test_bucket_candidates_early_size_prune_equals_post_filter(spark, rows):
         and sizes[r.doc_b] >= t * sizes[r.doc_a]
     }
     assert pruned == want
+
+
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 100)),
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    feed=st.lists(
+        st.tuples(
+            st.integers(0, 8),            # key
+            st.integers(1, 5),            # seq
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(0, 100),          # value
+        ),
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),  # (key, seq) unique, as documented
+    ),
+)
+@settings(**SMALL)
+def test_cdc_apply_matches_python_reference(spark, base, feed):
+    """Latest change per key wins; D deletes; untouched keys pass through."""
+    from pyspark_kmeans_spark.operators.relational import cdc_apply
+
+    bdf = spark.createDataFrame(base or [(99, 0)], "k long, v long")
+    if not base:
+        bdf = bdf.filter("k < 0")
+    fdf = spark.createDataFrame(
+        feed or [(99, 1, "D", 0)], "k long, seq long, op string, v long"
+    )
+    if not feed:
+        fdf = fdf.filter("k < 0")
+    got = {
+        (r.k, r.v)
+        for r in cdc_apply(
+            bdf, fdf.select("k", "v", "op", "seq"), ["k"]
+        ).collect()
+    }
+    snap = dict(base)
+    latest = {}
+    for k, seq, op, v in feed:
+        if k not in latest or seq > latest[k][0]:
+            latest[k] = (seq, op, v)
+    for k, (_, op, v) in latest.items():
+        if op == "D":
+            snap.pop(k, None)
+        else:
+            snap[k] = v
+    assert got == {(k, v) for k, v in snap.items()}
