@@ -70,6 +70,7 @@ _SWEEP_FIRST = [
     "ann_lsh_topk",
     # 2. changed or added in round 3 (bucket cap / block guard / new queries)
     "source_quota_sample",
+    "weighted_sample",
     "training_order",
     "dedup_semantic",
     "curation_pii",

@@ -358,6 +358,51 @@ def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): each row draws u ∈ (0,1] from md5(id) and keeps key
+    u^(1/w); the n largest keys are the sample.  P(selection) is
+    proportional to weight, yet the result is a pure function of the data —
+    reproducible across runs, partitionings, and engines, unlike
+    df.sample(weights).
+
+    The key is ROUNDED to 12 decimals before ranking so a last-ulp pow()
+    difference between engines cannot flip adjacent ranks; post-rounding
+    ties break by id.  Scale shape: key computation is partition-local; the
+    global top-n is TakeOrderedAndProject (per-partition heaps, driver
+    merges n rows) — no global sort.  Zero/negative weights get key 0
+    (never selected ahead of any positive-weight row).
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / float(1 << 48)
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.round(F.pow(u, 1.0 / w), 12)).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.col(id_col).asc())
+        .limit(n)
+    )
+
+
+WEIGHTED_SAMPLE_N = 200
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sample: longer docs proportionally more
+    likely, deterministic across engines."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(docs, WEIGHTED_SAMPLE_N, "n_chars")
+
+
 def training_order(
     df: DataFrame,
     *,
@@ -574,6 +619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "deterministic_sample": q_deterministic_sample,
     "stratified_sample": q_stratified_sample,
     "source_quota_sample": q_source_quota_sample,
+    "weighted_sample": q_weighted_sample,
     "training_order": q_training_order,
     "order_gap_stats": q_order_gap_stats,
     "cube_agg": q_cube,
@@ -667,6 +713,19 @@ ORACLES: dict[str, str] = {
                    ) AS rn
             FROM documents
         ) WHERE rn <= {SOURCE_QUOTA}
+    """,
+    "weighted_sample": f"""
+        SELECT doc_id, lang, n_chars, sample_key FROM (
+            SELECT doc_id, lang, n_chars,
+                   CASE WHEN n_chars > 0 THEN round(
+                       pow((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                                 AS BIGINT) + 1.0) / 281474976710656.0,
+                           1.0 / n_chars), 12)
+                        ELSE 0.0 END AS sample_key
+            FROM documents
+        )
+        ORDER BY sample_key DESC, doc_id ASC
+        LIMIT {WEIGHTED_SAMPLE_N}
     """,
     "training_order": """
         SELECT doc_id, lang,

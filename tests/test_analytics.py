@@ -194,3 +194,30 @@ def test_source_quota_prefilter_guard_catches_wiped_source(spark):
 
     with _pytest.raises(ValueError, match="under-selected"):
         source_quota_sample(df, 1, prefilter_factor=2)
+
+
+def test_weighted_sample_matches_python_reference(spark, sf_dir):
+    import hashlib
+
+    from pyspark_kmeans_spark.operators.analytics import weighted_sample
+    from pyspark_kmeans_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    got = [
+        r.doc_id for r in weighted_sample(docs, 50, "n_chars").collect()
+    ]
+    rows = {r.doc_id: r.n_chars for r in docs.collect()}
+
+    def key(i):
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) + 1.0) / (
+            1 << 48
+        )
+        return round(u ** (1.0 / rows[i]), 12) if rows[i] > 0 else 0.0
+
+    want = sorted(rows, key=lambda i: (-key(i), i))[:50]
+    assert sorted(got) == sorted(want)
+    # Weighting sanity: the length-weighted sample skews long — its mean
+    # doc length must exceed the corpus mean.
+    corpus_mean = sum(rows.values()) / len(rows)
+    sample_mean = sum(rows[i] for i in got) / len(got)
+    assert sample_mean > corpus_mean
