@@ -82,6 +82,7 @@ _SWEEP_FIRST = [
     "event_resample_ffill",
     "merge_upsert",
     "cdc_apply",
+    "snapshot_diff",
     "event_view_click_join",
     "embedding_lang_norms",
     "large_orders",

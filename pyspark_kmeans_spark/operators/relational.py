@@ -16,6 +16,7 @@ oracle AND for run-to-run reproducibility on a 1000-executor cluster):
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -567,10 +568,90 @@ def cdc_apply(
         .drop("_rn")
     )
     surviving = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+    # Touched keys == distinct change keys (every changed key has a latest
+    # row) — anti-joining on the raw feed's distinct keys instead of on
+    # `latest` keeps the window subtree out of the second union branch, so
+    # the feed is windowed once, not once per branch (plan-pinned).
     untouched = base.join(
-        latest.select(*key_cols), on=key_cols, how="left_anti"
+        changes.select(*key_cols).distinct(), on=key_cols, how="left_anti"
     )
     return surviving.unionByName(untouched)
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Generate the I/U/D change feed between two snapshots (the inverse
+    of cdc_apply): keys only in `new` → I, only in `old` → D, in both with
+    any value difference → U; identical rows emit nothing.  Output is the
+    new-side row (old values for D) plus an `op` column —
+    cdc_apply(old, snapshot_diff(old, new) + seq, keys) reproduces `new`.
+
+    One full outer join on the key — both sides shuffle once; the value
+    comparison is a null-safe struct equality, no per-column join
+    conditions.  At 100 TB both snapshots bucket by the key so the join is
+    zero-exchange (sources/bucketed.py layout).
+    """
+    val_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in old.columns]
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"_o_{c}")) for c in key_cols],
+    )
+    joined = new.join(o, cond, "full_outer")
+    new_key_present = reduce(
+        lambda a, b: a | b, [F.col(c).isNotNull() for c in key_cols]
+    )
+    old_key_present = reduce(
+        lambda a, b: a | b, [F.col(f"_o_{c}").isNotNull() for c in key_cols]
+    )
+    same_values = F.struct(*val_cols).eqNullSafe(
+        F.struct(*[F.col(f"_o_{c}").alias(c) for c in val_cols])
+    )
+    op = (
+        F.when(~old_key_present, F.lit("I"))
+        .when(~new_key_present, F.lit("D"))
+        .when(~same_values, F.lit("U"))
+    )
+    out_cols = [
+        F.coalesce(F.col(c), F.col(f"_o_{c}")).alias(c) for c in key_cols
+    ] + [
+        F.when(new_key_present, F.col(c))
+        .otherwise(F.col(f"_o_{c}"))
+        .alias(c)
+        for c in val_cols
+    ]
+    return joined.withColumn("op", op).filter(F.col("op").isNotNull()).select(
+        *out_cols, "op"
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Old = orders; new = the cdc-applied snapshot shape: reprice %7,
+    # delete %14, insert high keys — diffing back must recover exactly
+    # those I/U/D rows.
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    k = F.col("o_orderkey")
+    new = (
+        base.filter((k % 14 != 0))
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                k % 7 == 0, F.round(F.col("o_totalprice") + 50.0, 2)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            base.filter(k % 1000 == 0).withColumn(
+                "o_orderkey", k + 2000000000
+            )
+        )
+    )
+    return snapshot_diff(base, new, ["o_orderkey"])
 
 
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,6 +770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "full_outer_fill": q_full_outer_fill,
     "merge_upsert": q_merge_upsert,
     "cdc_apply": q_cdc_apply,
+    "snapshot_diff": q_snapshot_diff,
     "large_orders": q_large_orders,
     "collection_functions": q_collection_functions,
 }
@@ -940,6 +1022,38 @@ ORACLES: dict[str, str] = {
             SELECT * FROM base
             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
         )
+    """,
+    "snapshot_diff": """
+        WITH base AS (
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+                   o_orderpriority
+            FROM orders
+        ), new AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN round(o_totalprice + 50.0, 2)
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderpriority
+            FROM base WHERE o_orderkey % 14 != 0
+            UNION ALL
+            SELECT o_orderkey + 2000000000, o_totalprice, o_orderpriority
+            FROM base WHERE o_orderkey % 1000 = 0
+        ), diffed AS (
+            SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+                   CASE WHEN n.o_orderkey IS NOT NULL
+                        THEN n.o_totalprice ELSE o.o_totalprice
+                        END AS o_totalprice,
+                   CASE WHEN n.o_orderkey IS NOT NULL
+                        THEN n.o_orderpriority ELSE o.o_orderpriority
+                        END AS o_orderpriority,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                        WHEN n.o_orderkey IS NULL THEN 'D'
+                        WHEN n.o_totalprice IS DISTINCT FROM o.o_totalprice
+                          OR n.o_orderpriority IS DISTINCT FROM o.o_orderpriority
+                        THEN 'U' END AS op
+            FROM new n FULL OUTER JOIN base o ON n.o_orderkey = o.o_orderkey
+        )
+        SELECT * FROM diffed WHERE op IS NOT NULL
     """,
     "cdc_apply": """
         WITH base AS (

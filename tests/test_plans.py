@@ -153,3 +153,45 @@ def test_resample_ffill_bounded_join_and_partial_agg(spark, sf_dir):
     df = q_event_resample_ffill(spark, sf_dir)
     assert_partial_aggregation(df)
     assert_no_cartesian(df)
+
+
+def test_weighted_sample_uses_topk_not_global_sort(spark, sf_dir):
+    """The top-n must be TakeOrderedAndProject (per-partition heaps) — a
+    global Sort+Limit would serialize the corpus through one task."""
+    from pyspark_kmeans_spark.operators.analytics import q_weighted_sample
+
+    plan = physical_plan(q_weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cdc_apply_windows_feed_not_base(spark, sf_dir):
+    """The latest-wins window must run over the change feed only; the base
+    snapshot contributes one anti-join, no window, no nested loop."""
+    from pyspark_kmeans_spark.operators.relational import q_cdc_apply
+
+    import re
+
+    df = q_cdc_apply(spark, sf_dir)
+    assert_no_nested_loop_join(df)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    # Exactly one Window NODE (the latest-wins rank over the feed): the
+    # anti-join branch must use the raw feed's distinct keys, not re-run
+    # the window subtree per union branch.
+    assert len(re.findall(r"Window \(\d+\)", plan)) == 1, plan  # tree form; WindowGroupLimit does not match
+    assert "LeftAnti" in plan, plan
+
+
+def test_training_order_windows_are_bucket_partitioned(spark, sf_dir):
+    """Both shuffles are linear: the big window partitions by bucket (no
+    whole-corpus single-task sort) and the offsets join is broadcast."""
+    from pyspark_kmeans_spark.operators.analytics import q_training_order
+
+    df = q_training_order(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # The row-rank window must be partitioned on the bucket column — an
+    # empty partitionBy would compile to a single-partition Exchange over
+    # the whole corpus.
+    assert "hashpartitioning(_bkt" in plan, plan

@@ -414,3 +414,34 @@ def test_cdc_apply_matches_python_reference(spark, base, feed):
         else:
             snap[k] = v
     assert got == {(k, v) for k, v in snap.items()}
+
+
+@given(
+    old=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 3)),
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    new=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 3)),
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(**SMALL)
+def test_snapshot_diff_roundtrips_through_cdc_apply(spark, old, new):
+    """cdc_apply(old, snapshot_diff(old, new)) must reproduce `new` exactly
+    — the two operators are inverses by contract."""
+    from pyspark.sql import functions as F
+
+    from pyspark_kmeans_spark.operators.relational import cdc_apply, snapshot_diff
+
+    odf = spark.createDataFrame(old or [(99, 0)], "k long, v long")
+    ndf = spark.createDataFrame(new or [(99, 0)], "k long, v long")
+    if not old:
+        odf = odf.filter("k < 0")
+    if not new:
+        ndf = ndf.filter("k < 0")
+    feed = snapshot_diff(odf, ndf, ["k"]).withColumn("seq", F.lit(1))
+    got = {(r.k, r.v) for r in cdc_apply(odf, feed, ["k"]).collect()}
+    assert got == set(new)
