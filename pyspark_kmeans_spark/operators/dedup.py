@@ -536,8 +536,10 @@ def minhash_lsh_pairs(
     expensive verification.  (rows=4 floods verification on corpora with
     large near-dup clusters: measured 8.5M candidates for 246k true pairs.)
     Candidates join per (band, bucket) — shuffle-friendly, no cross
-    product; hot buckets are handled by AQE skew-join.  Verification
-    applies the same exact size prune as jaccard_pairs.
+    product; hot buckets are handled by AQE skew-join.  The exact size
+    prune (jaccard_pairs' min(n) ≥ t·max(n)) runs INSIDE pair expansion
+    via _bucket_candidates(n_col=...), so pruned pairs never reach the
+    candidate distinct or the verify joins.
 
     `max_bucket` bounds the worst case: a degenerate (band, bucket) group
     with B members would emit B² candidates; groups larger than the cap are
@@ -594,17 +596,16 @@ def minhash_lsh_pairs(
         ),
         on="doc_b",
     )
-    size_ok = (F.col("_na") >= F.lit(threshold) * F.col("_nb")) & (
-        F.col("_nb") >= F.lit(threshold) * F.col("_na")
-    )
     inter = F.size(F.array_intersect("_ta", "_tb"))
     # |A∪B| = |A|+|B|-|A∩B| (distinct arrays): one bigint intersect per
-    # candidate is the entire verify cost.
+    # candidate is the entire verify cost.  No size filter here — every
+    # surviving candidate already passed the exact size prune during pair
+    # expansion (property-pinned in test_properties.py); repeating the
+    # predicate would be a second copy of the threshold to keep in sync.
     union = F.col("_na") + F.col("_nb") - inter
     jac = inter.cast("double") / union
     return (
-        with_b.filter(size_ok)
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        with_b.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

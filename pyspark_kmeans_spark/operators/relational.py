@@ -571,10 +571,19 @@ def cdc_apply(
     # Touched keys == distinct change keys (every changed key has a latest
     # row) — anti-joining on the raw feed's distinct keys instead of on
     # `latest` keeps the window subtree out of the second union branch, so
-    # the feed is windowed once, not once per branch (plan-pinned).
-    untouched = base.join(
-        changes.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+    # the feed is windowed once, not once per branch (plan-pinned).  The
+    # anti-join is NULL-SAFE: `on=key_cols` never matches a NULL key, so a
+    # change to a null-keyed base row would silently leave the old row in
+    # place next to the new one (window partitioning already treats NULL
+    # as a value — the join must agree).
+    touched = changes.select(
+        *[F.col(c).alias(f"_k_{c}") for c in key_cols]
+    ).distinct()
+    anti_cond = reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"_k_{c}")) for c in key_cols],
     )
+    untouched = base.join(touched, anti_cond, "left_anti")
     return surviving.unionByName(untouched)
 
 
@@ -593,20 +602,22 @@ def snapshot_diff(
     zero-exchange (sources/bucketed.py layout).
     """
     val_cols = [c for c in new.columns if c not in key_cols]
+    # Literal presence markers, NOT key-isNotNull: the key join is
+    # null-safe (a NULL key is a legal key value), so key nullness cannot
+    # distinguish "side absent" from "side present with a NULL key" — the
+    # isNotNull spelling mislabeled null-key updates as inserts AND took
+    # the old side's values (review fix, round-trip-pinned with null keys).
+    n = new.withColumn("_n_present", F.lit(1))
     o = old.select(
         *[F.col(c).alias(f"_o_{c}") for c in old.columns]
-    )
+    ).withColumn("_o_present", F.lit(1))
     cond = reduce(
         lambda a, b: a & b,
         [F.col(c).eqNullSafe(F.col(f"_o_{c}")) for c in key_cols],
     )
-    joined = new.join(o, cond, "full_outer")
-    new_key_present = reduce(
-        lambda a, b: a | b, [F.col(c).isNotNull() for c in key_cols]
-    )
-    old_key_present = reduce(
-        lambda a, b: a | b, [F.col(f"_o_{c}").isNotNull() for c in key_cols]
-    )
+    joined = n.join(o, cond, "full_outer")
+    new_key_present = F.col("_n_present").isNotNull()
+    old_key_present = F.col("_o_present").isNotNull()
     same_values = F.struct(*val_cols).eqNullSafe(
         F.struct(*[F.col(f"_o_{c}").alias(c) for c in val_cols])
     )

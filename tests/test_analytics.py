@@ -198,6 +198,7 @@ def test_source_quota_prefilter_guard_catches_wiped_source(spark):
 
 def test_weighted_sample_matches_python_reference(spark, sf_dir):
     import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
 
     from pyspark_kmeans_spark.operators.analytics import weighted_sample
     from pyspark_kmeans_spark.sources.tables import load_table
@@ -212,7 +213,16 @@ def test_weighted_sample_matches_python_reference(spark, sf_dir):
         u = (int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) + 1.0) / (
             1 << 48
         )
-        return round(u ** (1.0 / rows[i]), 12) if rows[i] > 0 else 0.0
+        if rows[i] <= 0:
+            return 0.0
+        # F.round is HALF_UP; Python round() is banker's — they disagree on
+        # exact halves at the 12th decimal (~1 in 20k keys), so the
+        # reference must round the same way Spark does (review fix).
+        return float(
+            Decimal(repr(u ** (1.0 / rows[i]))).quantize(
+                Decimal("1e-12"), ROUND_HALF_UP
+            )
+        )
 
     want = sorted(rows, key=lambda i: (-key(i), i))[:50]
     assert sorted(got) == sorted(want)

@@ -418,12 +418,12 @@ def test_cdc_apply_matches_python_reference(spark, base, feed):
 
 @given(
     old=st.lists(
-        st.tuples(st.integers(0, 10), st.integers(0, 3)),
+        st.tuples(st.one_of(st.none(), st.integers(0, 10)), st.integers(0, 3)),
         max_size=12,
         unique_by=lambda t: t[0],
     ),
     new=st.lists(
-        st.tuples(st.integers(0, 10), st.integers(0, 3)),
+        st.tuples(st.one_of(st.none(), st.integers(0, 10)), st.integers(0, 3)),
         max_size=12,
         unique_by=lambda t: t[0],
     ),
