@@ -1,0 +1,137 @@
+"""Scaling-shape harness: how does wall-clock grow when the corpus grows?
+
+Blows the documents table up k× (k = 1, 2, 4, 8 by default) and times the
+scale-path operators at each size.  Replicas get per-replica token salting
+(every token rewritten to `token_r<k>`), so replica r shares ZERO tokens
+with replica s — the blown-up corpus is k independent copies of the
+original near-dup problem, and true-pair volume grows ~k (not the k² a
+naive duplication would inject via cross-replica near-dups).
+
+A scale-shaped operator on a fixed local[N] should grow ~linearly in k
+once parallelism saturates; a quadratic candidate stage shows up
+immediately as a super-linear exponent.  Prints one JSON line:
+  {"metric": "scaling", "sizes": {...}, "seconds": {query: {k: sec}},
+   "exponent": {query: slope of log(sec)/log(k)}}
+
+Usage: python bench_scale.py            (sf0.1, k up to 8)
+       SPARK_GRAFT_SCALE_KS=1,4 python bench_scale.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.session import get_spark
+from pyspark_kmeans_spark.sources.tables import load_table
+
+QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_jaccard_pairs",
+    "training_pipeline",
+    "training_order",
+]
+
+
+def write_blowup(docs, k: int, path: str) -> None:
+    """Materialize k disjoint salted replicas (disjoint ids, disjoint token
+    spaces) — one append per replica, not a k-branch union (a 64-way union
+    of nested array transforms blows up codegen/driver memory)."""
+    shift = 10_000_000
+    for r in range(k):
+        salted = F.array_join(
+            F.transform(
+                F.split(F.trim(F.col("text")), "\\s+"),
+                lambda t: F.concat(t, F.lit(f"_r{r}")),
+            ),
+            " ",
+        )
+        part = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(r * shift)
+        ).withColumn("text", salted)
+        part.write.mode("overwrite" if r == 0 else "append").parquet(path)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ks = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_KS", "1,4,16,64").split(",")]
+    spark = get_spark(
+        app_name="bench_scale",
+        # At k=64 an AQE-chosen broadcast of the cached token frame can
+        # collect ~1 GB to the driver (size estimates on cached relations
+        # run low); the default 1g maxResultSize kills the job.  A real
+        # cluster sizes this with driver memory — here it is a harness
+        # knob, not a product setting.
+        extra_conf={"spark.driver.maxResultSize": "4g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    registry = entrymod.queries()
+    base = load_table(spark, sf_dir, "documents")
+
+    seconds: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    sizes: dict[int, int] = {}
+    for k in ks:
+        path = f"/tmp/scale_docs_k{k}.parquet"
+        write_blowup(base, k, path)
+        sizes[k] = spark.read.parquet(path).count()
+        # Point the registered queries at a temp sf_dir holding the blown
+        # documents plus symlinks for the other tables.
+        tmp_sf = f"/tmp/scale_sf_k{k}"
+        os.makedirs(tmp_sf, exist_ok=True)
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            dst = f"{tmp_sf}/{t}.parquet"
+            if not os.path.exists(dst):
+                os.symlink(f"{sf_dir}/{t}.parquet", dst)
+        dst = f"{tmp_sf}/documents.parquet"
+        if os.path.islink(dst) or os.path.isfile(dst):
+            os.remove(dst)
+        elif os.path.isdir(dst):
+            import shutil
+
+            shutil.rmtree(dst)
+        os.symlink(path, dst)
+        for q in QUERIES:
+            best = None
+            for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))):
+                t0 = time.time()
+                registry[q](spark, tmp_sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            # best-of-n: this host's CPU steal inflates single shots up to
+            # 6x (BASELINE.md); the minimum is the only stable statistic.
+            seconds[q][k] = round(best, 2)
+
+    exponent = {}
+    for q in QUERIES:
+        xs = [math.log(k) for k in ks if k > 0]
+        ys = [math.log(max(seconds[q][k], 0.05)) for k in ks]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        denom = sum((x - mx) ** 2 for x in xs) or 1.0
+        exponent[q] = round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 2)
+
+    print(json.dumps({
+        "metric": "scaling",
+        "sf": sf_dir,
+        "sizes": sizes,
+        "seconds": seconds,
+        "exponent": exponent,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -584,16 +584,22 @@ def minhash_lsh_pairs(
         threshold=threshold,
     )
 
+    # shuffle_hash hints: BOTH verify-join sides are corpus-scale (the
+    # candidate frame comes out of an explode, whose static size estimate
+    # is garbage — at a 64x corpus Catalyst "estimated" it broadcastable
+    # and died collecting 12 GiB to the driver).  The hint pins a shuffled
+    # hash join: no broadcast of an unboundedly-large side, no sort, and
+    # per-task hash tables bounded by the shuffle partitioning.
     with_a = candidates.join(
         toks.select(
             F.col(id_col).alias("doc_a"), F.col("_toks").alias("_ta"), F.col("_n").alias("_na")
-        ),
+        ).hint("shuffle_hash"),
         on="doc_a",
     )
     with_b = with_a.join(
         toks.select(
             F.col(id_col).alias("doc_b"), F.col("_toks").alias("_tb"), F.col("_n").alias("_nb")
-        ),
+        ).hint("shuffle_hash"),
         on="doc_b",
     )
     inter = F.size(F.array_intersect("_ta", "_tb"))
@@ -1147,15 +1153,21 @@ def incremental_kept_against(
         .select(F.col("_a")["_id"].alias("doc_a"), "doc_b")
         .distinct()
     )
+    # shuffle_hash: same rationale as minhash_lsh_pairs' verify joins —
+    # the explode-derived candidate side has no usable size estimate, and
+    # the corpus∪batch token side is unboundedly large; never broadcast.
     with_a = candidates.join(
         all_sig.select(
             F.col(id_col).alias("doc_a"),
             F.col("toks").alias("_ta"),
             F.col("n").alias("_na"),
             "_is_corpus",
-        ),
+        ).hint("shuffle_hash"),
         on="doc_a",
     )
+    # No hint on the batch side: `bat` is the bounded daily batch (the
+    # whole point of the incremental form) and its cached size estimate is
+    # real — AQE may broadcast it when it actually fits.
     with_b = with_a.join(
         bat.select(
             F.col(id_col).alias("doc_b"),

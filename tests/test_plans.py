@@ -195,3 +195,18 @@ def test_training_order_windows_are_bucket_partitioned(spark, sf_dir):
     # empty partitionBy would compile to a single-partition Exchange over
     # the whole corpus.
     assert "hashpartitioning(_bkt" in plan, plan
+
+
+def test_minhash_verify_joins_never_broadcast(spark, sf_dir):
+    """The verify-join sides are corpus-scale and the candidate frame is
+    explode-derived (static size estimate is garbage — at a 64x corpus
+    Catalyst 'estimated' it broadcastable and died collecting 12 GiB).
+    The shuffle_hash hints must hold: no BroadcastHashJoin anywhere in
+    the LSH pair plan."""
+    import re
+
+    from pyspark_kmeans_spark.operators.dedup import q_dedup_minhash_lsh
+
+    plan = physical_plan(q_dedup_minhash_lsh(spark, sf_dir))
+    assert "BroadcastHashJoin" not in plan, plan
+    assert len(re.findall(r"ShuffledHashJoin", plan)) >= 2, plan
