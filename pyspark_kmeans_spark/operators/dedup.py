@@ -293,13 +293,21 @@ def jaccard_pairs(
     # halves the per-pair cost with an identical double result.
     union = F.col("_na") + F.col("_nb") - inter
     jac = inter.cast("double") / union
+    # shuffle_hash: same static-estimate hazard as minhash_lsh_pairs'
+    # verify joins — the candidate frame is explode-derived (no usable
+    # size estimate) and the docs side is corpus-scale; neither may be
+    # broadcast at scale.
     return (
         candidates.join(
-            docs.select(F.col(id_col).alias("doc_a"), F.col("_ts").alias("_ta")),
+            docs.select(
+                F.col(id_col).alias("doc_a"), F.col("_ts").alias("_ta")
+            ).hint("shuffle_hash"),
             on="doc_a",
         )
         .join(
-            docs.select(F.col(id_col).alias("doc_b"), F.col("_ts").alias("_tb")),
+            docs.select(
+                F.col(id_col).alias("doc_b"), F.col("_ts").alias("_tb")
+            ).hint("shuffle_hash"),
             on="doc_b",
         )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
