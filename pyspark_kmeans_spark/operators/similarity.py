@@ -176,6 +176,7 @@ def lsh_topk(
     n_planes: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
+    probes_broadcastable: bool = True,
 ) -> DataFrame:
     """Bucketed approximate top-k: probes score only candidates sharing an
     LSH cell in ≥1 table.  Equi-join on (table, cell) — shuffle-partitioned,
@@ -193,10 +194,15 @@ def lsh_topk(
     p = lsh_cells(
         probes, n_tables=n_tables, n_planes=n_planes, dim=dim, id_col=id_col
     )
+    p_cells = p.select(F.col(id_col).alias("probe_id"), "table", "cell")
+    if not probes_broadcastable:
+        # The slim probe-cell frame is |probes|·L rows — small-probe runs
+        # broadcast it (good); a corpus-sized probe set must not.
+        p_cells = p_cells.hint("shuffle_hash")
     pairs = (
         c.select(F.col(id_col).alias("neighbor_id"), "table", "cell")
         .join(
-            p.select(F.col(id_col).alias("probe_id"), "table", "cell"),
+            p_cells,
             on=["table", "cell"],
         )
         .filter(F.col("probe_id") != F.col("neighbor_id"))
@@ -208,18 +214,27 @@ def lsh_topk(
     # uses 10% of the corpus), and a forced broadcast of 10% of a 100 TB
     # corpus's vectors dies at the broadcast limit.  AQE broadcasts it
     # when it is actually small and shuffle-joins otherwise.
-    candidates = pairs.join(
-        with_unit_vectors(corpus).select(
-            F.col(id_col).alias("neighbor_id"), "vec", "norm"
-        ),
-        on="neighbor_id",
-    ).join(
-        with_unit_vectors(probes).select(
-            F.col(id_col).alias("probe_id"),
-            F.col("vec").alias("pvec"),
-            F.col("norm").alias("pnorm"),
-        ),
-        on="probe_id",
+    #
+    # `probes_broadcastable=False` additionally pins BOTH attach joins to
+    # shuffled-hash: the `pairs` frame is explode+dedup-derived, so its
+    # STATIC size estimate is garbage and Catalyst can plan a broadcast of
+    # an unboundedly large side (the failure bench_scale.py reproduced on
+    # the dedup path at a 64x corpus).  Scale callers with probe sets too
+    # big to broadcast set it False; the default keeps the small-probe
+    # plan (probe-side AQE broadcast) intact.
+    corpus_vecs = with_unit_vectors(corpus).select(
+        F.col(id_col).alias("neighbor_id"), "vec", "norm"
+    )
+    probe_vecs = with_unit_vectors(probes).select(
+        F.col(id_col).alias("probe_id"),
+        F.col("vec").alias("pvec"),
+        F.col("norm").alias("pnorm"),
+    )
+    if not probes_broadcastable:
+        corpus_vecs = corpus_vecs.hint("shuffle_hash")
+        probe_vecs = probe_vecs.hint("shuffle_hash")
+    candidates = pairs.join(corpus_vecs, on="neighbor_id").join(
+        probe_vecs, on="probe_id"
     )
     scored = candidates.select(
         "probe_id", "neighbor_id", _cosine().alias("cosine")

@@ -206,3 +206,18 @@ def test_semantic_dedup_deterministic(spark, sf_dir):
     a = sorted(map(tuple, semantic_dedup(emb, SEMDEDUP_THRESHOLD).collect()))
     b = sorted(map(tuple, semantic_dedup(emb, SEMDEDUP_THRESHOLD).collect()))
     assert a == b
+
+
+def test_lsh_topk_scale_mode_no_broadcast_same_result(spark, sf_dir):
+    """probes_broadcastable=False must not change results, and its plan
+    must contain no BroadcastHashJoin (the static-estimate hazard pin)."""
+    from pyspark_kmeans_spark.operators.similarity import lsh_topk
+    from pyspark_kmeans_spark.plans import physical_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    a = sorted(map(tuple, lsh_topk(emb, probes, k=3).collect()))
+    scale = lsh_topk(emb, probes, k=3, probes_broadcastable=False)
+    assert "BroadcastHashJoin" not in physical_plan(scale)
+    b = sorted(map(tuple, scale.collect()))
+    assert a == b
