@@ -279,8 +279,13 @@ def jaccard_pairs(
     size_ok = (F.col("_na") >= F.lit(threshold) * F.col("_nb")) & (
         F.col("_nb") >= F.lit(threshold) * F.col("_na")
     )
+    # shuffle_hash: both sides are explodes of the PERSISTED docs frame —
+    # Generate keeps its child's size estimate, so the prefix fan-out is
+    # invisible to the static planner and either side can be mis-chosen
+    # for broadcast at scale (the cache→explode→join shape that killed the
+    # LSH path at a 64x corpus before its hints).
     candidates = (
-        a.join(b, on=["_ptok", "_block"])
+        a.join(b.hint("shuffle_hash"), on=["_ptok", "_block"])
         .filter((F.col("doc_a") < F.col("doc_b")) & size_ok)
         .select("doc_a", "doc_b", "_na", "_nb")
         # A pair sharing k prefix tokens appears k times — dedup BEFORE the
@@ -335,8 +340,13 @@ def near_dedup_kept(
         text_col=text_col,
         max_block_rows=max_block_rows,
     )
+    # shuffle_hash: the loser set is pair-derived (explode lineage — no
+    # usable static estimate) and at corpus scale can be billions of ids;
+    # it must never be statically broadcast.
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-    return df.join(losers, on=id_col, how="left_anti").select(id_col)
+    return df.join(
+        losers.hint("shuffle_hash"), on=id_col, how="left_anti"
+    ).select(id_col)
 
 
 # --------------------------------------------------------------------------
@@ -770,8 +780,13 @@ def lsh_near_dedup_kept(
         text_col=text_col,
         max_bucket=max_bucket,
     )
+    # shuffle_hash: same rationale as near_dedup_kept — pair-derived loser
+    # sets have explode lineage (no usable static estimate) and can be
+    # billions of ids at corpus scale; never statically broadcast.
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-    return df.join(losers, on=id_col, how="left_anti").select(id_col)
+    return df.join(
+        losers.hint("shuffle_hash"), on=id_col, how="left_anti"
+    ).select(id_col)
 
 
 def q_dedup_lsh_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
