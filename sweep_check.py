@@ -1,0 +1,75 @@
+"""Driver-sweep pre-flight: replicate CORRECTNESS_r{N}.json locally.
+
+Runs EVERY registered query against its DuckDB oracle at sf0.01 (the scale
+the driver sweeps at — tests/test_oracle_parity.py covers sf0.001 only) and
+reports rows/schema/value verdicts per query, plus rows-only determinism
+(two runs, identical row count) for the no_oracle entries.  The driver caps
+its sweep at 50 entries per round; this runs all of them, so a round-N edit
+that silently regresses a query the driver won't re-record this round still
+gets caught before the judge does.
+
+Usage: python sweep_check.py [sf_dir] [query ...]
+Prints one JSON line: {"pass": [...], "fail": {name: reason}, "rows_only": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark_kmeans_spark.session import get_spark  # noqa: E402
+from tests.oracle_util import compare, duckdb_con  # noqa: E402
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="sweep_check")
+    con = duckdb_con(sf_dir)
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args or list(queries)
+
+    passed, rows_only, failed = [], {}, {}
+    for name in names:
+        fn = queries[name]
+        try:
+            if name in oracles:
+                compare(fn(spark, sf_dir), con, oracles[name])
+                passed.append(name)
+            else:
+                n1 = fn(spark, sf_dir).count()
+                n2 = fn(spark, sf_dir).count()
+                if n1 != n2:
+                    failed[name] = f"nondeterministic rows: {n1} != {n2}"
+                else:
+                    rows_only[name] = n1
+        except Exception as exc:  # noqa: BLE001 — report, keep sweeping
+            failed[name] = f"{type(exc).__name__}: {exc}"[:400]
+        finally:
+            spark.catalog.clearCache()
+        status = "FAIL" if name in failed else "ok"
+        print(f"[{status}] {name}", file=sys.stderr, flush=True)
+
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "pass": passed,
+                "rows_only": rows_only,
+                "fail": failed,
+            }
+        )
+    )
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
