@@ -210,3 +210,36 @@ def test_minhash_verify_joins_never_broadcast(spark, sf_dir):
     plan = physical_plan(q_dedup_minhash_lsh(spark, sf_dir))
     assert "BroadcastHashJoin" not in plan, plan
     assert len(re.findall(r"ShuffledHashJoin", plan)) >= 2, plan
+
+
+def test_all_registered_plans_no_unbounded_cross(spark, sf_dir):
+    """Global plan audit: no registered query may compile to a
+    CartesianProduct or an unexpected BroadcastNestedLoopJoin.
+
+    A BNLJ whose broadcast side grows with the data is the classic
+    silent 100 TB killer (it OOMs the driver collecting the 'small'
+    side); one whose broadcast side is a 1-row aggregate is fine.  The
+    allowlist names every query whose BNLJ is a documented bounded
+    cross: text_tfidf and curation_importance cross in single-row
+    totals frames (text.py / curation.py: `crossJoin(...agg(...))`),
+    and ann_topk_cosine IS the brute-force baseline whose contract is
+    'every corpus partition sees every probe' (similarity.py:60-92; the
+    scale paths are ann_lsh_topk / ann_ivf_topk, both equi-joins).
+    Any new entry here needs the same justification."""
+    import __spark_entry__ as entrymod
+
+    bounded_bnlj = {"text_tfidf", "curation_importance", "ann_topk_cosine"}
+    violations = {}
+    for name, fn in entrymod.queries().items():
+        plan = physical_plan(fn(spark, sf_dir))
+        hits = [
+            p
+            for p in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if p in plan
+        ]
+        if hits == ["BroadcastNestedLoopJoin"] and name in bounded_bnlj:
+            continue
+        if hits:
+            violations[name] = hits
+        spark.catalog.clearCache()
+    assert not violations, violations
