@@ -1240,9 +1240,13 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD != 0)
-    return incremental_kept_against(
-        build_signature_table(corpus), new, threshold=0.9
-    )
+    # The signature frame feeds both the banding stage and the verify join
+    # inside incremental_kept_against; production reads it from parquet, so
+    # simulate that materialization with a persist — otherwise the corpus
+    # is tokenized+minhashed twice per run.
+    sigs = _persist(build_signature_table(corpus))
+    sigs.count()
+    return incremental_kept_against(sigs, new, threshold=0.9)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
