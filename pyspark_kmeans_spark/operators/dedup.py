@@ -1242,10 +1242,12 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD != 0)
     # The signature frame feeds both the banding stage and the verify join
     # inside incremental_kept_against; production reads it from parquet, so
-    # simulate that materialization with a persist — otherwise the corpus
-    # is tokenized+minhashed twice per run.
+    # simulate that materialization with a persist — the cache populates on
+    # the first action, after which both consumers share one
+    # tokenize+minhash pass.  (No eager count here: plan-only consumers —
+    # explain/plan audits — must not pay a corpus-sized job at
+    # DataFrame-construction time.)
     sigs = _persist(build_signature_table(corpus))
-    sigs.count()
     return incremental_kept_against(sigs, new, threshold=0.9)
 
 

@@ -26,9 +26,17 @@ from tests.oracle_util import compare, duckdb_con  # noqa: E402
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
-    spark = get_spark(app_name="sweep_check")
-    con = duckdb_con(sf_dir)
+    sf_dir = "/root/testdata/sf0.01"
+    if args and (os.path.sep in args[0] or args[0].startswith(".")):
+        # First arg looks like a path: require it to actually be a directory
+        # instead of silently treating a typo as a query name.
+        cand = args.pop(0)
+        if not os.path.isdir(cand):
+            print(json.dumps({"error": f"sf_dir not a directory: {cand}"}))
+            sys.exit(2)
+        sf_dir = cand
+    elif args and os.path.isdir(args[0]):
+        sf_dir = args.pop(0)
 
     import __spark_entry__ as entrymod
 
@@ -36,7 +44,16 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
     names = args or list(queries)
 
+    # Validate names upfront so an unknown name is a recorded failure, not a
+    # KeyError that aborts the sweep before the JSON summary prints.
     passed, rows_only, failed = [], {}, {}
+    unknown = [n for n in names if n not in queries]
+    for n in unknown:
+        failed[n] = "unknown query name"
+    names = [n for n in names if n in queries]
+
+    spark = get_spark(app_name="sweep_check")
+    con = duckdb_con(sf_dir)
     for name in names:
         fn = queries[name]
         try:
