@@ -56,67 +56,73 @@ def _registries() -> list:
 
 
 # Sweep priority (the driver caps its sweep at 50 entries, so ordering
-# decides what gets validated each round).  Rebuilt every round — VERDICT
-# r2 item 1: lead with oracles the driver has NEVER hash-checked, then
-# queries whose code changed this round, then no_oracle rows, then entries
-# last recorded in round 1; the previous round's green hash rows go last
-# (they rotate through whatever cap headroom remains).
+# decides what gets validated each round).  Rebuilt every round: lead with
+# oracles the driver has NEVER hash-checked (new queries), then queries
+# whose code changed this round, then the entries least-recently recorded
+# (round-3 re-verified all of its 50; these are the other half, last green
+# in rounds 1-2); the previous round's green hash rows rotate through
+# whatever cap headroom remains.
 _SWEEP_FIRST = [
-    # 1. oracles the driver has never hash-checked (r2 sweep-cap artifact
-    #    + the round-3 LSH oracle: plane literals embedded in the SQL)
-    "dedup_clusters",
-    "multimodal_features",
-    "grouping_sets",
-    "ann_lsh_topk",
-    # 2. changed or added in round 3 (bucket cap / block guard / new queries)
-    "source_quota_sample",
-    "weighted_sample",
-    "training_order",
-    "dedup_semantic",
-    "curation_pii",
-    "curation_pack_sequences",
-    "curation_importance",
-    "event_sliding_rollup",
-    "order_count_histogram",
-    "full_outer_fill",
-    "event_resample_ffill",
-    "merge_upsert",
-    "cdc_apply",
-    "snapshot_diff",
-    "event_view_click_join",
-    "embedding_lang_norms",
-    "large_orders",
-    "collection_functions",
-    "multimodal_frames",
-    "event_segment_rollup",
-    "curation_dup_ngrams",
-    "curation_repetition",
-    "curation_contamination",
+    # 1. added in round 4 — never driver-recorded
+    "returned_items",
+    "idle_rich_customers",
+    "part_supplier_counts",
+    "revenue_percentiles",
+    "revenue_deciles",
+    "token_positions",
+    "char_ngram_profile",
+    "embedding_quantize",
+    "embedding_matryoshka",
+    "scd2_intervals",
+    "rolling_spend",
+    "curation_tokenize",
+    # 2. changed in round 4 (vocab two-level rank; offsets window key;
+    #    incremental-LSH eager-count removal)
     "curation_vocab",
-    "bucketed_order_revenue",
-    "approx_aggs",
+    "training_order",
     "dedup_incremental_lsh",
-    "dedup_minhash_lsh",
-    "dedup_lsh_kept",
-    "dedup_clusters_lsh",
-    "dedup_jaccard_pairs",
-    "dedup_kept_docs",
-    "dedup_incremental",
-    "embedding_near_dups",
-    # 3. remaining no_oracle rows (re-pin row-count determinism)
-    "quality_classifier",
-    "kmeans_centers",
-    "kmeans_embedding_clusters",
-    "dedup_simhash",
-    "ann_ivf_topk",
-    # 4. green in round 1, never re-recorded since
-    "dedup_ngram_jaccard",
-    "ann_topk_cosine",
-    "text_token_counts",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_edit_distance",
+    # 3. last recorded in rounds 1-2 (round 3's sweep re-verified the other
+    #    50; these need re-confirmation after this round's edits)
+    "customer_features",
+    "scan_projection",
+    "derived_age",
+    "log_features",
+    "scalar_functions",
+    "order_revenue",
+    "customer_revenue_stats",
+    "event_hit_rate",
+    "distinct_pairs",
+    "supplier_nation",
+    "left_join_fill",
+    "semi_anti_join",
+    "row_number",
+    "unpivot",
+    "distinct_priorities",
+    "running_sum",
+    "window_suite",
+    "top_customers",
+    "set_ops",
+    "pricing_summary",
+    "top_orders",
+    "region_volume",
+    "nation_trade_volume",
+    "promo_revenue_share",
+    "dedup_exact",
+    "text_chunks",
+    "text_tfidf",
+    "training_pipeline",
+    "event_funnel",
+    "event_retention",
+    "stratified_sample",
+    "count_distinct",
+    "json_extract",
+    "json_agg",
+    "asof_last_order",
+    "range_join_recent_orders",
+    "event_hourly_rollup",
+    "event_user_sessions",
+    "event_dedup",
+    "standard_scaled",
     "text_rolling_hash",
     "top_tokens_per_lang",
     "salted_agg",
@@ -127,6 +133,13 @@ _SWEEP_FIRST = [
     "pivot_linestatus",
     "stats_agg",
     "multimodal_metadata",
+    "text_token_counts",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_edit_distance",
+    "dedup_ngram_jaccard",
+    "ann_topk_cosine",
 ]
 
 

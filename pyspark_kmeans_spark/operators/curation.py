@@ -434,6 +434,70 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(load_table(spark, sf_dir, "documents"), min_count=5)
 
 
+def tokenize_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Apply a trained vocabulary to the corpus: per document, the ordered
+    token-id sequence (space-joined), token count, and OOV count — the
+    tokenizer-apply stage between vocab build and sequence packing.
+
+    Tokens explode with their position, map to ids via a LEFT join on the
+    vocab (OOV → `oov_id`), and reassemble ordered: collect_list gathers
+    (pos, id) structs in arbitrary arrival order, array_sort restores the
+    positional order deterministically — no window needed.  The id join is
+    PINNED to shuffle_hash: Catalyst's static size estimate for the
+    explode-derived vocab subtree is unreliable (the round-3 64x scale run
+    crashed exactly this pattern by statically broadcasting a "small"
+    multi-GiB frame), and the shuffle spelling is also the skew-correct
+    one — token frequency is Zipfian, and AQE skew-split bounds the hot
+    token's task.  Callers with a known-bounded vocab (stopword lists)
+    can pass F.broadcast(vocab) explicitly."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "token"),
+    )
+    mapped = toks.join(
+        vocab.select("token", "token_id").hint("shuffle_hash"),
+        on="token",
+        how="left",
+    )
+    return (
+        mapped.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("token_id").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_pos").alias("pos"),
+                        F.coalesce("token_id", F.lit(oov_id)).alias("tid"),
+                    )
+                )
+            ).alias("_seq"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.concat_ws(
+                " ", F.transform("_seq", lambda s: s["tid"].cast("string"))
+            ).alias("ids_joined"),
+        )
+    )
+
+
+def q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tokenize_with_vocab(docs, build_vocab(docs, min_count=5))
+
+
 def q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The synthetic documents contain no digits at all (TESTDATA.md), so the
     # registered query appends deterministic PII to a varying subset of docs
@@ -491,6 +555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pii": q_pii,
     "curation_pack_sequences": q_pack_sequences,
     "curation_importance": q_importance,
+    "curation_tokenize": q_tokenize_docs,
 }
 
 _SH_CTE = """
@@ -637,5 +702,40 @@ ORACLES: dict[str, str] = {
                row_number() OVER (ORDER BY n_occurrences DESC, token ASC)
                    AS token_id
         FROM agg
+    """,
+    "curation_tokenize": """
+        WITH counts AS (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        agg AS (
+            SELECT token, count(*) AS n_occurrences
+            FROM counts GROUP BY token
+            HAVING count(*) >= 5
+        ),
+        vocab AS (
+            SELECT token,
+                   row_number() OVER (ORDER BY n_occurrences DESC, token ASC)
+                       AS token_id
+            FROM agg
+        ),
+        toks AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(t))) AS pos,
+                   unnest(t) AS token
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        ),
+        mapped AS (
+            SELECT doc_id, pos,
+                   v.token_id,
+                   COALESCE(v.token_id, 0) AS tid
+            FROM toks LEFT JOIN vocab v USING (token)
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids_joined
+        FROM mapped GROUP BY doc_id
     """,
 }

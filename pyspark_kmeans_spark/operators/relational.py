@@ -748,6 +748,125 @@ def q_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q10 shape: lost-revenue report — customers ranked by revenue on
+    # RETURNED line items within one order quarter.  The returnflag filter
+    # prunes lineitem at the scan; the quarter filter prunes orders; the
+    # join then runs over two pre-filtered fact sides (shuffle on the join
+    # keys, AQE picks broadcast for whichever side collapses); nation is a
+    # bounded dim → explicit broadcast.
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-04-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(decimal_sum(revenue).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 shape: customers with above-average balance and NO orders,
+    # aggregated per nation.  Exercises a global scalar aggregate (exact
+    # DECIMAL avg over positive balances, broadcast back as a 1-row frame —
+    # a bounded cross join, not a shuffle) plus a left-anti join against
+    # the orders fact (shuffle on custkey; at 100 TB AQE turns the
+    # pre-aggregated distinct-custkey side into a broadcast when it fits).
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    threshold = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(exact_avg("c_acctbal").alias("_avg_bal"))
+    )
+    return (
+        cust.join(F.broadcast(threshold))  # 1-row scalar, bounded cross
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            decimal_sum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 shape: per (brand, size) distinct-supplier count, with the
+    # supplier-part relation derived from lineitem.  COUNT(DISTINCT) over a
+    # join: Catalyst plans it as the two-stage distinct-then-count expand —
+    # the (partkey,suppkey) dedup happens BEFORE the part join, shrinking
+    # the join input to the distinct relation; part joins on partkey
+    # (AQE broadcast at bounded part sizes, shuffle when part grows).
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact percentiles (linear interpolation) of extendedprice per
+    # returnflag.  Exact percentile buffers a full sorted group per
+    # aggregation state — fine here because the group count is bounded (3
+    # return flags) and this is the oracle-checkable twin; the 100 TB scale
+    # path for unbounded groups is approx_percentile (registered under
+    # approx_aggs, rows-only).  Spark's percentile() and DuckDB's
+    # quantile_cont share the rank = p*(n-1) interpolation, so rounded
+    # outputs hash-match bit-for-bit.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.percentile("l_extendedprice", 0.25), 6).alias("p25"),
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.75), 6).alias("p75"),
+        F.round(F.percentile("l_extendedprice", 0.99), 6).alias("p99"),
+    )
+
+
+def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rank-family window suite the inventory lacked: NTILE / PERCENT_RANK /
+    # CUME_DIST over per-customer lifetime order value, partitioned by
+    # market segment (parallel windows — no global sort; the total order
+    # inside each partition is unique via the custkey tie-break, which is
+    # what makes all three functions deterministic and cross-engine-stable).
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(decimal_sum("o_totalprice").alias("lifetime_value"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("lifetime_value"), F.asc("c_custkey")
+    )
+    return per_cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "lifetime_value",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -784,9 +903,74 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "large_orders": q_large_orders,
     "collection_functions": q_collection_functions,
+    "returned_items": q_returned_items,
+    "idle_rich_customers": q_idle_rich_customers,
+    "part_supplier_counts": q_part_supplier_counts,
+    "revenue_percentiles": q_revenue_percentiles,
+    "revenue_deciles": q_revenue_deciles,
 }
 
 ORACLES: dict[str, str] = {
+    "returned_items": """
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal, n_name,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) <  DATE '1996-04-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "idle_rich_customers": """
+        WITH thr AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(c_acctbal)
+                       AS avg_bal
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey,
+               COUNT(*) AS n_custs,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+        FROM customer, thr
+        WHERE c_acctbal > thr.avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+    """,
+    "part_supplier_counts": """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM ps JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 25
+        GROUP BY p_brand, p_size
+    """,
+    "revenue_percentiles": """
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 6)  AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "revenue_deciles": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                       AS lifetime_value
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_mktsegment, lifetime_value,
+               CAST(NTILE(10) OVER w AS INT) AS decile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cum_dist
+        FROM per_cust JOIN customer ON o_custkey = c_custkey
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY lifetime_value DESC, c_custkey ASC)
+    """,
     "customer_features": _FLAGSHIP_SQL,
     "scan_projection": "SELECT c_custkey, c_name, c_acctbal FROM customer",
     "derived_age": """

@@ -557,8 +557,82 @@ def q_embedding_lang_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANT_LEVELS = 127.0  # int8 symmetric range
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric scalar quantization fidelity, per vector: maxabs
+    scale (|x|max/127), then round-half-up-to-grid reconstruction error
+    (MSE + worst-element error).  The quantizer uses floor(x/s + 0.5) —
+    a rounding definition both engines implement bit-identically — so the
+    whole query is deterministic IEEE double arithmetic: one scan, zero
+    shuffle, linear in vectors.  This is the fidelity-report stage of an
+    embedding-compression pipeline (the compressed table itself is the
+    same expression minus the error columns)."""
+    release_persisted()
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("_e"))
+    scale = F.array_max(F.transform("_e", lambda x: F.abs(x))) / F.lit(QUANT_LEVELS)
+    df = df.withColumn("_s", scale)
+
+    def _deq(x):
+        return F.floor(x / F.col("_s") + F.lit(0.5)) * F.col("_s")
+
+    sq_err = F.transform("_e", lambda x: (x - _deq(x)) * (x - _deq(x)))
+    abs_err = F.transform("_e", lambda x: F.abs(x - _deq(x)))
+    mse = (
+        F.aggregate(sq_err, F.lit(0.0), lambda a, x: a + x)
+        / F.size("_e").cast("double")
+    )
+    return df.select(
+        "vec_id",
+        "label",
+        F.round("_s", 9).alias("scale"),
+        F.round(mse, 12).alias("mse"),
+        F.round(F.array_max(abs_err), 9).alias("max_abs_err"),
+    )
+
+
+MATRYOSHKA_DIMS = (8, 16, 32)
+
+
+def q_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation fidelity: per label, the mean fraction of L2
+    norm retained by the first 8/16/32 of 64 dims — the report that decides
+    how far an MRL-trained embedding column can be truncated for cheap
+    first-stage retrieval.  Per-vector fractions are exact double folds
+    rounded to 6 decimals BEFORE the exact DECIMAL mean, so the per-label
+    aggregate is order-independent.  One scan + one bounded-key agg."""
+    from pyspark_kmeans_spark.functions.exact import exact_avg
+
+    release_persisted()
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = emb.select("label", _as_double(F.col("embedding")).alias("_e"))
+
+    def _energy(col):
+        return F.aggregate(
+            F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+
+    df = df.withColumn("_full", _energy(F.col("_e")))
+    for d in MATRYOSHKA_DIMS:
+        df = df.withColumn(
+            f"_f{d}",
+            F.round(F.sqrt(_energy(F.slice("_e", 1, d)) / F.col("_full")), 6),
+        )
+    return df.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[
+            F.round(exact_avg(f"_f{d}"), 6).alias(f"mean_frac_{d}")
+            for d in MATRYOSHKA_DIMS
+        ],
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_cosine": q_ann_topk,
+    "embedding_quantize": q_embedding_quantize,
+    "embedding_matryoshka": q_embedding_matryoshka,
     "embedding_lang_norms": q_embedding_lang_norms,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -571,6 +645,46 @@ _COS_SQL = (
 )
 
 ORACLES: dict[str, str] = {
+    "embedding_quantize": """
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, label, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+            FROM e
+        )
+        SELECT vec_id, label,
+               ROUND(sc, 9) AS scale,
+               ROUND(list_aggregate(
+                   list_transform(v, x -> (x - floor(x / sc + 0.5) * sc)
+                                        * (x - floor(x / sc + 0.5) * sc)),
+                   'sum') / len(v), 12) AS mse,
+               ROUND(list_max(
+                   list_transform(v, x -> abs(x - floor(x / sc + 0.5) * sc))
+               ), 9) AS max_abs_err
+        FROM s
+    """,
+    "embedding_matryoshka": """
+        WITH e AS (
+            SELECT label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), f AS (
+            SELECT label,
+                   ROUND(sqrt(list_aggregate(list_transform(v[1:8],  x -> x*x), 'sum')
+                       / list_aggregate(list_transform(v, x -> x*x), 'sum')), 6) AS f8,
+                   ROUND(sqrt(list_aggregate(list_transform(v[1:16], x -> x*x), 'sum')
+                       / list_aggregate(list_transform(v, x -> x*x), 'sum')), 6) AS f16,
+                   ROUND(sqrt(list_aggregate(list_transform(v[1:32], x -> x*x), 'sum')
+                       / list_aggregate(list_transform(v, x -> x*x), 'sum')), 6) AS f32
+            FROM e
+        )
+        SELECT label, COUNT(*) AS n_vecs,
+               ROUND(CAST(SUM(CAST(f8  AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_frac_8,
+               ROUND(CAST(SUM(CAST(f16 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_frac_16,
+               ROUND(CAST(SUM(CAST(f32 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_frac_32
+        FROM f GROUP BY label
+    """,
     "embedding_lang_norms": """
         WITH n AS (
             SELECT e.vec_id, d.lang,

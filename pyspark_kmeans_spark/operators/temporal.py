@@ -160,9 +160,97 @@ def q_range_join_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_intervals(
+    changes: DataFrame,
+    *,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """SCD-type-2 dimension build from an observation stream: collapse the
+    per-key value history into effective-dated intervals
+    (value, effective_from, effective_to; open interval = NULL).
+
+    Three per-key windows, all partitioned by the key (parallel at any
+    key cardinality, no global sort): (1) pick one deterministic
+    observation per (key, time) via the tie-break ordering, (2) keep only
+    rows where the value CHANGES vs LAG — consecutive repeats collapse,
+    (3) close each interval at LEAD(time) - 1 day.  One shuffle on the
+    key feeds all three windows (same partitioning reused across stages).
+    """
+    w_pick = Window.partitionBy(key_col, time_col).orderBy(F.desc(tiebreak_col))
+    picked = (
+        changes.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", tiebreak_col)
+    )
+    w_key = Window.partitionBy(key_col).orderBy(time_col)
+    runs = picked.withColumn("_prev", F.lag(value_col).over(w_key)).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col(value_col))
+    )
+    return runs.select(
+        key_col,
+        value_col,
+        F.col(time_col).cast("string").alias("effective_from"),
+        F.date_sub(F.lead(time_col).over(w_key), 1)
+        .cast("string")
+        .alias("effective_to"),
+    )
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-dated order-priority history per customer (SCD-2 build
+    from the orders stream; latest orderkey wins within a day)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("obs_date"),
+        "o_orderkey",
+        "o_orderpriority",
+    )
+    return scd2_intervals(
+        orders,
+        key_col="o_custkey",
+        time_col="obs_date",
+        value_col="o_orderpriority",
+        tiebreak_col="o_orderkey",
+    )
+
+
+def q_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order: the customer's trailing-90-day order count and total —
+    a RANGE-frame window (value-based, not row-based) over epoch days,
+    partitioned by customer so every window task is key-local.  The
+    windowed SUM accumulates in exact DECIMAL, so the trailing total is
+    order-independent and bit-identical across engines and partitionings."""
+    from pyspark.sql import types as T
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", day.alias("_day")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("_day")
+        .rangeBetween(-89, Window.currentRow)
+    )
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 6)))
+        .over(w)
+        .cast("double")
+        .alias("spend_90d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_90d"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_last_order": q_asof_last_order,
     "range_join_recent_orders": q_range_join_recent_orders,
+    "scd2_intervals": q_scd2_intervals,
+    "rolling_spend": q_rolling_spend,
 }
 
 ORACLES: dict[str, str] = {
@@ -196,5 +284,45 @@ ORACLES: dict[str, str] = {
          AND CAST(o.o_orderdate AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
          AND CAST(o.o_orderdate AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP) - INTERVAL '365 days'
         GROUP BY e.event_id
+    """,
+    "scd2_intervals": """
+        WITH daily AS (
+            SELECT o_custkey, CAST(o_orderdate AS DATE) AS obs_date,
+                   o_orderpriority,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                       ORDER BY o_orderkey DESC
+                   ) AS rn
+            FROM orders
+        ), picked AS (
+            SELECT o_custkey, obs_date, o_orderpriority FROM daily WHERE rn = 1
+        ), runs AS (
+            SELECT o_custkey, obs_date, o_orderpriority,
+                   LAG(o_orderpriority) OVER (
+                       PARTITION BY o_custkey ORDER BY obs_date
+                   ) AS prev
+            FROM picked
+        )
+        SELECT o_custkey, o_orderpriority,
+               CAST(obs_date AS VARCHAR) AS effective_from,
+               CAST(LEAD(obs_date) OVER (
+                   PARTITION BY o_custkey ORDER BY obs_date
+               ) - 1 AS VARCHAR) AS effective_to
+        FROM runs
+        WHERE prev IS NULL OR prev != o_orderpriority
+    """,
+    "rolling_spend": """
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                   AS spend_90d,
+               COUNT(*) OVER w AS n_orders_90d
+        FROM (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                       AS _day
+            FROM orders
+        )
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY _day
+                     RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
     """,
 }

@@ -331,6 +331,65 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional token stream (doc_id, pos, token) — the exploded form a
+    tokenizer-training or suffix-indexing stage consumes.  posexplode
+    carries the within-document position out of the array, so no window
+    function is needed: one scan, partition-local, output linear in corpus
+    tokens, and the (doc_id, pos) pair is a deterministic primary key."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), WS_RE)
+    return docs.select("doc_id", F.posexplode(toks).alias("_p", "token")).select(
+        "doc_id", (F.col("_p") + 1).cast("int").alias("pos"), "token"
+    )
+
+
+CHAR_NGRAM_N = 3
+CHAR_NGRAM_TOP_K = 10
+
+
+def char_ngram_profile(
+    df: DataFrame,
+    *,
+    n: int = CHAR_NGRAM_N,
+    k: int = CHAR_NGRAM_TOP_K,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language top-k character n-gram profile — the classic
+    language-ID feature table (Cavnar-Trenkle), built as pure JVM array
+    expressions.
+
+    The explode multiplies rows by characters-per-doc, but map-side
+    partial aggregation collapses them immediately to (lang, gram) keys —
+    a key space bounded by charset^n per language, NOT by corpus size —
+    so the shuffle is tiny at any scale.  Top-k runs per-language
+    (parallel bounded windows; count-desc with gram tie-break keeps the
+    profile deterministic)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), WS_RE, " ")
+    base = df.select(F.col(lang_col).alias("lang"), norm.alias("_t"))
+    starts = F.when(
+        F.length("_t") >= n,
+        F.sequence(F.lit(1), F.length("_t") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.withColumn("_i", F.explode(starts)).select(
+        "lang", F.col("_t").substr(F.col("_i"), F.lit(n)).alias("gram")
+    )
+    counts = grams.groupBy("lang", "gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_occurrences"), F.asc("gram")
+    )
+    return counts.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
+    )
+
+
+def q_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return char_ngram_profile(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_counts": q_token_counts,
     "text_quality": q_quality,
@@ -341,6 +400,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunks": q_text_chunks,
     "text_tfidf": q_text_tfidf,
     "training_pipeline": q_training_pipeline,
+    "token_positions": q_token_positions,
+    "char_ngram_profile": q_char_ngram_profile,
 }
 
 _SQL_SCORES = ", ".join(
@@ -349,6 +410,40 @@ _SQL_SCORES = ", ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "token_positions": """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '[ \\t\\n]+') AS t
+            FROM documents
+        ), z AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(t))) AS pos,
+                   unnest(t) AS token
+            FROM toks
+        )
+        SELECT doc_id, CAST(pos AS INT) AS pos, token FROM z
+    """,
+    "char_ngram_profile": """
+        WITH norm AS (
+            SELECT lang, regexp_replace(lower(text), '[ \\t\\n]+', ' ', 'g') AS t
+            FROM documents
+        ), idx AS (
+            SELECT lang, t,
+                   unnest(generate_series(1, greatest(length(t) - 2, 0))) AS i
+            FROM norm
+        ), counts AS (
+            SELECT lang, substring(t, CAST(i AS INT), 3) AS gram,
+                   COUNT(*) AS n_occurrences
+            FROM idx GROUP BY lang, gram
+        ), ranked AS (
+            SELECT lang, gram, n_occurrences,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY n_occurrences DESC, gram ASC
+                   ) AS INT) AS rank
+            FROM counts
+        )
+        SELECT lang, gram, n_occurrences, rank FROM ranked WHERE rank <= 10
+    """,
     "text_token_counts": """
         SELECT doc_id,
                CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n]+')) AS INT) AS n_tokens,

@@ -177,3 +177,38 @@ def test_importance_weights_ranks_target_like_docs(spark):
     }
     # More target-distribution tokens -> strictly higher weight.
     assert got[0] > got[2] > got[1]
+
+
+def test_tokenize_with_vocab_roundtrip(spark):
+    """Tokenizer-apply contract: id sequence length == token count, OOV
+    tokens map to id 0, and inverting the vocab reconstructs the original
+    text exactly for fully-in-vocab documents."""
+    from pyspark_kmeans_spark.operators.curation import (
+        build_vocab,
+        tokenize_with_vocab,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (0, "a b a c a b"),
+            (1, "b c rare b"),
+            (2, "a a a a"),
+        ],
+    )
+    vocab = build_vocab(docs, min_count=2)  # 'rare' and 'c'? c appears 2x
+    id2tok = {r["token_id"]: r["token"] for r in vocab.collect()}
+    got = {r["doc_id"]: r for r in tokenize_with_vocab(docs, vocab).collect()}
+    texts = {0: "a b a c a b", 1: "b c rare b", 2: "a a a a"}
+    for doc_id, text in texts.items():
+        toks = text.split(" ")
+        r = got[doc_id]
+        ids = [int(x) for x in r["ids_joined"].split(" ")]
+        assert r["n_tokens"] == len(toks)
+        assert len(ids) == r["n_tokens"]
+        n_oov = sum(1 for t in toks if t not in id2tok.values())
+        assert r["n_oov"] == n_oov
+        if n_oov == 0:
+            assert " ".join(id2tok[i] for i in ids) == text
+        else:
+            assert 0 in ids

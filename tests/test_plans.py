@@ -212,6 +212,22 @@ def test_minhash_verify_joins_never_broadcast(spark, sf_dir):
     assert len(re.findall(r"ShuffledHashJoin", plan)) >= 2, plan
 
 
+def test_tokenize_vocab_join_never_broadcast(spark, sf_dir):
+    """The tokenize id-join's vocab side is an explode-derived aggregate
+    (static size estimate is garbage — same crash class as the minhash
+    verify joins) and the token key is Zipfian: the shuffle_hash pin must
+    hold so neither a static broadcast nor a sort-merge-on-skew sneaks
+    in."""
+    from pyspark_kmeans_spark.operators.curation import q_tokenize_docs
+
+    plan = physical_plan(q_tokenize_docs(spark, sf_dir))
+    # The id-map join is the only LeftOuter in this plan; the broadcast
+    # inside build_vocab (distinct-counts offsets frame, provably tiny)
+    # is Inner and allowed.
+    assert "BroadcastHashJoin LeftOuter" not in plan, plan
+    assert "ShuffledHashJoin LeftOuter" in plan, plan
+
+
 def test_all_registered_plans_no_unbounded_cross(spark, sf_dir):
     """Global plan audit: no registered query may compile to a
     CartesianProduct or an unexpected BroadcastNestedLoopJoin.
@@ -224,11 +240,18 @@ def test_all_registered_plans_no_unbounded_cross(spark, sf_dir):
     totals frames (text.py / curation.py: `crossJoin(...agg(...))`),
     and ann_topk_cosine IS the brute-force baseline whose contract is
     'every corpus partition sees every probe' (similarity.py:60-92; the
-    scale paths are ann_lsh_topk / ann_ivf_topk, both equi-joins).
-    Any new entry here needs the same justification."""
+    scale paths are ann_lsh_topk / ann_ivf_topk, both equi-joins);
+    idle_rich_customers crosses in a 1-row global-average scalar
+    (relational.py: `join(F.broadcast(threshold))`, TPC-H Q22's scalar
+    subquery). Any new entry here needs the same justification."""
     import __spark_entry__ as entrymod
 
-    bounded_bnlj = {"text_tfidf", "curation_importance", "ann_topk_cosine"}
+    bounded_bnlj = {
+        "text_tfidf",
+        "curation_importance",
+        "ann_topk_cosine",
+        "idle_rich_customers",
+    }
     violations = {}
     for name, fn in entrymod.queries().items():
         plan = physical_plan(fn(spark, sf_dir))

@@ -445,3 +445,66 @@ def test_snapshot_diff_roundtrips_through_cdc_apply(spark, old, new):
     feed = snapshot_diff(odf, ndf, ["k"]).withColumn("seq", F.lit(1))
     got = {(r.k, r.v) for r in cdc_apply(odf, feed, ["k"]).collect()}
     assert got == set(new)
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(0, 2),   # key
+            st.integers(0, 8),   # day offset
+            st.integers(0, 2),   # value id
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SMALL)
+def test_scd2_intervals_reconstruct_history(spark, obs):
+    """SCD-2 invariants on arbitrary observation streams: per key the
+    intervals are disjoint, ordered, gap-free day-wise, only the last is
+    open, consecutive values differ, and point-in-time lookup of every
+    observed day returns the winning observation for that day."""
+    from pyspark.sql import functions as F
+
+    from pyspark_kmeans_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        (k, f"2020-01-{d + 1:02d}", i, f"v{v}")
+        for i, (k, d, v) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, obs string, seq long, val string"
+    ).withColumn("obs", F.to_date("obs"))
+    got = scd2_intervals(
+        df, key_col="k", time_col="obs", value_col="val", tiebreak_col="seq"
+    ).collect()
+
+    import datetime as dt
+
+    # Expected: per (key, day) the max-seq value wins; runs collapse.
+    winner: dict = {}
+    for k, d, i, v in ((r[0], r[1], r[2], r[3]) for r in rows):
+        if (k, d) not in winner or i > winner[(k, d)][0]:
+            winner[(k, d)] = (i, v)
+    by_key: dict = {}
+    for r in sorted(got, key=lambda r: (r[0], r[2])):
+        by_key.setdefault(r[0], []).append(r)
+    for k, ivals in by_key.items():
+        days = sorted(d for (kk, d) in winner if kk == k)
+        # first interval starts at the first observation
+        assert ivals[0][2] == days[0]
+        assert ivals[-1][3] is None  # last interval open
+        for a, b in zip(ivals, ivals[1:]):
+            assert a[1] != b[1], "consecutive values must differ"
+            # closed at the day before the next effective_from
+            prev_end = dt.date.fromisoformat(a[3])
+            nxt = dt.date.fromisoformat(b[2])
+            assert prev_end == nxt - dt.timedelta(days=1)
+        # point-in-time lookup reproduces every day's winning observation
+        for d in days:
+            val = next(
+                iv[1]
+                for iv in reversed(ivals)
+                if iv[2] <= d and (iv[3] is None or d <= iv[3])
+            )
+            assert val == winner[(k, d)][1]

@@ -221,3 +221,17 @@ def test_lsh_topk_scale_mode_no_broadcast_same_result(spark, sf_dir):
     assert "BroadcastHashJoin" not in physical_plan(scale)
     b = sorted(map(tuple, scale.collect()))
     assert a == b
+
+
+def test_quantize_error_bounds(spark, sf_dir):
+    """Int8 maxabs quantization contract: every element lands on a grid
+    point within scale/2 of its input, so max_abs_err <= scale/2 and
+    mse <= (scale/2)^2 for every vector."""
+    from pyspark_kmeans_spark.operators.similarity import q_embedding_quantize
+
+    rows = q_embedding_quantize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        half = r["scale"] / 2 + 1e-12
+        assert 0.0 <= r["max_abs_err"] <= half, r
+        assert 0.0 <= r["mse"] <= half * half, r
