@@ -34,6 +34,7 @@ def _registries() -> list:
         "analytics",
         "temporal",
         "curation",
+        "graph",
     ):
         try:
             mods.append(
@@ -76,6 +77,8 @@ _SWEEP_FIRST = [
     "scd2_intervals",
     "rolling_spend",
     "curation_tokenize",
+    "graph_pagerank",
+    "event_anomaly",
     # 2. changed in round 4 (vocab two-level rank; offsets window key;
     #    incremental-LSH eager-count removal)
     "curation_vocab",

@@ -32,13 +32,11 @@ from pyspark.sql import functions as F
 from pyspark_kmeans_spark.session import get_spark
 from pyspark_kmeans_spark.sources.tables import load_table
 
-QUERIES = [
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_jaccard_pairs",
-    "training_pipeline",
-    "training_order",
-]
+QUERIES = os.environ.get(
+    "SPARK_GRAFT_SCALE_QUERIES",
+    "dedup_exact,dedup_minhash_lsh,dedup_jaccard_pairs,"
+    "training_pipeline,training_order",
+).split(",")
 
 
 def write_blowup(docs, k: int, path: str) -> None:

@@ -616,8 +616,44 @@ def q_event_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly flags: per event type, hours whose event count
+    is more than 3 population-σ from that type's hourly mean.
+
+    The per-type moments come from exact DECIMAL sums (same determinism
+    contract as stats_agg — a float stddev aggregate could never
+    hash-match an oracle), computed over the ALREADY-AGGREGATED hourly
+    frame and broadcast back onto it (bounded by the event-type count, so
+    the broadcast is safe at any corpus size).  Two linear shuffles: the
+    hourly rollup and the tiny per-type agg."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("_hr")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        decimal_sum(F.col("n_events").cast("double")).alias("_sx"),
+        decimal_sum(
+            (F.col("n_events") * F.col("n_events")).cast("double")
+        ).alias("_sx2"),
+    )
+    j = hourly.join(F.broadcast(stats), on="event_type")
+    cnt = F.col("_cnt").cast("double")
+    mean = F.col("_sx") / cnt
+    std = F.sqrt(F.col("_sx2") / cnt - mean * mean)
+    z = F.try_divide(F.col("n_events") - mean, std)
+    return j.select(
+        "event_type",
+        F.unix_micros("_hr").alias("hour_us"),
+        "n_events",
+        F.round(z, 6).alias("zscore"),
+        (F.abs(z) > F.lit(3.0)).alias("is_anomaly"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_tokens_per_lang": q_top_tokens_per_lang,
+    "event_anomaly": q_event_anomaly,
     "event_resample_ffill": q_event_resample_ffill,
     "event_funnel": q_event_funnel,
     "event_retention": q_event_retention,
@@ -640,6 +676,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "event_anomaly": """
+        WITH hourly AS (
+            SELECT event_type,
+                   time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hr,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), stats AS (
+            SELECT event_type, COUNT(*) AS cnt,
+                   CAST(SUM(CAST(CAST(n_events AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(CAST(n_events * n_events AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS sx2
+            FROM hourly GROUP BY 1
+        )
+        SELECT h.event_type,
+               epoch_us(h.hr) AS hour_us,
+               h.n_events,
+               ROUND((h.n_events - sx / cnt)
+                     / NULLIF(sqrt(sx2 / cnt - (sx / cnt) * (sx / cnt)), 0), 6)
+                   AS zscore,
+               ABS((h.n_events - sx / cnt)
+                   / NULLIF(sqrt(sx2 / cnt - (sx / cnt) * (sx / cnt)), 0)) > 3.0
+                   AS is_anomaly
+        FROM hourly h JOIN stats USING (event_type)
+    """,
     "event_resample_ffill": """
         WITH hourly AS (
             SELECT event_type,

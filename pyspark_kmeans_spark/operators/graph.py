@@ -1,0 +1,153 @@
+"""Graph analytics over the document near-dup graph (north-star extension).
+
+The LLM-curation use case: documents are nodes, near-duplicate relations
+are edges, and link-structure centrality (PageRank) ranks "hub" documents —
+boilerplate templates and mirrored pages concentrate rank, which makes the
+score a useful curation signal alongside the text-quality features.
+
+Design (Spark-first, deterministic, oracle-checkable):
+
+ - The edge list is the exact-Jaccard near-dup pair graph
+   (`dedup.jaccard_pairs`, symmetric closure), so the whole query is
+   SQL-expressible and the DuckDB oracle replays it exactly.
+ - PageRank runs a FIXED number of power-iteration rounds (no float
+   convergence test — a data-dependent stopping rule can differ across
+   engines by one ulp and change the round count).  Each round is one
+   edge⋈rank equi-join + one grouped sum; per-edge contributions are
+   deterministic double arithmetic and the incoming-mass sum goes through
+   DECIMAL, so the result is independent of partitioning and engine.
+ - Dangling nodes (documents with no near-dup edges) keep the teleport
+   term only — their outgoing mass is dropped, the standard simplification,
+   applied identically in the oracle.
+ - The plan is linear in the iteration count (each round references the
+   previous rank frame once); no checkpoint/action is triggered at
+   DataFrame-construction time, so plan-only consumers (explain, the
+   registry-wide plan audit) stay job-free.
+
+At 100 TB the edge list is the LSH pair graph instead (same schema — swap
+`jaccard_pairs` for `minhash_lsh_pairs`, exactly as `dedup_clusters_lsh`
+does for connected components); every round is two linear shuffles on node
+id, and the node frame is re-used across rounds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyspark_kmeans_spark.operators.dedup import jaccard_pairs
+from pyspark_kmeans_spark.sources.tables import load_table
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERATIONS = 5
+# Per-edge contributions are ranks (≤1) split over degrees: 15 fractional
+# digits keeps the DECIMAL sum exact far below the final 12-dp rounding.
+_DEC = T.DecimalType(28, 15)
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    damping: float = PAGERANK_DAMPING,
+    iterations: int = PAGERANK_ITERATIONS,
+) -> DataFrame:
+    """Fixed-iteration PageRank → (id_col, pagerank) over a directed edge
+    list (`src`, `dst`).  For an undirected graph pass the symmetric
+    closure.  Deterministic: DECIMAL-summed incoming mass, fixed round
+    count, shared literals with the SQL oracle."""
+    n_frame = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    # 1-row scalar cross (bounded BNLJ, same pattern as the Q22 threshold):
+    # N reaches every node without a driver-side action at plan time.
+    base = nodes.select(id_col).join(F.broadcast(n_frame))
+    ranks = base.select(
+        id_col, (F.lit(1.0) / F.col("_n")).alias("rank"), "_n"
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    out = edges.join(deg, on="src")
+    teleport = F.lit(1.0 - damping) / F.col("_n")
+    for _ in range(iterations):
+        contribs = out.join(
+            ranks.select(F.col(id_col).alias("src"), "rank"), on="src"
+        ).select("dst", (F.col("rank") / F.col("_deg")).alias("_c"))
+        mass = contribs.groupBy("dst").agg(
+            F.sum(F.col("_c").cast(_DEC)).cast("double").alias("_m")
+        )
+        ranks = ranks.join(
+            mass, ranks[id_col] == mass.dst, "left"
+        ).select(
+            id_col,
+            (teleport + F.lit(damping) * F.coalesce("_m", F.lit(0.0))).alias(
+                "rank"
+            ),
+            "_n",
+        )
+    return ranks.select(id_col, F.round("rank", 12).alias("pagerank"))
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the exact near-dup pair graph (threshold 0.9), all
+    documents as nodes (dangling docs keep the teleport rank)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    return pagerank(docs.select("doc_id"), edges)
+
+
+def _pagerank_sql(damping: float, iterations: int) -> str:
+    """Unrolled power iteration: one CTE per round — plain ANSI SQL (a
+    recursive CTE with per-round aggregation is not portable), generated
+    from the same damping/iteration constants the Spark side uses."""
+    from pyspark_kmeans_spark.operators.dedup import _JACCARD_PAIRS_SQL
+
+    rounds = []
+    for i in range(1, iterations + 1):
+        prev = f"r{i - 1}"
+        rounds.append(f"""
+        m{i} AS (
+            SELECT e.dst AS doc_id,
+                   CAST(SUM(CAST(r.rank / deg._deg AS DECIMAL(28,15))) AS DOUBLE) AS m
+            FROM e
+            JOIN {prev} r ON e.src = r.doc_id
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ),
+        r{i} AS (
+            SELECT d.doc_id,
+                   {1.0 - damping} / n.n + {damping} * COALESCE(m{i}.m, 0.0) AS rank
+            FROM (SELECT doc_id FROM documents) d
+            CROSS JOIN n
+            LEFT JOIN m{i} ON d.doc_id = m{i}.doc_id
+        )""")
+    return f"""
+        WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+        e AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        deg AS (SELECT src, COUNT(*) AS _deg FROM e GROUP BY src),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        r0 AS (
+            SELECT doc_id, 1.0 / n.n AS rank
+            FROM documents CROSS JOIN n
+        ),{",".join(rounds)}
+        SELECT doc_id, ROUND(rank, 12) AS pagerank FROM r{iterations}
+    """
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "graph_pagerank": q_graph_pagerank,
+}
+
+ORACLES: dict[str, str] = {
+    "graph_pagerank": _pagerank_sql(PAGERANK_DAMPING, PAGERANK_ITERATIONS),
+}

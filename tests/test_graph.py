@@ -1,0 +1,67 @@
+"""PageRank invariants on planted graphs (the oracle pins exact values on
+testdata; these pin the semantics on known structures)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.operators.graph import (
+    PAGERANK_DAMPING,
+    pagerank,
+)
+
+
+def _graph(spark, node_ids, edge_pairs):
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id long")
+    if edge_pairs:
+        edges = spark.createDataFrame(edge_pairs, "src long, dst long")
+    else:
+        edges = nodes.select(
+            F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")
+        ).filter("src < 0")
+    return nodes, edges
+
+
+def _sym(pairs):
+    return pairs + [(b, a) for a, b in pairs]
+
+
+def test_pagerank_star_center_dominates(spark):
+    """In a star (0 linked to 1..4), the center must out-rank every leaf,
+    leaves are symmetric, and total rank mass stays in (1-d, 1]."""
+    nodes, edges = _graph(
+        spark, range(5), _sym([(0, i) for i in range(1, 5)])
+    )
+    got = {r.doc_id: r.pagerank for r in pagerank(nodes, edges).collect()}
+    assert got[0] > max(got[i] for i in range(1, 5))
+    assert len({got[i] for i in range(1, 5)}) == 1  # leaf symmetry
+    total = sum(got.values())
+    assert (1 - PAGERANK_DAMPING) < total <= 1.0 + 1e-9
+
+
+def test_pagerank_dangling_nodes_keep_teleport_only(spark):
+    """A node with no edges at all keeps exactly the teleport term
+    (1-d)/N after every iteration."""
+    nodes, edges = _graph(spark, range(4), _sym([(0, 1)]))
+    got = {r.doc_id: r.pagerank for r in pagerank(nodes, edges).collect()}
+    teleport = round((1 - PAGERANK_DAMPING) / 4, 12)
+    assert got[2] == pytest.approx(teleport, abs=1e-12)
+    assert got[3] == got[2]
+    assert got[0] == got[1] > got[2]  # symmetric pair beats dangling
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    """Same graph, different partition counts → bit-identical ranks (the
+    DECIMAL mass sum is the order-independence contract)."""
+    pairs = _sym([(i, (i + 1) % 7) for i in range(7)] + [(0, 3), (2, 5)])
+    nodes, edges = _graph(spark, range(7), pairs)
+    a = sorted(map(tuple, pagerank(nodes, edges).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pagerank(nodes.repartition(13), edges.repartition(17)).collect(),
+        )
+    )
+    assert a == b

@@ -243,7 +243,9 @@ def test_all_registered_plans_no_unbounded_cross(spark, sf_dir):
     scale paths are ann_lsh_topk / ann_ivf_topk, both equi-joins);
     idle_rich_customers crosses in a 1-row global-average scalar
     (relational.py: `join(F.broadcast(threshold))`, TPC-H Q22's scalar
-    subquery). Any new entry here needs the same justification."""
+    subquery); graph_pagerank crosses in the 1-row node-count scalar the
+    same way (graph.py: `join(F.broadcast(n_frame))`). Any new entry here
+    needs the same justification."""
     import __spark_entry__ as entrymod
 
     bounded_bnlj = {
@@ -251,6 +253,7 @@ def test_all_registered_plans_no_unbounded_cross(spark, sf_dir):
         "curation_importance",
         "ann_topk_cosine",
         "idle_rich_customers",
+        "graph_pagerank",
     }
     violations = {}
     for name, fn in entrymod.queries().items():
