@@ -79,6 +79,7 @@ _SWEEP_FIRST = [
     "curation_tokenize",
     "graph_pagerank",
     "event_anomaly",
+    "event_distinct_rollup",
     # 2. changed in round 4 (vocab two-level rank; offsets window key;
     #    incremental-LSH eager-count removal)
     "curation_vocab",

@@ -616,18 +616,13 @@ def q_event_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series anomaly flags: per event type, hours whose event count
-    is more than 3 population-σ from that type's hourly mean.
-
-    The per-type moments come from exact DECIMAL sums (same determinism
-    contract as stats_agg — a float stddev aggregate could never
-    hash-match an oracle), computed over the ALREADY-AGGREGATED hourly
-    frame and broadcast back onto it (bounded by the event-type count, so
-    the broadcast is safe at any corpus size).  Two linear shuffles: the
-    hourly rollup and the tiny per-type agg."""
-    ev = _t(spark, sf_dir, "events")
-    hourly = ev.groupBy(
+def hourly_type_stats(events: DataFrame) -> DataFrame:
+    """Per-event-type hourly-count baseline (event_type, _mean, _std) from
+    exact DECIMAL moments over the hourly rollup — the population
+    statistics an anomaly detector compares live counts against.
+    Deterministic (moment formula on decimal sums), bounded output (one
+    row per event type), so downstream joins can always broadcast it."""
+    hourly = events.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("_hr")
     ).agg(F.count(F.lit(1)).alias("n_events"))
     stats = hourly.groupBy("event_type").agg(
@@ -637,11 +632,32 @@ def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_events") * F.col("n_events")).cast("double")
         ).alias("_sx2"),
     )
-    j = hourly.join(F.broadcast(stats), on="event_type")
     cnt = F.col("_cnt").cast("double")
     mean = F.col("_sx") / cnt
     std = F.sqrt(F.col("_sx2") / cnt - mean * mean)
-    z = F.try_divide(F.col("n_events") - mean, std)
+    return stats.select(
+        "event_type", mean.alias("_mean"), std.alias("_std")
+    )
+
+
+def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly flags: per event type, hours whose event count
+    is more than 3 population-σ from that type's hourly mean.
+
+    The per-type moments come from exact DECIMAL sums (same determinism
+    contract as stats_agg — a float stddev aggregate could never
+    hash-match an oracle), computed over the ALREADY-AGGREGATED hourly
+    frame and broadcast back onto it (bounded by the event-type count, so
+    the broadcast is safe at any corpus size).  Two linear shuffles: the
+    hourly rollup and the tiny per-type agg.  The streaming form
+    (streaming/events.py:anomaly_rollup) joins the same stats frame as a
+    static broadcast into a watermarked windowed stream."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("_hr")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    j = hourly.join(F.broadcast(hourly_type_stats(ev)), on="event_type")
+    z = F.try_divide(F.col("n_events") - F.col("_mean"), F.col("_std"))
     return j.select(
         "event_type",
         F.unix_micros("_hr").alias("hour_us"),
@@ -651,9 +667,51 @@ def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE pre-aggregation pattern that makes
+    distinct counts tractable at 100 TB: daily HLL sketches of distinct
+    users per event type (what a production job would persist as a small
+    sketch table), then weekly estimates by MERGING the daily sketches —
+    never re-reading the raw events.  Exact COUNT(DISTINCT) is not
+    mergeable (distinct users over a week ≠ sum of daily distincts); the
+    sketch union is, which is the entire point.
+
+    no_oracle (sketch bytes are engine-specific) with driver-visible
+    invariants: each weekly estimate is reported next to the exact weekly
+    distinct with the relative error and an in-bounds flag (datasketches
+    HLL at default lgConfigK=12 → rsd ≈ 1.6%; flagged at 3×)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("_day")
+    ).agg(F.hll_sketch_agg("user_id").alias("_sk"))
+    weekly_approx = daily.groupBy(
+        "event_type", F.date_trunc("week", "_day").alias("_week")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_days_merged"),
+    )
+    weekly_exact = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("_week")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    j = weekly_approx.join(weekly_exact, on=["event_type", "_week"])
+    rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return j.select(
+        "event_type",
+        F.unix_micros("_week").alias("week_us"),
+        "n_days_merged",
+        "approx_users",
+        "exact_users",
+        F.round(rel_err, 6).alias("rel_err"),
+        (rel_err <= 0.05).alias("in_bounds"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "event_anomaly": q_event_anomaly,
+    "event_distinct_rollup": q_event_distinct_rollup,
     "event_resample_ffill": q_event_resample_ffill,
     "event_funnel": q_event_funnel,
     "event_retention": q_event_retention,

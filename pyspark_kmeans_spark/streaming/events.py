@@ -190,6 +190,43 @@ def streaming_segment_rollup(
     return segment_rollup(stream, load_table(spark, sf_dir, "customer"))
 
 
+def anomaly_rollup(events: DataFrame, stats: DataFrame) -> DataFrame:
+    """Live anomaly flags: hourly windowed counts per event type, scored
+    against a precomputed per-type baseline (event_type, _mean, _std —
+    `operators.analytics.hourly_type_stats`, the batch job a production
+    pipeline refreshes periodically).  Works identically on a batch or
+    watermarked streaming events frame: the stats side is a bounded
+    static broadcast (stateless stream-static join), and the windowed
+    count shuffles on (window, type) — bounded state at any stream rate."""
+    hourly = events.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    z = F.try_divide(F.col("n_events") - F.col("_mean"), F.col("_std"))
+    return (
+        hourly.join(F.broadcast(stats), on="event_type")
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > F.lit(3.0)).alias("is_anomaly"),
+        )
+    )
+
+
+def streaming_anomaly_rollup(
+    spark: SparkSession, sf_dir: str, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming form: watermarked stream scored against the batch-built
+    baseline — the standard deploy shape for streaming anomaly detection
+    (train offline, score online)."""
+    from pyspark_kmeans_spark.operators.analytics import hourly_type_stats
+
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    stats = hourly_type_stats(load_table(spark, sf_dir, "events"))
+    return anomaly_rollup(stream, stats)
+
+
 def view_click_join(
     views: DataFrame, clicks: DataFrame, *, horizon: str = "1 hour"
 ) -> DataFrame:

@@ -231,3 +231,19 @@ def test_weighted_sample_matches_python_reference(spark, sf_dir):
     corpus_mean = sum(rows.values()) / len(rows)
     sample_mean = sum(rows[i] for i in got) / len(got)
     assert sample_mean > corpus_mean
+
+
+def test_event_distinct_rollup_accuracy(spark, sf_dir):
+    """Mergeable-HLL weekly rollup: at test cardinalities the sketch is
+    near-exact — every week must be in-bounds, and merging can never
+    produce an estimate below any single day's true distinct count."""
+    from pyspark_kmeans_spark.operators.analytics import (
+        q_event_distinct_rollup,
+    )
+
+    rows = q_event_distinct_rollup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["in_bounds"], r
+        assert r["approx_users"] > 0
+        assert r["n_days_merged"] >= 1

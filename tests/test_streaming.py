@@ -150,3 +150,22 @@ def test_streaming_sliding_rollup_equals_batch(spark, sf_dir):
     )
     assert _rows(streamed, None) == _rows(batch, None)
     assert streamed.count() > 0
+
+
+def test_streaming_anomaly_rollup_equals_batch(spark, sf_dir):
+    """Streaming anomaly scoring (watermarked windowed counts joined to
+    the static batch-built baseline) must flag exactly what the batch
+    form flags."""
+    from pyspark_kmeans_spark.operators.analytics import hourly_type_stats
+    from pyspark_kmeans_spark.streaming.events import (
+        anomaly_rollup,
+        streaming_anomaly_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = anomaly_rollup(ev, hourly_type_stats(ev))
+    streamed = _run_stream_to_memory(
+        streaming_anomaly_rollup(spark, sf_dir), "stream_anomaly", spark
+    )
+    assert _rows(streamed, None) == _rows(batch, None)
+    assert streamed.count() > 0
