@@ -80,6 +80,7 @@ _SWEEP_FIRST = [
     "graph_pagerank",
     "event_anomaly",
     "event_distinct_rollup",
+    "top_supplier",
     # 2. changed in round 4 (vocab two-level rank; offsets window key;
     #    incremental-LSH eager-count removal)
     "curation_vocab",

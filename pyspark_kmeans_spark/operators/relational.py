@@ -867,6 +867,40 @@ def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOP_SUPPLIER_SQL = """
+    WITH revenue0 AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_revenue
+        FROM {lineitem}
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM {supplier} JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape via the engine's SQL entry path: quarterly revenue
+    view + scalar-subquery max, run as one `spark.sql` statement over
+    registered temp views.  Catalyst plans the scalar subquery natively
+    (Subquery + ReusedExchange — the revenue CTE is computed once and
+    reused for both the join side and the MAX, no driver round-trip, no
+    nested-loop join), and the revenue comparison is exact because both
+    sides of the equality come from the same DECIMAL-summed frame.
+    Dates prune the lineitem scan before the aggregation."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q15_lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("_q15_supplier")
+    return spark.sql(
+        _TOP_SUPPLIER_SQL.format(
+            lineitem="_q15_lineitem", supplier="_q15_supplier"
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -908,9 +942,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_supplier_counts": q_part_supplier_counts,
     "revenue_percentiles": q_revenue_percentiles,
     "revenue_deciles": q_revenue_deciles,
+    "top_supplier": q_top_supplier,
 }
 
 ORACLES: dict[str, str] = {
+    "top_supplier": _TOP_SUPPLIER_SQL.format(
+        lineitem="lineitem", supplier="supplier"
+    ),
     "returned_items": """
         SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal, n_name,
                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)

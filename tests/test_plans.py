@@ -212,6 +212,41 @@ def test_minhash_verify_joins_never_broadcast(spark, sf_dir):
     assert len(re.findall(r"ShuffledHashJoin", plan)) >= 2, plan
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter semi-join reduction must be available: on a
+    selective fact-fact join the big side's scan gains a might_contain
+    filter fed by a bloom_filter_agg over the selective side, so at scale
+    most lineitem rows die at the scan instead of crossing the shuffle.
+    Spark enables the rewrite by default but gates it on a 10 GiB
+    application-side scan threshold — exactly the 100 TB case; the test
+    lowers the gate so the sf-fixture scan crosses it, and forces the
+    join off the broadcast path (a broadcast join already prunes via its
+    own runtime filter)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 450000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_tokenize_vocab_join_never_broadcast(spark, sf_dir):
     """The tokenize id-join's vocab side is an explode-derived aggregate
     (static size estimate is garbage — same crash class as the minhash
