@@ -81,6 +81,7 @@ _SWEEP_FIRST = [
     "event_anomaly",
     "event_distinct_rollup",
     "top_supplier",
+    "embedding_pca_variance",
     # 2. changed in round 4 (vocab two-level rank; offsets window key;
     #    incremental-LSH eager-count removal)
     "curation_vocab",

@@ -85,10 +85,42 @@ def q_kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_K = 8
+
+
+def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML extension: PCA spectrum of the 64-dim embedding table — the
+    explained-variance ratios of the top PCA_K components, the standard
+    dimensionality-reduction report before truncating an embedding column
+    (complements embedding_matryoshka, which measures prefix-dim
+    truncation without a basis change).
+
+    rows-only: the eigensolver is iterative and engine-specific.  The
+    distributed work is MLlib's covariance accumulation over the vectors
+    (one pass, tree-aggregated); the k×k eigendecomposition happens on
+    the driver, and the output is O(k) rows.  Invariants pinned in
+    tests/test_ml.py: ratios descending, positive, cumulative ≤ 1, and a
+    2-d closed-form eigenvalue cross-check against exact DECIMAL moments."""
+    from pyspark.ml.feature import PCA
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "features", array_to_vector("embedding")
+    )
+    model = PCA(k=PCA_K, inputCol="features", outputCol="pc").fit(emb)
+    rows = [
+        (i + 1, round(float(v), 6))
+        for i, v in enumerate(model.explainedVariance)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, explained_variance double"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "standard_scaled": q_standard_scaled,
     "kmeans_centers": q_kmeans_centers,
     "kmeans_embedding_clusters": q_kmeans_embedding_clusters,
+    "embedding_pca_variance": q_embedding_pca_variance,
 }
 
 ORACLES: dict[str, str] = {

@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pyspark_kmeans_spark.functions.exact import decimal_sum
 from pyspark_kmeans_spark.sources.tables import load_table
@@ -616,21 +617,35 @@ def q_event_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hourly_type_stats(events: DataFrame) -> DataFrame:
-    """Per-event-type hourly-count baseline (event_type, _mean, _std) from
-    exact DECIMAL moments over the hourly rollup — the population
-    statistics an anomaly detector compares live counts against.
-    Deterministic (moment formula on decimal sums), bounded output (one
-    row per event type), so downstream joins can always broadcast it."""
-    hourly = events.groupBy(
+def hourly_counts(events: DataFrame) -> DataFrame:
+    """Per-(event_type, hour) event counts — the shared rollup both the
+    anomaly query and the baseline-stats builder consume."""
+    return events.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("_hr")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def stats_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Per-event-type baseline (event_type, _mean, _std) from exact
+    DECIMAL moments over an hourly-counts frame — the population
+    statistics an anomaly detector compares live counts against.
+    Deterministic (moment formula on decimal sums), bounded output (one
+    row per event type), so downstream joins can always broadcast it.
+
+    The squared counts go through DECIMAL(38,6), NOT the money-sized
+    DECIMAL(18,6): an hourly count of 1e6 squares to 1e12, which already
+    overflows the 18-digit cast under ANSI — second moments need the
+    wide decimal at production event rates."""
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("_cnt"),
         decimal_sum(F.col("n_events").cast("double")).alias("_sx"),
-        decimal_sum(
-            (F.col("n_events") * F.col("n_events")).cast("double")
-        ).alias("_sx2"),
+        F.sum(
+            (F.col("n_events") * F.col("n_events"))
+            .cast("double")
+            .cast(T.DecimalType(38, 6))
+        )
+        .cast("double")
+        .alias("_sx2"),
     )
     cnt = F.col("_cnt").cast("double")
     mean = F.col("_sx") / cnt
@@ -638,6 +653,12 @@ def hourly_type_stats(events: DataFrame) -> DataFrame:
     return stats.select(
         "event_type", mean.alias("_mean"), std.alias("_std")
     )
+
+
+def hourly_type_stats(events: DataFrame) -> DataFrame:
+    """Baseline stats straight from the raw events (the offline training
+    job the streaming scorer refreshes periodically)."""
+    return stats_from_hourly(hourly_counts(events))
 
 
 def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,15 +669,14 @@ def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as stats_agg — a float stddev aggregate could never
     hash-match an oracle), computed over the ALREADY-AGGREGATED hourly
     frame and broadcast back onto it (bounded by the event-type count, so
-    the broadcast is safe at any corpus size).  Two linear shuffles: the
-    hourly rollup and the tiny per-type agg.  The streaming form
-    (streaming/events.py:anomaly_rollup) joins the same stats frame as a
-    static broadcast into a watermarked windowed stream."""
+    the broadcast is safe at any corpus size) — the hourly frame is built
+    ONCE and feeds both the stats agg and the scoring join.  The
+    streaming form (streaming/events.py:anomaly_rollup) joins the same
+    stats frame as a static broadcast into a watermarked windowed
+    stream."""
     ev = _t(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("_hr")
-    ).agg(F.count(F.lit(1)).alias("n_events"))
-    j = hourly.join(F.broadcast(hourly_type_stats(ev)), on="event_type")
+    hourly = hourly_counts(ev)
+    j = hourly.join(F.broadcast(stats_from_hourly(hourly)), on="event_type")
     z = F.try_divide(F.col("n_events") - F.col("_mean"), F.col("_std"))
     return j.select(
         "event_type",
@@ -743,7 +763,7 @@ ORACLES: dict[str, str] = {
         ), stats AS (
             SELECT event_type, COUNT(*) AS cnt,
                    CAST(SUM(CAST(CAST(n_events AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-                   CAST(SUM(CAST(CAST(n_events * n_events AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS sx2
+                   CAST(SUM(CAST(CAST(n_events * n_events AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sx2
             FROM hourly GROUP BY 1
         )
         SELECT h.event_type,

@@ -576,7 +576,12 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = df.withColumn("_s", scale)
 
     def _deq(x):
-        return F.floor(x / F.col("_s") + F.lit(0.5)) * F.col("_s")
+        # An all-zero vector has scale 0; its quantization is exact by
+        # definition (every element is already on the grid).  The guard
+        # matters under ANSI mode, where a plain x/0 aborts the job.
+        return F.when(
+            F.col("_s") > 0, F.floor(x / F.col("_s") + F.lit(0.5)) * F.col("_s")
+        ).otherwise(F.lit(0.0))
 
     sq_err = F.transform("_e", lambda x: (x - _deq(x)) * (x - _deq(x)))
     abs_err = F.transform("_e", lambda x: F.abs(x - _deq(x)))
@@ -616,9 +621,17 @@ def q_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = df.withColumn("_full", _energy(F.col("_e")))
     for d in MATRYOSHKA_DIMS:
+        # try_divide: an all-zero vector has zero total energy — its
+        # retention fraction is undefined (NULL, skipped by the mean),
+        # and a plain 0/0 would abort the job under ANSI mode.
         df = df.withColumn(
             f"_f{d}",
-            F.round(F.sqrt(_energy(F.slice("_e", 1, d)) / F.col("_full")), 6),
+            F.round(
+                F.sqrt(
+                    F.try_divide(_energy(F.slice("_e", 1, d)), F.col("_full"))
+                ),
+                6,
+            ),
         )
     return df.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -657,11 +670,13 @@ ORACLES: dict[str, str] = {
         SELECT vec_id, label,
                ROUND(sc, 9) AS scale,
                ROUND(list_aggregate(
-                   list_transform(v, x -> (x - floor(x / sc + 0.5) * sc)
-                                        * (x - floor(x / sc + 0.5) * sc)),
+                   list_transform(v, x ->
+                       (x - CASE WHEN sc > 0 THEN floor(x / sc + 0.5) * sc ELSE 0.0 END)
+                     * (x - CASE WHEN sc > 0 THEN floor(x / sc + 0.5) * sc ELSE 0.0 END)),
                    'sum') / len(v), 12) AS mse,
                ROUND(list_max(
-                   list_transform(v, x -> abs(x - floor(x / sc + 0.5) * sc))
+                   list_transform(v, x ->
+                       abs(x - CASE WHEN sc > 0 THEN floor(x / sc + 0.5) * sc ELSE 0.0 END))
                ), 9) AS max_abs_err
         FROM s
     """,
@@ -672,17 +687,17 @@ ORACLES: dict[str, str] = {
         ), f AS (
             SELECT label,
                    ROUND(sqrt(list_aggregate(list_transform(v[1:8],  x -> x*x), 'sum')
-                       / list_aggregate(list_transform(v, x -> x*x), 'sum')), 6) AS f8,
+                       / NULLIF(list_aggregate(list_transform(v, x -> x*x), 'sum'), 0)), 6) AS f8,
                    ROUND(sqrt(list_aggregate(list_transform(v[1:16], x -> x*x), 'sum')
-                       / list_aggregate(list_transform(v, x -> x*x), 'sum')), 6) AS f16,
+                       / NULLIF(list_aggregate(list_transform(v, x -> x*x), 'sum'), 0)), 6) AS f16,
                    ROUND(sqrt(list_aggregate(list_transform(v[1:32], x -> x*x), 'sum')
-                       / list_aggregate(list_transform(v, x -> x*x), 'sum')), 6) AS f32
+                       / NULLIF(list_aggregate(list_transform(v, x -> x*x), 'sum'), 0)), 6) AS f32
             FROM e
         )
         SELECT label, COUNT(*) AS n_vecs,
-               ROUND(CAST(SUM(CAST(f8  AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_frac_8,
-               ROUND(CAST(SUM(CAST(f16 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_frac_16,
-               ROUND(CAST(SUM(CAST(f32 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_frac_32
+               ROUND(CAST(SUM(CAST(f8  AS DECIMAL(18,6))) AS DOUBLE) / COUNT(f8),  6) AS mean_frac_8,
+               ROUND(CAST(SUM(CAST(f16 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(f16), 6) AS mean_frac_16,
+               ROUND(CAST(SUM(CAST(f32 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(f32), 6) AS mean_frac_32
         FROM f GROUP BY label
     """,
     "embedding_lang_norms": """

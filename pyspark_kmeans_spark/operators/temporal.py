@@ -186,8 +186,18 @@ def scd2_intervals(
         .drop("_rn", tiebreak_col)
     )
     w_key = Window.partitionBy(key_col).orderBy(time_col)
-    runs = picked.withColumn("_prev", F.lag(value_col).over(w_key)).filter(
-        F.col("_prev").isNull() | (F.col("_prev") != F.col(value_col))
+    # Null-safe change detection: `prev != value` is NULL (row dropped)
+    # when either side is NULL, which would silently merge an A→NULL
+    # transition into the prior interval.  A sentinel lag marks the true
+    # first row — `prev IS NULL` cannot, because a NULL-valued
+    # observation also produces a NULL prev.
+    runs = (
+        picked.withColumn("_prev", F.lag(value_col).over(w_key))
+        .withColumn("_has_prev", F.lag(F.lit(1)).over(w_key).isNotNull())
+        .filter(
+            ~F.col("_has_prev")
+            | ~F.col("_prev").eqNullSafe(F.col(value_col))
+        )
     )
     return runs.select(
         key_col,

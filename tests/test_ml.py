@@ -158,3 +158,53 @@ def test_kscan_rejects_invalid_k_range(scaled):
 
     with pytest.raises(ValueError, match="invalid k range"):
         kmeans_scan(scaled, k_min=6, k_max=2)
+
+
+def test_pca_variance_invariants_and_2d_closed_form(spark, sf_dir):
+    """PCA spectrum contract: ratios positive, descending, cumulative <= 1;
+    and on a 2-feature frame MLlib's eigenvalues must match the closed-form
+    covariance eigenvalues (lambda = (v1+v2 +- sqrt((v1-v2)^2 + 4c^2))/2)
+    computed from exact moments — pins the eigensolver's correctness
+    without pretending float equality across engines."""
+    import math
+
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    from pyspark.sql import functions as F
+
+    from pyspark_kmeans_spark.ml.queries import q_embedding_pca_variance
+    from pyspark_kmeans_spark.sources.tables import load_table
+
+    rows = q_embedding_pca_variance(spark, sf_dir).collect()
+    ratios = [r["explained_variance"] for r in sorted(rows, key=lambda r: r["component"])]
+    assert all(v > 0 for v in ratios)
+    assert ratios == sorted(ratios, reverse=True)
+    assert sum(ratios) <= 1.0 + 1e-9
+
+    # 2-d closed form on embedding dims 0 and 1.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).collect()[0]
+    n = stats["n"]
+    v1 = (stats["sxx"] - stats["sx"] ** 2 / n) / (n - 1)
+    v2 = (stats["syy"] - stats["sy"] ** 2 / n) / (n - 1)
+    c = (stats["sxy"] - stats["sx"] * stats["sy"] / n) / (n - 1)
+    disc = math.sqrt((v1 - v2) ** 2 + 4 * c * c)
+    lam = sorted([(v1 + v2 + disc) / 2, (v1 + v2 - disc) / 2], reverse=True)
+
+    model = PCA(k=2, inputCol="f", outputCol="pc").fit(
+        emb.select(array_to_vector(F.array("x", "y")).alias("f"))
+    )
+    got = list(model.explainedVariance)
+    total = lam[0] + lam[1]
+    for g, expect in zip(got, [lam[0] / total, lam[1] / total]):
+        assert abs(g - expect) < 1e-6, (got, lam)

@@ -508,3 +508,38 @@ def test_scd2_intervals_reconstruct_history(spark, obs):
                 if iv[2] <= d and (iv[3] is None or d <= iv[3])
             )
             assert val == winner[(k, d)][1]
+
+
+def test_scd2_intervals_null_transitions(spark):
+    """A→NULL and NULL→A are real changes (null-safe detection), and a
+    key whose FIRST observation is NULL still opens an interval."""
+    from pyspark.sql import functions as F
+
+    from pyspark_kmeans_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        (1, "2020-01-01", 0, "A"),
+        (1, "2020-01-02", 1, None),
+        (1, "2020-01-03", 2, "A"),
+        (2, "2020-01-01", 3, None),
+        (2, "2020-01-02", 4, "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, obs string, seq long, val string"
+    ).withColumn("obs", F.to_date("obs"))
+    got = sorted(
+        (
+            (r[0], r[1], r[2], r[3])
+            for r in scd2_intervals(
+                df, key_col="k", time_col="obs", value_col="val", tiebreak_col="seq"
+            ).collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert got == [
+        (1, "A", "2020-01-01", "2020-01-01"),
+        (1, None, "2020-01-02", "2020-01-02"),
+        (1, "A", "2020-01-03", None),
+        (2, None, "2020-01-01", "2020-01-01"),
+        (2, "B", "2020-01-02", None),
+    ]
