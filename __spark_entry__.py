@@ -82,6 +82,7 @@ _SWEEP_FIRST = [
     "event_distinct_rollup",
     "top_supplier",
     "embedding_pca_variance",
+    "ann_ivf_assign",
     # 2. changed in round 4 (vocab two-level rank; offsets window key;
     #    incremental-LSH eager-count removal)
     "curation_vocab",

@@ -347,6 +347,71 @@ def ivf_topk(
     return _rank_topk(scored, k)
 
 
+def ivf_assign(
+    batch: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental IVF index maintenance: route a NEW batch of vectors to
+    their nearest persisted centroid — the ingestion path of an ANN index
+    (append (id, cell) rows to the cell table; the centroids are NOT
+    refit per batch, exactly as build_signature_table ingests new docs
+    without re-signing the corpus).
+
+    Pure map-side work: the centroids are plan literals (an IVF codebook
+    is small by construction — √N cells for the standard sizing), so the
+    batch is scanned once with zero shuffle and zero driver round-trips.
+    Routing happens in UNIT space to match `_kmeans_cells`; the returned
+    `cell` agrees exactly with what `model.transform` would assign
+    (argmin L2 over the same centroids — pinned in
+    tests/test_similarity.py)."""
+    p = with_unit_vectors(batch).select(
+        F.col(id_col),
+        F.transform("vec", lambda x: x / F.col("norm")).alias("_uvec"),
+    )
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "_uvec",
+                        F.array(*[F.lit(v) for v in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.element_at(F.array_sort(dists), 1)
+    return p.select(
+        id_col,
+        best["cell"].alias("cell"),
+        F.round(F.sqrt(best["d"]), 6).alias("l2_to_centroid"),
+    )
+
+
+IVF_BATCH_MOD = 5  # vec_id % 5 == 0 → 20% of vectors are the new batch
+
+
+def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-ingestion query: cells fit on the 80% corpus, the 20% batch
+    routed map-side against the persisted codebook.  rows-only (k-means
+    centroids are iterative); routing==transform consistency is pinned in
+    tests."""
+    release_persisted()
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % IVF_BATCH_MOD != 0)
+    batch = emb.filter(F.col("vec_id") % IVF_BATCH_MOD == 0)
+    _, model = _kmeans_cells(corpus, 16, 1, "vec_id")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return ivf_assign(batch, centroids)
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -649,6 +714,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_lang_norms": q_embedding_lang_norms,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_assign": q_ann_ivf_assign,
     "embedding_near_dups": q_embedding_near_dups,
     "dedup_semantic": q_dedup_semantic,
 }

@@ -235,3 +235,37 @@ def test_quantize_error_bounds(spark, sf_dir):
         half = r["scale"] / 2 + 1e-12
         assert 0.0 <= r["max_abs_err"] <= half, r
         assert 0.0 <= r["mse"] <= half * half, r
+
+
+def test_ivf_assign_matches_model_transform(spark, sf_dir):
+    """The map-side plan-literal routing must assign every vector to the
+    same cell as MLlib's own model.transform (same centroids, same
+    unit-space argmin-L2) — the index-ingestion path may not drift from
+    the index-build path."""
+    from pyspark.ml.functions import array_to_vector
+
+    from pyspark_kmeans_spark.operators.similarity import (
+        _kmeans_cells,
+        ivf_assign,
+        with_unit_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    _, model = _kmeans_cells(corpus, 16, 1, "vec_id")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(batch, centroids).collect()
+    }
+    unit = F.transform("vec", lambda x: x / F.col("norm"))
+    featurized = with_unit_vectors(batch).withColumn(
+        "_fv", array_to_vector(unit)
+    )
+    want = {
+        r["vec_id"]: r["prediction"]
+        for r in model.transform(featurized).collect()
+    }
+    assert got == want
+    assert len(got) > 0
