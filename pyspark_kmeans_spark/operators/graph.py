@@ -38,6 +38,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pyspark_kmeans_spark.functions.persist import (
+    registered_persist,
+    release_persisted,
+)
 from pyspark_kmeans_spark.operators.dedup import jaccard_pairs
 from pyspark_kmeans_spark.sources.tables import load_table
 
@@ -68,7 +72,13 @@ def pagerank(
         id_col, (F.lit(1.0) / F.col("_n")).alias("rank"), "_n"
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    out = edges.join(deg, on="src")
+    # The degree-annotated edge list is consumed once per round: without a
+    # persist, EVERY round re-runs the whole upstream edge-mining pipeline
+    # (for the near-dup graph that is the full pair-mining job × rounds —
+    # measured 5-6× the single-pass cost at sf0.1).  registered_persist is
+    # lazy, so plan-only consumers still trigger no job; the registry
+    # frees it when the next registered query runs.
+    out = registered_persist(edges.join(deg, on="src"))
     teleport = F.lit(1.0 - damping) / F.col("_n")
     for _ in range(iterations):
         contribs = out.join(
@@ -92,6 +102,7 @@ def pagerank(
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the exact near-dup pair graph (threshold 0.9), all
     documents as nodes (dangling docs keep the teleport rank)."""
+    release_persisted()
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
     edges = pairs.select(
