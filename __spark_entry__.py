@@ -83,6 +83,7 @@ _SWEEP_FIRST = [
     "top_supplier",
     "embedding_pca_variance",
     "ann_ivf_assign",
+    "customer_rfm",
     # 2. changed in round 4 (vocab two-level rank; offsets window key;
     #    incremental-LSH eager-count removal)
     "curation_vocab",

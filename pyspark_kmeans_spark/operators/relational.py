@@ -867,6 +867,57 @@ def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RFM_REFERENCE_DATE = "2002-01-01"  # just past the testdata's order range
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer RFM segmentation — the reference's own domain (customer
+    segmentation, SURVEY.md §0) expressed as a deterministic relational
+    query rather than a clustering fit: recency (days from last order to
+    a fixed reference date, the P1 hard-coded-date pattern), frequency
+    (order count), monetary (exact DECIMAL lifetime value), each scored
+    1-4 by fixed thresholds.  Fixed thresholds, not quantile buckets, so
+    scores are stable as the corpus grows and need no global sort; one
+    custkey groupBy shuffle is the whole query."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        decimal_sum("o_totalprice").alias("monetary"),
+    )
+    recency = F.datediff(F.to_date(F.lit(RFM_REFERENCE_DATE)), F.col("_last"))
+    r = (
+        F.when(recency <= 365, 4)
+        .when(recency <= 730, 3)
+        .when(recency <= 1460, 2)
+        .otherwise(1)
+    )
+    f = (
+        F.when(F.col("frequency") >= 20, 4)
+        .when(F.col("frequency") >= 10, 3)
+        .when(F.col("frequency") >= 5, 2)
+        .otherwise(1)
+    )
+    m = (
+        F.when(F.col("monetary") >= 2000000.0, 4)
+        .when(F.col("monetary") >= 1000000.0, 3)
+        .when(F.col("monetary") >= 500000.0, 2)
+        .otherwise(1)
+    )
+    return per_cust.select(
+        "o_custkey",
+        recency.alias("recency_days"),
+        "frequency",
+        "monetary",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+        F.concat(
+            r.cast("string"), f.cast("string"), m.cast("string")
+        ).alias("rfm_segment"),
+    )
+
+
 _TOP_SUPPLIER_SQL = """
     WITH revenue0 AS (
         SELECT l_suppkey AS supplier_no,
@@ -943,12 +994,48 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_percentiles": q_revenue_percentiles,
     "revenue_deciles": q_revenue_deciles,
     "top_supplier": q_top_supplier,
+    "customer_rfm": q_customer_rfm,
 }
 
 ORACLES: dict[str, str] = {
     "top_supplier": _TOP_SUPPLIER_SQL.format(
         lineitem="lineitem", supplier="supplier"
     ),
+    "customer_rfm": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   MAX(CAST(o_orderdate AS DATE)) AS last_order,
+                   COUNT(*) AS frequency,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                       AS monetary
+            FROM orders GROUP BY o_custkey
+        ), scored AS (
+            SELECT o_custkey,
+                   datediff('day', last_order, DATE '2002-01-01') AS recency_days,
+                   frequency, monetary,
+                   CASE WHEN datediff('day', last_order, DATE '2002-01-01') <= 365 THEN 4
+                        WHEN datediff('day', last_order, DATE '2002-01-01') <= 730 THEN 3
+                        WHEN datediff('day', last_order, DATE '2002-01-01') <= 1460 THEN 2
+                        ELSE 1 END AS r_score,
+                   CASE WHEN frequency >= 20 THEN 4
+                        WHEN frequency >= 10 THEN 3
+                        WHEN frequency >= 5 THEN 2
+                        ELSE 1 END AS f_score,
+                   CASE WHEN monetary >= 2000000.0 THEN 4
+                        WHEN monetary >= 1000000.0 THEN 3
+                        WHEN monetary >= 500000.0 THEN 2
+                        ELSE 1 END AS m_score
+            FROM per_cust
+        )
+        SELECT o_custkey, CAST(recency_days AS INT) AS recency_days,
+               frequency, monetary,
+               CAST(r_score AS INT) AS r_score,
+               CAST(f_score AS INT) AS f_score,
+               CAST(m_score AS INT) AS m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                   || CAST(m_score AS VARCHAR) AS rfm_segment
+        FROM scored
+    """,
     "returned_items": """
         SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal, n_name,
                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
