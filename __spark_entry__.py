@@ -84,6 +84,7 @@ _SWEEP_FIRST = [
     "embedding_pca_variance",
     "ann_ivf_assign",
     "customer_rfm",
+    "forecast_revenue",
     # 2. changed in round 4 (vocab two-level rank; offsets window key;
     #    incremental-LSH eager-count removal)
     "curation_vocab",

@@ -867,6 +867,27 @@ def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6 shape: the pure filter+aggregate — no join, no groupBy key.
+    # Every predicate (date range, discount band, quantity cap) is
+    # scan-eligible, so at 100 TB the query cost is parquet row-group
+    # pruning + one partial/final agg of the survivors; the global sum is
+    # exact DECIMAL, so the single output row is bit-stable.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        decimal_sum(
+            F.col("l_extendedprice") * F.col("l_discount")
+        ).alias("revenue_effect"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 RFM_REFERENCE_DATE = "2002-01-01"  # just past the testdata's order range
 
 
@@ -995,12 +1016,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_deciles": q_revenue_deciles,
     "top_supplier": q_top_supplier,
     "customer_rfm": q_customer_rfm,
+    "forecast_revenue": q_forecast_revenue,
 }
 
 ORACLES: dict[str, str] = {
     "top_supplier": _TOP_SUPPLIER_SQL.format(
         lineitem="lineitem", supplier="supplier"
     ),
+    "forecast_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                   AS revenue_effect,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
     "customer_rfm": """
         WITH per_cust AS (
             SELECT o_custkey,
