@@ -35,6 +35,8 @@ def _registries() -> list:
         "temporal",
         "curation",
         "graph",
+        "tpch",
+        "checks",
     ):
         try:
             mods.append(
@@ -65,6 +67,21 @@ def _registries() -> list:
 # whatever cap headroom remains.
 _SWEEP_FIRST = [
     # 1. added in round 4 — never driver-recorded
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "approx_aggs_check",
+    "distinct_rollup_check",
+    "dedup_lsh_recall",
+    "kmeans_check",
+    "embedding_pca2_exact",
     "returned_items",
     "idle_rich_customers",
     "part_supplier_counts",

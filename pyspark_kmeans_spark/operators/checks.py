@@ -1,0 +1,319 @@
+"""Driver-hash-checkable invariant twins for the non-SQL-expressible
+query families (VERDICT r2 item 7, carried to r4).
+
+The sketch / LSH / iterative-ML queries are rows-only in the driver sweep
+because their *values* are engine-specific.  Their CORRECTNESS CLAIMS are
+not: "the HLL estimate is within 3×rsd of exact", "LSH recall over the
+exact pair set is ≥ 0.95", "every k-means point sits in its nearest
+cluster".  Each query here re-states one of those claims as a DataFrame
+whose columns are (a) exactly SQL-computable quantities and (b) booleans
+asserting the invariant — so the DuckDB oracle can reproduce the whole
+row and the driver's value-hash check pins the claim, not just a row
+count.  If a sketch drifts out of bounds or LSH recall collapses, the
+hash goes red in CORRECTNESS_r{N}.json instead of only in local tests.
+
+`embedding_pca2_exact` is the exception: a genuinely value-checkable PCA.
+The 2×2 covariance eigenproblem has a closed form, so computing it from
+exact DECIMAL moments makes even the eigenvalues bit-identical to the
+oracle — the cross-check for the iterative 64-dim `embedding_pca_variance`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.functions.exact import decimal_sum
+from pyspark_kmeans_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q_approx_aggs_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of `approx_aggs` (rows-only): per return flag,
+    the exact distinct/median plus booleans asserting the sketch estimates
+    are in bounds (HLL rsd 0.05 → 3×rsd; percentile_approx accuracy 10000
+    → 1%).  The oracle computes the exact columns and literal TRUEs, so a
+    sketch regression flips the driver hash red."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("_approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "_approx_median"
+        ),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_exact_median"),
+    )
+    err_parts = F.abs(F.col("_approx_parts") - F.col("exact_parts")) / F.col(
+        "exact_parts"
+    )
+    err_median = F.abs(F.col("_approx_median") - F.col("_exact_median")) / F.col(
+        "_exact_median"
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        F.round("_exact_median", 6).alias("exact_median_price"),
+        (err_parts <= 0.15).alias("parts_in_bounds"),
+        (err_median <= 0.01).alias("median_in_bounds"),
+    )
+
+
+def q_distinct_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of `event_distinct_rollup`: weekly distinct
+    users per event type from MERGED daily HLL sketches, asserted within
+    3×rsd of the exact weekly distinct.  Exact columns (exact weekly
+    distinct, days merged) + the in-bounds boolean are all the oracle
+    needs; the sketch estimate itself stays in the rows-only twin."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("_day")
+    ).agg(F.hll_sketch_agg("user_id").alias("_sk"))
+    weekly_approx = daily.groupBy(
+        "event_type", F.date_trunc("week", "_day").alias("_week")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_approx"),
+        F.count(F.lit(1)).alias("n_days_merged"),
+    )
+    weekly_exact = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("_week")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    rel_err = F.abs(F.col("_approx") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return (
+        weekly_approx.join(weekly_exact, on=["event_type", "_week"])
+        .select(
+            "event_type",
+            F.unix_micros("_week").alias("week_us"),
+            "n_days_merged",
+            "exact_users",
+            (rel_err <= 0.05).alias("in_bounds"),
+        )
+    )
+
+
+LSH_RECALL_FLOOR = 0.95  # tests pin ≥0.98 at sf0.001; driver floor has margin
+
+
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable LSH quality gate: recall of the banded-MinHash pair
+    set against the exact-Jaccard pair set (threshold 0.9, the same truth
+    the `dedup_jaccard_pairs` oracle checks).  Output: the exact pair
+    count (SQL-computable) and `recall_ok` — |LSH ∩ exact| ≥ 0.95·|exact|.
+    The oracle reproduces the count and expects TRUE, so an LSH parameter
+    or hashing regression turns a driver hash red, not just a local test.
+
+    Plan: the exact side is the O(block²) oracle path (bounded blocks —
+    fine at sweep SF); the LSH side is the production pipeline; the
+    intersection is a semi-join on the (doc_a, doc_b) key.
+    """
+    from pyspark_kmeans_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        release_persisted,
+    )
+
+    release_persisted()
+    docs = _t(spark, sf_dir, "documents")
+    exact = jaccard_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
+    lsh = minhash_lsh_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
+    hits = exact.join(lsh, on=["doc_a", "doc_b"], how="left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_hit = hits.agg(F.count(F.lit(1)).alias("_n_hit"))
+    return n_exact.crossJoin(n_hit).select(  # 1-row × 1-row, bounded
+        "n_exact_pairs",
+        (
+            F.col("_n_hit")
+            >= F.lit(LSH_RECALL_FLOOR) * F.col("n_exact_pairs")
+        ).alias("recall_ok"),
+    )
+
+
+KMEANS_CHECK_K = 8
+
+
+def q_kmeans_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable k-means postconditions on the embeddings table
+    (k=8, seed=1 — the `kmeans_embedding_clusters` fit): every vector is
+    assigned to its NEAREST center (the defining invariant of a converged
+    Lloyd assignment step) and all k clusters are non-empty.  The oracle
+    reproduces the row count and expects zeros/TRUE.
+
+    The nearest-center audit stays JVM-side: centers become a broadcast
+    k-row frame; squared distance is F.aggregate over F.zip_with (no
+    Python UDF); per-vector argmin via min_by."""
+    from pyspark.ml.functions import array_to_vector
+
+    from pyspark_kmeans_spark.ml.kmeans import fit_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "features", array_to_vector("embedding")
+    )
+    model = fit_kmeans(emb, KMEANS_CHECK_K, seed=1)
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid int, center array<double>",
+    )
+    assigned = model.transform(emb).select("vec_id", "prediction", "embedding")
+    sq_dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("center"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nearest = (
+        assigned.crossJoin(F.broadcast(centers))  # N×k, k bounded
+        .select("vec_id", "prediction", "cid", sq_dist.alias("_d"))
+        .groupBy("vec_id", "prediction")
+        .agg(F.min_by("cid", "_d").alias("_nearest"))
+    )
+    return nearest.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("prediction").alias("n_clusters"),
+        F.sum(
+            F.when(F.col("prediction") != F.col("_nearest"), 1).otherwise(0)
+        ).alias("n_assign_mismatch"),
+    )
+
+
+def q_embedding_pca2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-D PCA over the first two embedding dimensions — the
+    value-checkable cross-check for the iterative 64-dim PCA
+    (`embedding_pca_variance`, rows-only).  The 2×2 covariance
+    eigenproblem is closed-form:  λ = ((a+c) ± sqrt((a−c)² + 4b²)) / 2.
+
+    Determinism: per-row moment terms (x, y, x², y², xy) are rounded to 6
+    decimals BEFORE the DECIMAL sum (the embedding_lang_norms pattern), so
+    the population covariance entries — and therefore the eigenvalues and
+    explained-variance ratios — are bit-identical to the oracle's.
+    One scan, one 1-row aggregate; O(1) output."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = F.col("embedding")[0].cast("double")
+    y = F.col("embedding")[1].cast("double")
+    terms = emb.select(
+        F.round(x, 6).alias("_x"),
+        F.round(y, 6).alias("_y"),
+        F.round(x * x, 6).alias("_xx"),
+        F.round(y * y, 6).alias("_yy"),
+        F.round(x * y, 6).alias("_xy"),
+    )
+    m = terms.agg(
+        F.count(F.lit(1)).alias("_n"),
+        decimal_sum("_x").alias("_sx"),
+        decimal_sum("_y").alias("_sy"),
+        decimal_sum("_xx").alias("_sxx"),
+        decimal_sum("_yy").alias("_syy"),
+        decimal_sum("_xy").alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    a = (F.col("_sxx") - F.col("_sx") * F.col("_sx") / n) / n
+    c = (F.col("_syy") - F.col("_sy") * F.col("_sy") / n) / n
+    b = (F.col("_sxy") - F.col("_sx") * F.col("_sy") / n) / n
+    disc = F.sqrt((a - c) * (a - c) + F.lit(4.0) * b * b)
+    l1 = ((a + c) + disc) / F.lit(2.0)
+    l2 = ((a + c) - disc) / F.lit(2.0)
+    pairs = F.array(
+        F.struct(F.lit(1).alias("component"), l1.alias("eigenvalue")),
+        F.struct(F.lit(2).alias("component"), l2.alias("eigenvalue")),
+    )
+    e = m.select(F.explode(pairs).alias("_e"), (l1 + l2).alias("_tot"))
+    return e.select(
+        F.col("_e.component").alias("component"),
+        F.round(F.col("_e.eigenvalue"), 6).alias("eigenvalue"),
+        F.round(F.col("_e.eigenvalue") / F.col("_tot"), 6).alias(
+            "explained_ratio"
+        ),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "approx_aggs_check": q_approx_aggs_check,
+    "distinct_rollup_check": q_distinct_rollup_check,
+    "dedup_lsh_recall": q_dedup_lsh_recall,
+    "kmeans_check": q_kmeans_check,
+    "embedding_pca2_exact": q_embedding_pca2_exact,
+}
+
+
+ORACLES: dict[str, str] = {
+    "approx_aggs_check": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6)
+                   AS exact_median_price,
+               TRUE AS parts_in_bounds,
+               TRUE AS median_in_bounds
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "distinct_rollup_check": """
+        SELECT event_type,
+               epoch_us(date_trunc('week', CAST(ts AS TIMESTAMP))) AS week_us,
+               COUNT(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)))
+                   AS n_days_merged,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS in_bounds
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "dedup_lsh_recall": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_distinct(regexp_split_to_array(trim(text), '[ \\t\\n]+')) AS t
+            FROM documents
+        )
+        SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_ok
+        FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.t, b.t))) >= 0.9
+    """,
+    "kmeans_check": """
+        SELECT COUNT(*) AS n_vectors,
+               8 AS n_clusters,
+               CAST(0 AS BIGINT) AS n_assign_mismatch
+        FROM embeddings
+    """,
+    "embedding_pca2_exact": """
+        WITH terms AS (
+            SELECT ROUND(CAST(embedding[1] AS DOUBLE), 6) AS _x,
+                   ROUND(CAST(embedding[2] AS DOUBLE), 6) AS _y,
+                   ROUND(CAST(embedding[1] AS DOUBLE)
+                         * CAST(embedding[1] AS DOUBLE), 6) AS _xx,
+                   ROUND(CAST(embedding[2] AS DOUBLE)
+                         * CAST(embedding[2] AS DOUBLE), 6) AS _yy,
+                   ROUND(CAST(embedding[1] AS DOUBLE)
+                         * CAST(embedding[2] AS DOUBLE), 6) AS _xy
+            FROM embeddings
+        ), m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(_x  AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(_y  AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(_xx AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(_yy AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(_xy AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+            FROM terms
+        ), cov AS (
+            SELECT (sxx - sx * sx / n) / n AS a,
+                   (syy - sy * sy / n) / n AS c,
+                   (sxy - sx * sy / n) / n AS b
+            FROM m
+        ), eig AS (
+            SELECT ((a + c) + sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0 AS l1,
+                   ((a + c) - sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0 AS l2
+            FROM cov
+        )
+        SELECT 1 AS component, ROUND(l1, 6) AS eigenvalue,
+               ROUND(l1 / (l1 + l2), 6) AS explained_ratio FROM eig
+        UNION ALL
+        SELECT 2 AS component, ROUND(l2, 6) AS eigenvalue,
+               ROUND(l2 / (l1 + l2), 6) AS explained_ratio FROM eig
+    """,
+}
