@@ -46,7 +46,13 @@ def _registries() -> list:
             )
         except ImportError:
             pass
-    for name in ("streaming.events", "ml.queries", "ml.quality", "sources.bucketed"):
+    for name in (
+        "streaming.events",
+        "ml.queries",
+        "ml.quality",
+        "sources.bucketed",
+        "sources.partitioned",
+    ):
         try:
             mods.append(
                 __import__(
@@ -82,6 +88,9 @@ _SWEEP_FIRST = [
     "dedup_lsh_recall",
     "kmeans_check",
     "embedding_pca2_exact",
+    "graph_triangles",
+    "graph_degrees",
+    "partitioned_month_revenue",
     "returned_items",
     "idle_rich_customers",
     "part_supplier_counts",

@@ -155,10 +155,98 @@ def _pagerank_sql(damping: float, iterations: int) -> str:
     """
 
 
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an oriented edge list (doc_a < doc_b).
+
+    The standard two-join shape: wedges (a<b<c) from edges (a,b)⋈(b,c),
+    closed against edge (a,c) — each triangle is enumerated exactly once
+    because every edge is stored in its sorted orientation.  Two equi-join
+    shuffles; at 100 TB the classic refinement (orient edges from
+    lower-degree to higher-degree endpoint before the wedge join) bounds
+    per-key fan-out on skewed hubs, which AQE's skew splitting approximates
+    here without the re-orientation pass.
+    """
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return nodes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation per document over the exact near-dup pair
+    graph — the local-clustering signal that separates 'mirror cluster'
+    documents (dense triangles) from chain-like coincidental overlaps.
+    The pair frame feeds three join arms, so it is registry-persisted:
+    one pair-mining pass, not three."""
+    release_persisted()
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = registered_persist(
+        jaccard_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
+    )
+    return triangle_counts(pairs)
+
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph: how many documents have
+    k near-duplicates — the first diagnostic read before choosing dedup
+    thresholds (a heavy tail here is the boilerplate signature).  One
+    grouped count over the symmetric edge list, then a count-of-counts."""
+    release_persisted()
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _graph_sql(body: str) -> str:
+    from pyspark_kmeans_spark.operators.dedup import _JACCARD_PAIRS_SQL
+
+    return f"WITH pairs AS ({_JACCARD_PAIRS_SQL}){body}"
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": q_graph_pagerank,
+    "graph_triangles": q_graph_triangles,
+    "graph_degrees": q_graph_degrees,
 }
 
 ORACLES: dict[str, str] = {
     "graph_pagerank": _pagerank_sql(PAGERANK_DAMPING, PAGERANK_ITERATIONS),
+    "graph_triangles": _graph_sql("""
+        , tri AS (
+            SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+            FROM pairs e1
+            JOIN pairs e2 ON e1.doc_b = e2.doc_a
+            JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        )
+        SELECT doc_id, COUNT(*) AS n_triangles
+        FROM (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        GROUP BY doc_id
+    """),
+    "graph_degrees": _graph_sql("""
+        , ends AS (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL SELECT doc_b FROM pairs
+        ), deg AS (
+            SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id
+        )
+        SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree
+    """),
 }

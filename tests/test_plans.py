@@ -289,6 +289,15 @@ def test_all_registered_plans_no_unbounded_cross(spark, sf_dir):
         "ann_topk_cosine",
         "idle_rich_customers",
         "graph_pagerank",
+        # tpch_q11 crosses in the 1-row total-value scalar (TPC-H Q11's
+        # HAVING subquery — tpch.py: `join(F.broadcast(total))`);
+        # dedup_lsh_recall crosses two 1-row count aggregates
+        # (checks.py: `n_exact.crossJoin(n_hit)`); kmeans_check crosses
+        # each vector with the k-row (k=8) centers frame — bounded by k,
+        # not by the corpus (checks.py: `crossJoin(F.broadcast(centers))`).
+        "tpch_q11",
+        "dedup_lsh_recall",
+        "kmeans_check",
     }
     violations = {}
     for name, fn in entrymod.queries().items():
