@@ -52,6 +52,7 @@ def _registries() -> list:
         "ml.quality",
         "sources.bucketed",
         "sources.partitioned",
+        "sources.sorted_layout",
     ):
         try:
             mods.append(
@@ -91,6 +92,7 @@ _SWEEP_FIRST = [
     "graph_triangles",
     "graph_degrees",
     "partitioned_month_revenue",
+    "sorted_shipdate_window",
     "returned_items",
     "idle_rich_customers",
     "part_supplier_counts",

@@ -58,6 +58,29 @@ HEADLINE = [
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
+# Round-4 additions, timed single-shot in a separate section so the
+# headline series stays comparable across rounds (BASELINE.md band):
+# the TPC-H completions, the layout-pruning queries, and the heavier
+# check/graph queries.
+EXTENDED = [
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "graph_triangles",
+    "graph_degrees",
+    "partitioned_month_revenue",
+    "sorted_shipdate_window",
+    "dedup_lsh_recall",
+    "kmeans_check",
+]
+
 
 def force(df) -> int:
     """Execute the full plan without materializing on the driver."""
@@ -98,6 +121,15 @@ def main() -> None:
         medians[name] = round(runs[len(runs) // 2], 3)
         bests[name] = round(runs[0], 3)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        if name not in queries:
+            continue
+        t0 = time.perf_counter()
+        force(queries[name](spark, sf_dir))
+        extended[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+
     order = sorted(medians, key=medians.get, reverse=True)
     total = round(sum(medians.values()), 3)
     print(
@@ -108,6 +140,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {n: medians[n] for n in order},
                 "best": {n: bests[n] for n in order},
+                "extended": dict(
+                    sorted(extended.items(), key=lambda kv: -kv[1])
+                ),
                 "repeats": REPEATS,
                 "sf": float(sf),
             }
