@@ -87,6 +87,7 @@ _SWEEP_FIRST = [
     "approx_aggs_check",
     "distinct_rollup_check",
     "dedup_lsh_recall",
+    "ann_recall_check",
     "kmeans_check",
     "embedding_pca2_exact",
     "graph_triangles",

@@ -134,6 +134,54 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_RECALL_FLOOR = 0.6  # measured 0.74-0.76 at sf0.001/sf0.01
+LSH_TOPK_RECALL_FLOOR = 0.55  # measured 0.67 at both SFs
+
+
+def q_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable ANN quality gate: recall@5 of the two approximate
+    top-k paths (IVF cells, hyperplane LSH) against the brute-force exact
+    top-k, asserted above measured-with-margin floors.  The exact pair
+    count is SQL-computable (5 per probe); the recall booleans are what
+    the driver hash pins — an IVF codebook or LSH banding regression goes
+    red in the sweep."""
+    from pyspark_kmeans_spark.operators.similarity import (
+        _probes,
+        cosine_topk,
+        ivf_topk,
+        lsh_topk,
+        release_persisted,
+    )
+
+    release_persisted()
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = _probes(emb)
+    key = ["probe_id", "neighbor_id"]
+    exact = cosine_topk(emb, probes, k=5).select(*key)
+    ivf_hits = exact.join(
+        ivf_topk(emb, probes, k=5).select(*key), on=key, how="left_semi"
+    ).agg(F.count(F.lit(1)).alias("_ivf"))
+    lsh_hits = exact.join(
+        lsh_topk(emb, probes, k=5).select(*key), on=key, how="left_semi"
+    ).agg(F.count(F.lit(1)).alias("_lsh"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    return (
+        n_exact.crossJoin(ivf_hits)  # 1-row × 1-row, bounded
+        .crossJoin(lsh_hits)
+        .select(
+            "n_exact_pairs",
+            (
+                F.col("_ivf")
+                >= F.lit(IVF_RECALL_FLOOR) * F.col("n_exact_pairs")
+            ).alias("ivf_recall_ok"),
+            (
+                F.col("_lsh")
+                >= F.lit(LSH_TOPK_RECALL_FLOOR) * F.col("n_exact_pairs")
+            ).alias("lsh_recall_ok"),
+        )
+    )
+
+
 KMEANS_CHECK_K = 8
 
 
@@ -238,6 +286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_aggs_check": q_approx_aggs_check,
     "distinct_rollup_check": q_distinct_rollup_check,
     "dedup_lsh_recall": q_dedup_lsh_recall,
+    "ann_recall_check": q_ann_recall_check,
     "kmeans_check": q_kmeans_check,
     "embedding_pca2_exact": q_embedding_pca2_exact,
 }
@@ -274,6 +323,13 @@ ORACLES: dict[str, str] = {
         FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.t, b.t))) >= 0.9
+    """,
+    "ann_recall_check": """
+        SELECT 5 * COUNT(*) AS n_exact_pairs,
+               TRUE AS ivf_recall_ok,
+               TRUE AS lsh_recall_ok
+        FROM embeddings
+        WHERE vec_id % 10 = 0
     """,
     "kmeans_check": """
         SELECT COUNT(*) AS n_vectors,
