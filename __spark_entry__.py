@@ -94,6 +94,7 @@ _SWEEP_FIRST = [
     "graph_degrees",
     "partitioned_month_revenue",
     "sorted_shipdate_window",
+    "curation_lm_score",
     "returned_items",
     "idle_rich_customers",
     "part_supplier_counts",

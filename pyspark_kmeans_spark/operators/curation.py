@@ -533,6 +533,69 @@ def q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_SMOOTHING_K = 0.5  # add-k; CCNet uses Kneser-Ney, add-k keeps it exact
+
+
+def lm_perplexity(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020
+    §4.3): per-document perplexity under a bigram LM with add-k smoothing,
+    trained on the corpus itself — low perplexity ≈ fluent prose, high ≈
+    boilerplate/gibberish, the standard filter signal between heuristic
+    quality scores and a learned classifier.
+
+    P(w2|w1) = (C(w1,w2) + k) / (C(w1) + k·V);  score(doc) = −mean log2 P
+    over its bigrams;  perplexity = 2^score.
+
+    Plan: positional explode → per-doc LEAD window (one doc_id shuffle) →
+    two count groupBys (bigram/unigram — word-count shapes, map-side
+    partials) joined back onto the bigram stream.  The count-frame joins
+    are PINNED shuffle_hash: both sides descend from explodes, where
+    Catalyst's static size estimates under-read badly enough to pick a
+    corpus-scale broadcast (the crash class the round-3 64× run exposed
+    for curation_tokenize); Zipf-skewed token keys also make shuffle+AQE
+    skew-split the right plan outright.  V is a 1-row scalar cross
+    (bounded, allowlisted).  Determinism: per-bigram log2 rounded to 6
+    BEFORE the DECIMAL mean, so the per-doc aggregate is
+    order-independent and engine-exact."""
+    toks = df.select(
+        id_col,
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "token"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = toks.select(
+        id_col, "token", F.lead("token").over(w).alias("next_tok")
+    ).filter(F.col("next_tok").isNotNull())
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_c1"))
+    bi = big.groupBy("token", "next_tok").agg(F.count(F.lit(1)).alias("_c2"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("_v"))
+    k = F.lit(LM_SMOOTHING_K)
+    logp = F.round(
+        F.log2((F.col("_c2") + k) / (F.col("_c1") + k * F.col("_v"))), 6
+    )
+    scored = (
+        big.join(bi.hint("shuffle_hash"), on=["token", "next_tok"])
+        .join(uni.hint("shuffle_hash"), on="token")
+        .join(F.broadcast(vocab))  # 1-row scalar, bounded cross
+        .select(id_col, logp.alias("_lp"))
+    )
+    from pyspark_kmeans_spark.functions.exact import decimal_sum
+
+    avg_logp = decimal_sum("_lp") / F.count(F.lit(1))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(avg_logp, 6).alias("avg_logp"),
+        F.round(F.pow(F.lit(2.0), -avg_logp), 6).alias("perplexity"),
+    )
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_perplexity(load_table(spark, sf_dir, "documents"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_table(spark, sf_dir, "documents"), budget=512)
 
@@ -556,6 +619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pack_sequences": q_pack_sequences,
     "curation_importance": q_importance,
     "curation_tokenize": q_tokenize_docs,
+    "curation_lm_score": q_lm_perplexity,
 }
 
 _SH_CTE = """
@@ -569,6 +633,45 @@ _SH_CTE = """
 """
 
 ORACLES: dict[str, str] = {
+    "curation_lm_score": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '[ \\t\\n]+') AS t
+            FROM documents
+        ), z AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(t))) AS pos,
+                   unnest(t) AS token
+            FROM toks
+        ), big AS (
+            SELECT z1.doc_id, z1.token AS w1, z2.token AS w2
+            FROM z z1
+            JOIN z z2 ON z1.doc_id = z2.doc_id AND z2.pos = z1.pos + 1
+        ), uni AS (
+            SELECT token, COUNT(*) AS c1 FROM z GROUP BY token
+        ), bi AS (
+            SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2
+        ), v AS (
+            SELECT COUNT(*) AS v FROM uni
+        ), scored AS (
+            SELECT big.doc_id,
+                   ROUND(log2((c2 + {LM_SMOOTHING_K})
+                              / (c1 + {LM_SMOOTHING_K} * v)), 6) AS lp
+            FROM big
+            JOIN bi ON big.w1 = bi.w1 AND big.w2 = bi.w2
+            JOIN uni ON big.w1 = uni.token
+            CROSS JOIN v
+        ), agg AS (
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(*) AS avg_lp
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               ROUND(avg_lp, 6) AS avg_logp,
+               ROUND(POWER(2.0, -avg_lp), 6) AS perplexity
+        FROM agg
+    """,
     "curation_dup_ngrams": f"""
         WITH {_SH_CTE.format(n=8, m=7)},
         freq AS (
