@@ -95,6 +95,8 @@ _SWEEP_FIRST = [
     "partitioned_month_revenue",
     "sorted_shipdate_window",
     "curation_lm_score",
+    "training_split",
+    "event_trending",
     "returned_items",
     "idle_rich_customers",
     "part_supplier_counts",

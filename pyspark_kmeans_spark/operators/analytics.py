@@ -728,8 +728,59 @@ def q_event_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~93.75 / 3.125 / 3.125 via the
+    first md5 hex digit: 0 → test, 1 → val, rest → train) with per-
+    (lang, split) counts — the reproducibility contract a training corpus
+    needs: membership is a pure function of the key, so re-running the
+    split on any engine, partitioning, or day yields byte-identical
+    shards and no eval-set leakage.  Zero-shuffle assignment; one bounded
+    groupBy for the report."""
+    docs = _t(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(digit == "0", F.lit("test"))
+        .when(digit == "1", F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_event_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending report: top-3 event types per hour by count (ties broken
+    by type name) — the grouped-top-k over a windowed rollup that powers
+    'what is spiking right now' dashboards.  Counts first (map-side
+    partials shrink the explode to |types|×|hours| rows), then the rank
+    window runs on the AGGREGATED frame — never on raw events."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("_hr"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_hr").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        hourly.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.unix_micros("_hr").alias("hour_us"),
+            "event_type",
+            "n_events",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_tokens_per_lang": q_top_tokens_per_lang,
+    "training_split": q_training_split,
+    "event_trending": q_event_trending,
     "event_anomaly": q_event_anomaly,
     "event_distinct_rollup": q_event_distinct_rollup,
     "event_resample_ffill": q_event_resample_ffill,
@@ -754,6 +805,33 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "training_split": """
+        SELECT lang,
+               CASE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    WHEN '0' THEN 'test'
+                    WHEN '1' THEN 'val'
+                    ELSE 'train' END AS split,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    "event_trending": """
+        WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                   event_type, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), ranked AS (
+            SELECT hr, event_type, n_events,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY hr
+                       ORDER BY n_events DESC, event_type ASC
+                   ) AS rank
+            FROM hourly
+        )
+        SELECT epoch_us(hr) AS hour_us, event_type, n_events,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+    """,
     "event_anomaly": """
         WITH hourly AS (
             SELECT event_type,
