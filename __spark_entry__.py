@@ -37,6 +37,7 @@ def _registries() -> list:
         "graph",
         "tpch",
         "checks",
+        "bpe",
     ):
         try:
             mods.append(
@@ -97,6 +98,7 @@ _SWEEP_FIRST = [
     "curation_lm_score",
     "training_split",
     "event_trending",
+    "bpe_merges",
     "returned_items",
     "idle_rich_customers",
     "part_supplier_counts",
