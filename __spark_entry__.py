@@ -99,6 +99,7 @@ _SWEEP_FIRST = [
     "training_split",
     "event_trending",
     "bpe_merges",
+    "salted_join",
     "returned_items",
     "idle_rich_customers",
     "part_supplier_counts",

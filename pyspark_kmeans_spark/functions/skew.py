@@ -1,13 +1,20 @@
-"""Skew-mitigation: salted two-phase aggregation.
+"""Skew-mitigation: salted two-phase aggregation and salted replicated join.
 
-AQE's skew-join splitting covers joins, but a groupBy on a pathologically
-hot key still funnels that key's rows into one reducer.  Salting splits each
-key into `salt` sub-keys for a partial aggregate, then re-aggregates the
-partials — the hot key's work spreads over `salt` reducers and the second
-shuffle only moves (keys × salt) partial rows.
+AQE's skew-join splitting covers most join skew at runtime, but (a) a
+groupBy on a pathologically hot key still funnels that key's rows into one
+reducer, and (b) AQE can only split a skewed partition along MAP-task
+boundaries — a hot key produced by few mappers, or a join whose output
+must stay partitioned, falls back to one monster task.  The manual
+mitigations below are result-identical to the plain forms (verified by
+oracle) and deterministic under partial recompute.
 
-Result-identical to a plain groupBy for any associative aggregate (sums and
-counts here are DECIMAL/integer → order-independent), verified by oracle.
+ - `salted_agg`: split each key into `salt` sub-keys for a partial
+   aggregate, then re-aggregate the partials.
+ - `salted_join`: replicate the SMALL side `salt`× (one row per salt
+   value) and spread the big side's hot keys over (key, salt) — every
+   reducer sees ~1/salt of any hot key.  The replication multiplies the
+   small side only, so it is the right tool exactly when the small side
+   is dimension-like but too big (or too explode-derived) to broadcast.
 """
 
 from __future__ import annotations
@@ -55,3 +62,36 @@ def salted_agg(
         F.sum("_n").alias("n_rows"),
     )
     return final
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread over `salt` sub-keys.
+
+    The big side salts each row by a content hash (same determinism
+    rationale as salted_agg: positional ids could re-salt differently on
+    partial recompute); the small side is replicated once per salt value
+    via a literal-array explode (no shuffle — the replication happens
+    map-side on the small frame).  The join key becomes (on, _salt), so
+    one hot key's rows land on `salt` reducers instead of one.
+
+    Result-identical to `big.join(small, on, how)` for inner/left joins
+    (each big row matches exactly its own salt's replica).  Cost: the
+    small side's shuffle volume × salt — use when the small side is far
+    below the big side but above broadcast size.
+    """
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt))
+    )
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return salted_big.join(
+        replicated.hint("shuffle_hash"), on=[on, "_salt"], how=how
+    ).drop("_salt")

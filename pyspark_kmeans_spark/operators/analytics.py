@@ -219,6 +219,31 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted replicated join — result-identical to the plain
+    lineitem⋈orders join (the oracle IS the plain join): the big side's
+    hot orderkeys spread over 16 (key, salt) reducers, the small side is
+    replicated map-side.  Registered so the manual skew path is value-
+    verified by the driver, not only unit-tested."""
+    from pyspark_kmeans_spark.functions.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        salted_join(li, orders, "k", salt=16)
+        .groupBy("o_orderpriority")
+        .agg(
+            decimal_sum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-customer stats over the day-gaps
     between consecutive orders (median + max).  The per-group sort +
@@ -787,6 +812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_funnel": q_event_funnel,
     "event_retention": q_event_retention,
     "salted_agg": q_salted_agg,
+    "salted_join": q_salted_join,
     "deterministic_sample": q_deterministic_sample,
     "stratified_sample": q_stratified_sample,
     "source_quota_sample": q_source_quota_sample,
@@ -1003,6 +1029,14 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY l_returnflag
+    """,
+    "salted_join": """
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
     """,
     "cube_agg": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
