@@ -100,6 +100,7 @@ _SWEEP_FIRST = [
     "event_trending",
     "bpe_merges",
     "salted_join",
+    "hybrid_search",
     "returned_items",
     "idle_rich_customers",
     "part_supplier_counts",

@@ -707,8 +707,33 @@ def q_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HYBRID_KEYWORD = "dup"  # ~5% of docs at sweep SFs — a selective predicate
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — the hybrid keyword+vector retrieval
+    pattern every vector store struggles with.  PRE-filtering is the
+    correct strategy when the predicate is selective: the keyword match
+    restricts the corpus FIRST (predicate pushed to the documents scan,
+    id semi-join prunes the embedding side), then exact cosine top-k runs
+    over the surviving candidates — recall is exact over the filtered
+    set by construction, unlike post-filtering an ANN result (which
+    silently under-fills k when the filter is selective).  At 100 TB the
+    same shape holds with the IVF/LSH candidate stage replacing brute
+    force once the filtered set is itself huge."""
+    release_persisted()
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.filter(F.col("text").contains(HYBRID_KEYWORD)).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = emb.join(keep, on="vec_id", how="left_semi")
+    return cosine_topk(corpus, _probes(emb), k=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_cosine": q_ann_topk,
+    "hybrid_search": q_hybrid_search,
     "embedding_quantize": q_embedding_quantize,
     "embedding_matryoshka": q_embedding_matryoshka,
     "embedding_lang_norms": q_embedding_lang_norms,
@@ -724,6 +749,25 @@ _COS_SQL = (
 )
 
 ORACLES: dict[str, str] = {
+    "hybrid_search": f"""
+        WITH keep AS (
+            SELECT doc_id FROM documents WHERE text LIKE '%{HYBRID_KEYWORD}%'
+        ), scored AS (
+            SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   ROUND({_COS_SQL}, 6) AS cosine
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id != b.vec_id
+            JOIN keep ON b.vec_id = keep.doc_id
+            WHERE a.vec_id % {PROBE_MODULUS} = 0
+        ), ranked AS (
+            SELECT probe_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC
+                   ) AS INT) AS rank
+            FROM scored
+        )
+        SELECT probe_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+    """,
     "embedding_quantize": """
         WITH e AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
