@@ -61,3 +61,23 @@ def test_q21_semi_and_anti_joins(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_search_pushes_keyword_and_broadcasts_probes(spark, sf_dir):
+    """Pre-filtering contract: the keyword predicate must reach the
+    documents scan (PushedFilters Contains), and the probe side must be
+    the broadcast of the scoring join (corpus never shuffles)."""
+    from pyspark_kmeans_spark.operators.similarity import q_hybrid_search
+
+    plan = physical_plan(q_hybrid_search(spark, sf_dir))
+    assert "StringContains(text," in plan  # pushed into the documents scan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lm_score_count_joins_are_shuffle_hash(spark, sf_dir):
+    """The bigram/unigram count frames descend from explodes — they must
+    join shuffle_hash (pinned), never statically broadcast."""
+    from pyspark_kmeans_spark.operators.curation import q_lm_perplexity
+
+    plan = physical_plan(q_lm_perplexity(spark, sf_dir))
+    assert plan.count("ShuffledHashJoin") >= 2
