@@ -101,6 +101,7 @@ _SWEEP_FIRST = [
     "bpe_merges",
     "salted_join",
     "hybrid_search",
+    "multimodal_dedup",
     "returned_items",
     "idle_rich_customers",
     "part_supplier_counts",

@@ -181,10 +181,25 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(mm)
 
 
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the BINARY payload column — the image/audio twin
+    of dedup_exact: group by content digest (JVM-side md5 over the bytes,
+    no decode needed), keep the lowest id.  At 100 TB this is the first
+    pass over any scraped media corpus; the digest groupBy is one linear
+    shuffle on a 32-char key regardless of payload size."""
+    mm = attach_payload(load_table(spark, sf_dir, "documents"))
+    return mm.groupBy(F.md5("payload").alias("payload_md5")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max(F.col("meta.n_bytes")).alias("n_bytes"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_dedup": q_multimodal_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -196,6 +211,14 @@ ORACLES: dict[str, str] = {
                'text/plain' AS mime,
                md5(text) AS payload_md5
         FROM documents
+    """,
+    "multimodal_dedup": """
+        SELECT md5(text) AS payload_md5,
+               MIN(doc_id) AS keeper_doc_id,
+               COUNT(*) AS n_copies,
+               CAST(MAX(octet_length(encode(text))) AS INT) AS n_bytes
+        FROM documents
+        GROUP BY 1
     """,
     # The fake decoder's chunked byte means, re-expressed over DuckDB list
     # functions: byte values via hex-pair extraction, the same
