@@ -58,7 +58,12 @@ def write_blowup(spark, sf_dir: str, k: int, out_dir: str) -> None:
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # abspath: symlink targets are resolved relative to /tmp, so a relative
+    # SPARK_GRAFT_SF_DIR would produce broken dimension links (same fix as
+    # sources/bucketed.py's cache key)
+    sf_dir = os.path.abspath(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
     ks = [
         int(x)
         for x in os.environ.get("SPARK_GRAFT_SCALE_KS", "1,4,16").split(",")

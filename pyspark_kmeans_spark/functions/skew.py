@@ -82,10 +82,19 @@ def salted_join(
     one hot key's rows land on `salt` reducers instead of one.
 
     Result-identical to `big.join(small, on, how)` for inner/left joins
-    (each big row matches exactly its own salt's replica).  Cost: the
-    small side's shuffle volume × salt — use when the small side is far
-    below the big side but above broadcast size.
+    (each big row matches exactly its own salt's replica).  Other join
+    types are REJECTED: a right/full/semi/anti join would count the
+    replicated small rows once per salt (e.g. 16 null-extended copies of
+    an unmatched small row in a full join).  Cost: the small side's
+    shuffle volume × salt — use when the small side is far below the big
+    side but above broadcast size.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "the salt-replicated small side would multiply unmatched small "
+            "rows under right/full/semi/anti semantics"
+        )
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt))
     )

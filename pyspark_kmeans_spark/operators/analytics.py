@@ -754,8 +754,8 @@ def q_event_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_training_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test split (~93.75 / 3.125 / 3.125 via the
-    first md5 hex digit: 0 → test, 1 → val, rest → train) with per-
+    """Deterministic train/val/test split (87.5 / 6.25 / 6.25 via the
+    first md5 hex digit: 0 → test, 1 → val, the other 14 → train) with per-
     (lang, split) counts — the reproducibility contract a training corpus
     needs: membership is a pure function of the key, so re-running the
     split on any engine, partitioning, or day yields byte-identical

@@ -38,10 +38,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_kmeans_spark.functions.persist import (
-    registered_persist,
-    release_persisted,
-)
+from pyspark_kmeans_spark.functions.persist import release_persisted
 from pyspark_kmeans_spark.sources.tables import load_table
 
 N_MERGES = 12
@@ -115,7 +112,6 @@ def bpe_merges(
 
     The returned list is driver-side by nature (it IS the model, O(n_merges)
     rows), exactly like k-means centers."""
-    spark = df.sparkSession
     words = (
         df.select(
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
@@ -124,32 +120,41 @@ def bpe_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_words"))
     )
-    vocab = registered_persist(
-        words.select(
-            F.split(F.col("w"), "(?!^)(?=.)").alias("symbols"), "n_words"
-        )
-    )
+    # Per-round caches are managed LOCALLY (plain persist/unpersist, not
+    # the session registry): the argmax collect() in round N materializes
+    # vocab_N, after which vocab_{N-1}'s cache is dead weight — release it
+    # immediately so at most two generations are ever cached, and NOTHING
+    # stays cached after return (the model is the driver-side merge list).
+    vocab = words.select(
+        F.split(F.col("w"), "(?!^)(?=.)").alias("symbols"), "n_words"
+    ).persist()
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        top = (
-            _pair_counts(vocab)
-            .orderBy(
-                F.desc("pair_count"), F.asc("left"), F.asc("right")
+    try:
+        for rank in range(1, n_merges + 1):
+            top = (
+                _pair_counts(vocab)
+                .orderBy(
+                    F.desc("pair_count"), F.asc("left"), F.asc("right")
+                )
+                .limit(1)
+                .collect()
             )
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        left, right, cnt = top[0].left, top[0].right, top[0].pair_count
-        merges.append((rank, left, right, int(cnt)))
-        vocab = registered_persist(
-            vocab.select(
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not top:
+                break
+            left, right, cnt = top[0].left, top[0].right, top[0].pair_count
+            merges.append((rank, left, right, int(cnt)))
+            prev, vocab = vocab, vocab.select(
                 _merge_pair(F.col("symbols"), left, right).alias("symbols"),
                 "n_words",
-            )
-        )
-    # free the per-round frames promptly; the model is the merge list
+            ).persist()
+    finally:
+        if prev is not None:
+            prev.unpersist()
+        vocab.unpersist()
     return merges
 
 

@@ -203,7 +203,11 @@ def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped count over the symmetric edge list, then a count-of-counts."""
     release_persisted()
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
+    # both union branches consume the pair frame — persist so pair mining
+    # runs once (exchange reuse covers the shuffles, not the verify stage)
+    pairs = registered_persist(
+        jaccard_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
+    )
     ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
         pairs.select(F.col("doc_b").alias("doc_id"))
     )

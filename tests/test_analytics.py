@@ -247,3 +247,17 @@ def test_event_distinct_rollup_accuracy(spark, sf_dir):
         assert r["in_bounds"], r
         assert r["approx_users"] > 0
         assert r["n_days_merged"] >= 1
+
+
+def test_salted_join_rejects_outer_semantics(spark):
+    """Right/full/semi/anti would multiply unmatched small rows by the
+    salt count — the helper must refuse instead of silently duplicating."""
+    import pytest
+
+    from pyspark_kmeans_spark.functions.skew import salted_join
+
+    a = spark.range(4).withColumnRenamed("id", "k")
+    b = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("full", "right", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(a, b, "k", how=how)
