@@ -102,6 +102,7 @@ _SWEEP_FIRST = [
     "salted_join",
     "hybrid_search",
     "multimodal_dedup",
+    "incremental_agg",
     "returned_items",
     "idle_rich_customers",
     "part_supplier_counts",

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pyspark_kmeans_spark.functions.exact import decimal_sum
+from pyspark_kmeans_spark.functions.exact import DEC, decimal_sum
 from pyspark_kmeans_spark.sources.tables import load_table
 
 
@@ -216,6 +216,47 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return salted_agg(
         li, ["l_returnflag"], {"revenue": revenue, "sum_qty": F.col("l_quantity")}
+    )
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for aggregates — the daily-ETL merge
+    pattern: yesterday's persisted per-key PARTIAL state (decimal sums +
+    counts over the historical slice) merged with the new batch's
+    partials by union + re-aggregation, never re-reading history.  Works
+    because DECIMAL sums and counts are commutative monoids; the derived
+    average is recomputed from the merged partials (avg itself is not
+    mergeable — the classic incremental-ETL mistake).  The oracle is the
+    full recompute over all rows: merged state must be value-identical.
+    In production the state frame is a parquet/Delta table written by the
+    previous run; here both slices derive from the same table split on
+    ship date."""
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.to_date("l_shipdate") < F.lit("2000-01-01")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("_sum_price"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+
+    state = partials(li.filter(cutoff))  # "yesterday's" persisted state
+    delta = partials(li.filter(~cutoff))  # today's batch
+    return (
+        state.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("_sum_price").cast("double").alias("sum_price"),
+            F.sum("_n").alias("n_lines"),
+        )
+        .select(
+            "l_returnflag",
+            "sum_price",
+            "n_lines",
+            F.round(F.col("sum_price") / F.col("n_lines"), 6).alias(
+                "avg_price"
+            ),
+        )
     )
 
 
@@ -813,6 +854,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_retention": q_event_retention,
     "salted_agg": q_salted_agg,
     "salted_join": q_salted_join,
+    "incremental_agg": q_incremental_agg,
     "deterministic_sample": q_deterministic_sample,
     "stratified_sample": q_stratified_sample,
     "source_quota_sample": q_source_quota_sample,
@@ -1027,6 +1069,16 @@ ORACLES: dict[str, str] = {
                    AS revenue,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
                COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "incremental_agg": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_price,
+               COUNT(*) AS n_lines,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_price
         FROM lineitem
         GROUP BY l_returnflag
     """,
