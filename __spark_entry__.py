@@ -74,6 +74,9 @@ def _registries() -> list:
 # in rounds 1-2); the previous round's green hash rows rotate through
 # whatever cap headroom remains.
 _SWEEP_FIRST = [
+    # 0. added in round 4 (late) — never driver-recorded
+    "curation_funnel",
+    "mixture_weights",
     # 1. added in round 4 — never driver-recorded
     "tpch_q2",
     "tpch_q4",

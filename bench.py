@@ -79,6 +79,8 @@ EXTENDED = [
     "sorted_shipdate_window",
     "dedup_lsh_recall",
     "kmeans_check",
+    "curation_funnel",
+    "mixture_weights",
 ]
 
 

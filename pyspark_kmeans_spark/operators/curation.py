@@ -610,7 +610,170 @@ def q_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_weights(docs, docs.filter(F.col("source") == "src0"))
 
 
+# Quality-funnel thresholds (picked against the synthetic corpus so every
+# reason fires on a meaningful fraction — see the distribution probe in
+# PLANS.md; production callers tune per corpus).
+FUNNEL_MIN_TOKENS = 25
+FUNNEL_MIN_DISTINCT_RATIO = 0.35
+FUNNEL_MIN_STOPWORD_RATIO = 0.02
+FUNNEL_STOPWORDS = ("the", "a")
+
+
+def quality_funnel(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    min_tokens: int = FUNNEL_MIN_TOKENS,
+    min_distinct_ratio: float = FUNNEL_MIN_DISTINCT_RATIO,
+    min_stopword_ratio: float = FUNNEL_MIN_STOPWORD_RATIO,
+    stopwords: tuple[str, ...] = FUNNEL_STOPWORDS,
+) -> DataFrame:
+    """Per-source filter-rejection audit — the daily report a curation
+    pipeline emits alongside its kept set (C4 §2.2 / Gopher §A1.1 publish
+    exactly these reason breakdowns).
+
+    One row per source: total docs, independent fail counts per reason
+    (too short, too repetitive, too few stopwords, PII present), docs
+    passing ALL filters, and the kept token volume.  Reasons are counted
+    independently (a doc can fail several), so each column is auditable in
+    isolation.
+
+    Scale shape: per-doc flags are pure array/regexp expressions (zero
+    shuffle, whole-stage codegen); the only shuffle is the final
+    groupBy(source) — source cardinality is O(100) at any corpus size, with
+    map-side partial aggregation doing the heavy lifting.  Linear in corpus
+    bytes.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size("_t")
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    flagged = df.select(
+        F.col(group_col),
+        toks.alias("_t"),
+        F.col(text_col).alias("_txt"),
+    ).select(
+        group_col,
+        n_tok.alias("_n"),
+        (n_tok < min_tokens).cast("int").alias("_too_short"),
+        (
+            F.size(F.array_distinct("_t")).cast("double") / n_tok
+            < min_distinct_ratio
+        )
+        .cast("int")
+        .alias("_repetitive"),
+        (
+            F.size(F.filter("_t", lambda t: F.array_contains(stop_arr, t)))
+            .cast("double")
+            / n_tok
+            < min_stopword_ratio
+        )
+        .cast("int")
+        .alias("_low_stopword"),
+        (
+            F.regexp_count(F.col("_txt"), F.lit(PII_PATTERNS["email"][0])) > 0
+        )
+        .cast("int")
+        .alias("_pii"),
+    )
+    failed_any = (
+        F.col("_too_short")
+        + F.col("_repetitive")
+        + F.col("_low_stopword")
+        + F.col("_pii")
+        > 0
+    ).cast("int")
+    return (
+        flagged.withColumn("_failed", failed_any)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_too_short").alias("n_too_short"),
+            F.sum("_repetitive").alias("n_repetitive"),
+            F.sum("_low_stopword").alias("n_low_stopword"),
+            F.sum("_pii").alias("n_pii"),
+            F.sum(1 - F.col("_failed")).alias("n_kept"),
+            F.sum((1 - F.col("_failed")) * F.col("_n")).alias("kept_tokens"),
+        )
+    )
+
+
+# Temperature exponent for the sampled mixture (mT5, Xue et al. 2021 §3.1
+# uses alpha=0.3; XLM, Conneau & Lample 2019 §3.1 alpha=0.5).
+MIXTURE_ALPHA = 0.3
+
+
+def mixture_weights(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha: float = MIXTURE_ALPHA,
+) -> DataFrame:
+    """Temperature-sampled domain mixture: per-source sampling weights that
+    move the natural token distribution p_s toward the flattened target
+    q_s ∝ p_s^alpha (multilingual/multi-domain training recipe — mT5 §3.1,
+    XLM §3.1; alpha=1 keeps the natural mix, alpha=0 is uniform).
+
+    Returns one row per source: token counts, natural share p_s, target
+    share q_s, the per-doc sampling weight w_s = q_s / p_s a sampler
+    applies, and the expected token volume after reweighting.
+
+    Scale shape: the ONLY corpus-sized work is one groupBy(group_col) with
+    map-side combine (token counting is a per-row F.size, no explode);
+    everything after — normalization, the p^alpha fold — runs on the
+    source-cardinality frame (O(100) rows at any corpus size) via broadcast
+    cross-joins of 1-row aggregates.  No window over an unpartitioned
+    frame, no driver collect.
+    """
+    per = (
+        df.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_tot"))
+    with_p = per.crossJoin(F.broadcast(tot)).withColumn(
+        "_p", F.round(F.col("n_tokens") / F.col("_tot"), 6)
+    )
+    # Exact DECIMAL accumulation: a double sum is partition-order-dependent
+    # (non-associative FP), which would make the 6-decimal rounding of the
+    # shares engine-unstable; the rounded p^alpha terms are exact in
+    # DECIMAL(18,6), so their sum is too.
+    zsum = with_p.agg(
+        F.sum(
+            F.round(F.pow("_p", F.lit(alpha)), 6).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("_z")
+    )
+    q_raw = F.round(F.pow("_p", F.lit(alpha)), 6) / F.col("_z")
+    return (
+        with_p.crossJoin(F.broadcast(zsum))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            F.col("_p").alias("natural_share"),
+            F.round(q_raw, 6).alias("target_share"),
+            F.round(q_raw / F.col("_p"), 6).alias("sample_weight"),
+            F.round(q_raw * F.col("_tot"), 3).alias("expected_tokens"),
+        )
+    )
+
+
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_funnel(load_table(spark, sf_dir, "documents"))
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "curation_funnel": q_quality_funnel,
+    "mixture_weights": q_mixture_weights,
     "curation_dup_ngrams": q_dup_ngrams,
     "curation_repetition": q_repetition,
     "curation_contamination": q_contamination,
@@ -633,6 +796,65 @@ _SH_CTE = """
 """
 
 ORACLES: dict[str, str] = {
+    "curation_funnel": f"""
+        WITH t AS (
+            SELECT source, text, string_split(text, ' ') AS t FROM documents
+        ), f AS (
+            SELECT source,
+                   len(t) AS n_tok,
+                   CASE WHEN len(t) < {FUNNEL_MIN_TOKENS} THEN 1 ELSE 0 END
+                       AS too_short,
+                   CASE WHEN len(list_distinct(t))::DOUBLE / len(t)
+                             < {FUNNEL_MIN_DISTINCT_RATIO}
+                        THEN 1 ELSE 0 END AS repetitive,
+                   CASE WHEN len(list_filter(t, x -> x IN ('the', 'a')))::DOUBLE
+                             / len(t) < {FUNNEL_MIN_STOPWORD_RATIO}
+                        THEN 1 ELSE 0 END AS low_stopword,
+                   CASE WHEN regexp_matches(text,
+                            '[a-zA-Z0-9_.]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+')
+                        THEN 1 ELSE 0 END AS pii
+            FROM t
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(too_short) AS BIGINT) AS n_too_short,
+               CAST(SUM(repetitive) AS BIGINT) AS n_repetitive,
+               CAST(SUM(low_stopword) AS BIGINT) AS n_low_stopword,
+               CAST(SUM(pii) AS BIGINT) AS n_pii,
+               CAST(SUM(CASE WHEN too_short + repetitive + low_stopword + pii
+                                  = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN too_short + repetitive + low_stopword + pii
+                                  = 0 THEN n_tok ELSE 0 END) AS BIGINT)
+                   AS kept_tokens
+        FROM f GROUP BY source
+    """,
+    "mixture_weights": f"""
+        WITH per AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per
+        ), withp AS (
+            SELECT source, n_docs, n_tokens, tot,
+                   ROUND(CAST(n_tokens AS DOUBLE) / tot, 6) AS p
+            FROM per CROSS JOIN tot
+        ), z AS (
+            SELECT CAST(SUM(CAST(ROUND(POWER(p, {MIXTURE_ALPHA}), 6)
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS z
+            FROM withp
+        )
+        SELECT source, n_docs, n_tokens,
+               p AS natural_share,
+               ROUND(ROUND(POWER(p, {MIXTURE_ALPHA}), 6) / z, 6)
+                   AS target_share,
+               ROUND(ROUND(POWER(p, {MIXTURE_ALPHA}), 6) / z / p, 6)
+                   AS sample_weight,
+               ROUND(ROUND(POWER(p, {MIXTURE_ALPHA}), 6) / z * tot, 3)
+                   AS expected_tokens
+        FROM withp CROSS JOIN z
+    """,
     "curation_lm_score": f"""
         WITH toks AS (
             SELECT doc_id,

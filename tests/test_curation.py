@@ -212,3 +212,82 @@ def test_tokenize_with_vocab_roundtrip(spark):
             assert " ".join(id2tok[i] for i in ids) == text
         else:
             assert 0 in ids
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_quality_funnel_planted(spark):
+    """Every rejection reason fires on exactly the planted doc; reasons are
+    counted independently and kept_tokens sums only the survivors."""
+    from pyspark_kmeans_spark.operators.curation import quality_funnel
+
+    df = _src_docs(
+        spark,
+        [
+            (0, "s", "the cat sat"),          # passes everything
+            (1, "s", "x x x x"),              # repetitive + low_stopword
+            (2, "s", "a b"),                  # too_short + low_stopword
+            (3, "s", "the the dog ate a@b.com"),  # pii only
+        ],
+    )
+    got = quality_funnel(
+        df,
+        min_tokens=3,
+        min_distinct_ratio=0.5,
+        min_stopword_ratio=0.25,
+        stopwords=("the",),
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (
+        r["n_docs"],
+        r["n_too_short"],
+        r["n_repetitive"],
+        r["n_low_stopword"],
+        r["n_pii"],
+        r["n_kept"],
+        r["kept_tokens"],
+    ) == (4, 1, 1, 2, 1, 1, 3)
+
+
+def test_mixture_weights_planted(spark):
+    """alpha-temperature mixture: shares mirror the documented rounding
+    chain, the big source is down-weighted, the small one up-weighted, and
+    target shares sum to ~1."""
+    from pyspark_kmeans_spark.operators.curation import mixture_weights
+
+    rows = [(i, "big", "t " * 14 + "t") for i in range(5)]  # 5 docs x 15 tok
+    rows += [(100, "small", "u " * 24 + "u")]  # 1 doc x 25 tokens
+    df = _src_docs(spark, rows)
+    got = {r["source"]: r for r in mixture_weights(df, alpha=0.5).collect()}
+    tot = 100
+    p_big, p_small = round(75 / tot, 6), round(25 / tot, 6)
+    a_big, a_small = round(p_big**0.5, 6), round(p_small**0.5, 6)
+    z = a_big + a_small  # exact at 6 decimals by construction
+    assert got["big"]["n_tokens"] == 75 and got["small"]["n_tokens"] == 25
+    assert got["big"]["natural_share"] == p_big
+    assert got["big"]["target_share"] == round(a_big / z, 6)
+    assert got["small"]["sample_weight"] == round(a_small / z / p_small, 6)
+    assert got["big"]["sample_weight"] < 1.0 < got["small"]["sample_weight"]
+    assert (
+        got["big"]["target_share"] + got["small"]["target_share"]
+        == pytest.approx(1.0, abs=2e-6)
+    )
+    assert got["big"]["expected_tokens"] == round(a_big / z * tot, 3)
+
+
+def test_funnel_and_mixture_plan_shape(spark, sf_dir):
+    """Corpus-sized work must partially aggregate map-side; the mixture's
+    global folds are broadcast 1-row cross-joins, never a cartesian over
+    data-sized frames."""
+    from pyspark_kmeans_spark.operators.curation import (
+        q_mixture_weights,
+        q_quality_funnel,
+    )
+
+    funnel = q_quality_funnel(spark, sf_dir)
+    assert_partial_aggregation(funnel)
+    mix = q_mixture_weights(spark, sf_dir)
+    assert_partial_aggregation(mix)

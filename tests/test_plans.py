@@ -298,12 +298,23 @@ def test_all_registered_plans_no_unbounded_cross(spark, sf_dir):
         "tpch_q11",
         "dedup_lsh_recall",
         "kmeans_check",
+        # hybrid_search is cosine_topk over the keyword-FILTERED corpus —
+        # the same broadcast-probes brute-force contract as
+        # ann_topk_cosine above (similarity.py:q_hybrid_search; the
+        # keyword predicate is pushed to the documents scan and the
+        # corpus side only shrinks).
+        "hybrid_search",
         # ann_recall_check crosses three 1-row count aggregates
         # (checks.py: `n_exact.crossJoin(ivf_hits).crossJoin(lsh_hits)`).
         "ann_recall_check",
         # curation_lm_score crosses in the 1-row vocabulary-size scalar
         # (curation.py: `join(F.broadcast(vocab))`).
         "curation_lm_score",
+        # mixture_weights crosses the source-cardinality frame with two
+        # 1-row broadcast aggregates (corpus token total, p^alpha
+        # normalizer) — bounded by 1, never by the corpus
+        # (curation.py: `crossJoin(F.broadcast(tot/zsum))`).
+        "mixture_weights",
     }
     violations = {}
     for name, fn in entrymod.queries().items():
