@@ -54,6 +54,7 @@ def _registries() -> list:
         "sources.bucketed",
         "sources.partitioned",
         "sources.sorted_layout",
+        "sources.zorder",
     ):
         try:
             mods.append(
@@ -77,6 +78,7 @@ _SWEEP_FIRST = [
     # 0. added in round 4 (late) — never driver-recorded
     "curation_funnel",
     "mixture_weights",
+    "zorder_cust_window",
     # 1. added in round 4 — never driver-recorded
     "tpch_q2",
     "tpch_q4",

@@ -81,6 +81,7 @@ EXTENDED = [
     "kmeans_check",
     "curation_funnel",
     "mixture_weights",
+    "zorder_cust_window",
 ]
 
 
