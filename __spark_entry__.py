@@ -79,6 +79,7 @@ _SWEEP_FIRST = [
     "curation_funnel",
     "mixture_weights",
     "zorder_cust_window",
+    "epoch_plan",
     # 1. added in round 4 — never driver-recorded
     "tpch_q2",
     "tpch_q4",

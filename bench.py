@@ -82,6 +82,7 @@ EXTENDED = [
     "curation_funnel",
     "mixture_weights",
     "zorder_cust_window",
+    "epoch_plan",
 ]
 
 

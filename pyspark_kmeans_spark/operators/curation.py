@@ -763,6 +763,47 @@ def mixture_weights(
     )
 
 
+def epoch_plan(
+    df: DataFrame,
+    weights: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a target mixture into per-doc repeat counts for one
+    training epoch: `n_repeats = floor(w) + Bernoulli(frac(w))`, with the
+    Bernoulli drawn from a deterministic md5 bucket of the id — so
+    E[n_repeats] == the group's sample_weight, upsampling (w > 1) and
+    downsampling (w < 1) both materialize correctly, and the plan is a
+    pure function of the data (reproducible across runs, partitionings,
+    and engines; the property every epoch-resumable trainer needs).
+
+    Scale shape: the weights frame is group-cardinality (O(100) rows) and
+    broadcast; the bucket is partition-local arithmetic — one linear scan,
+    zero shuffles.  Downstream, `explode(sequence(1, n_repeats))` turns the
+    plan into the physical epoch stream without ever collecting it.
+    """
+    w = F.col("sample_weight")
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    frac = w - F.floor(w)
+    extra = (bucket.cast("double") < frac * F.lit(256.0)).cast("int")
+    return (
+        df.select(id_col, group_col)
+        .join(
+            F.broadcast(weights.select(group_col, "sample_weight")),
+            on=group_col,
+        )
+        .select(
+            id_col,
+            group_col,
+            "sample_weight",
+            (F.floor(w).cast("int") + extra).alias("n_repeats"),
+        )
+    )
+
+
 def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_funnel(load_table(spark, sf_dir, "documents"))
 
@@ -771,9 +812,20 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(load_table(spark, sf_dir, "documents"))
 
 
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch materialization of the lang mixture (lang is the skewed
+    grouping in this corpus — en is ~44% of tokens): en is down-sampled
+    (w≈0.6 → keep ~60% of docs once), the tail langs up-sampled (w≈1.3 →
+    every doc once, ~30% twice)."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = mixture_weights(docs, group_col="lang")
+    return epoch_plan(docs, weights, group_col="lang")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_funnel": q_quality_funnel,
     "mixture_weights": q_mixture_weights,
+    "epoch_plan": q_epoch_plan,
     "curation_dup_ngrams": q_dup_ngrams,
     "curation_repetition": q_repetition,
     "curation_contamination": q_contamination,
@@ -854,6 +906,36 @@ ORACLES: dict[str, str] = {
                ROUND(ROUND(POWER(p, {MIXTURE_ALPHA}), 6) / z * tot, 3)
                    AS expected_tokens
         FROM withp CROSS JOIN z
+    """,
+    "epoch_plan": f"""
+        WITH per AS (
+            SELECT lang,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per
+        ), withp AS (
+            SELECT lang, tot,
+                   ROUND(CAST(n_tokens AS DOUBLE) / tot, 6) AS p
+            FROM per CROSS JOIN tot
+        ), z AS (
+            SELECT CAST(SUM(CAST(ROUND(POWER(p, {MIXTURE_ALPHA}), 6)
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS z
+            FROM withp
+        ), w AS (
+            SELECT lang,
+                   ROUND(ROUND(POWER(p, {MIXTURE_ALPHA}), 6) / z / p, 6)
+                       AS sample_weight
+            FROM withp CROSS JOIN z
+        )
+        SELECT d.doc_id, d.lang, w.sample_weight,
+               CAST(FLOOR(w.sample_weight) AS INT)
+               + CASE WHEN CAST(CAST('0x' || substring(md5(CAST(d.doc_id
+                          AS VARCHAR)), 1, 2) AS INT) AS DOUBLE)
+                          < (w.sample_weight - FLOOR(w.sample_weight)) * 256.0
+                      THEN 1 ELSE 0 END AS n_repeats
+        FROM documents d JOIN w USING (lang)
     """,
     "curation_lm_score": f"""
         WITH toks AS (

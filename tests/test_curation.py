@@ -291,3 +291,34 @@ def test_funnel_and_mixture_plan_shape(spark, sf_dir):
     assert_partial_aggregation(funnel)
     mix = q_mixture_weights(spark, sf_dir)
     assert_partial_aggregation(mix)
+
+
+def test_epoch_plan_planted(spark):
+    """n_repeats = floor(w) + deterministic Bernoulli(frac): exact per-id
+    expectation reproduced from md5 in Python; upsampling (w=2.5) yields
+    2-or-3 copies, downsampling (w=0.25) 0-or-1, and the realized mean
+    tracks the weight."""
+    import hashlib
+
+    from pyspark_kmeans_spark.operators.curation import epoch_plan
+
+    rows = [(i, "up" if i < 50 else "down", "x") for i in range(100)]
+    docs = _src_docs(spark, [(i, s, t) for i, s, t in rows])
+    weights = spark.createDataFrame(
+        [("up", 2.5), ("down", 0.25)], "source string, sample_weight double"
+    )
+    got = {
+        r["doc_id"]: r["n_repeats"]
+        for r in epoch_plan(docs, weights).collect()
+    }
+    assert len(got) == 100
+    for i, grp, _ in rows:
+        bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+        w = 2.5 if grp == "up" else 0.25
+        want = int(w // 1) + (1 if bucket < (w % 1) * 256 else 0)
+        assert got[i] == want, (i, grp, bucket)
+    up = [got[i] for i in range(50)]
+    down = [got[i] for i in range(50, 100)]
+    assert set(up) <= {2, 3} and set(down) <= {0, 1}
+    assert abs(sum(up) / 50 - 2.5) < 0.2
+    assert abs(sum(down) / 50 - 0.25) < 0.2

@@ -315,6 +315,10 @@ def test_all_registered_plans_no_unbounded_cross(spark, sf_dir):
         # normalizer) — bounded by 1, never by the corpus
         # (curation.py: `crossJoin(F.broadcast(tot/zsum))`).
         "mixture_weights",
+        # epoch_plan embeds the mixture_weights weight computation (same
+        # two 1-row scalar crosses); its own join is a broadcast equi-join
+        # on the group key.
+        "epoch_plan",
     }
     violations = {}
     for name, fn in entrymod.queries().items():
