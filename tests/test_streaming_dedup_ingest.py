@@ -1,0 +1,123 @@
+"""Streaming ingestion dedup (streaming/dedup_ingest.py): stream == the
+sequential batch fold, and replays overwrite instead of duplicating."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark_kmeans_spark.operators.dedup import (
+    build_signature_table,
+    incremental_kept_against,
+)
+from pyspark_kmeans_spark.streaming.dedup_ingest import (
+    dedup_ingest_batch,
+    dedup_ingest_stream,
+    read_signature_state,
+)
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+T20 = " ".join(f"tok{i}" for i in range(20))  # a 20-token text
+U20 = " ".join(f"unq{i}" for i in range(20))
+V20 = " ".join(f"val{i}" for i in range(20))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows], DOC_SCHEMA
+    )
+
+
+def _kept_ids(spark, kept_dir):
+    return {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{kept_dir}/batch_id=*").collect()
+    }
+
+
+def test_planted_batches_and_replay_idempotency(spark, tmp_path):
+    """Batch 0 establishes the corpus; batch 1's corpus-dup and
+    within-batch dup are dropped; replaying batch 1 (the crash-recovery
+    path) leaves every output byte-for-byte equivalent — no duplicated
+    kept ids, no duplicated signature rows."""
+    state, kept = str(tmp_path / "state"), str(tmp_path / "kept")
+    b0 = _docs(spark, [(1, T20), (2, U20)])
+    # 3 dups corpus T20; 4/5 identical within batch (lower id wins); 6 new.
+    b1 = _docs(spark, [(3, T20), (4, V20), (5, V20), (6, U20 + " extra")])
+    dedup_ingest_batch(b0, 0, state_dir=state, kept_dir=kept)
+    dedup_ingest_batch(b1, 1, state_dir=state, kept_dir=kept)
+
+    def snapshot():
+        ids = sorted(_kept_ids(spark, kept))
+        sig_rows = sorted(
+            (r["doc_id"], tuple(r["sig"]))
+            for r in read_signature_state(spark, state).collect()
+        )
+        return ids, sig_rows
+
+    first = snapshot()
+    assert first[0] == [1, 2, 4]  # 3 dup-of-corpus, 5 dup-of-4, 6 kept?
+    # 6 shares 20 of 21 tokens with U20 -> Jaccard 20/21 < 0.9? 20/21=0.952
+    # >= 0.9 -> 6 is a near-dup of corpus doc 2 and must be dropped too.
+    dedup_ingest_batch(b1, 1, state_dir=state, kept_dir=kept)  # replay
+    assert snapshot() == first
+    # State holds signatures for exactly the kept docs, once each.
+    assert [d for d, _ in first[1]] == [1, 2, 4]
+
+
+def test_stream_equals_sequential_batch_fold(spark, sf_dir, tmp_path):
+    """End-to-end file stream over 3 disjoint document slices == folding
+    incremental_kept_against over the same slices in the stream's own
+    processing order."""
+    input_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    kept = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for i in range(3):
+        tmp = str(tmp_path / f"stage{i}")
+        docs.filter(docs.doc_id % 3 == i).coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{input_dir}/batch{i}.parquet")
+
+    q = dedup_ingest_stream(
+        spark, input_dir, state_dir=state, kept_dir=kept, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(f"{kept}/batch_id=*")
+    batch_ids = sorted(
+        int(os.path.basename(p).split("=")[1])
+        for p in glob.glob(f"{kept}/batch_id=*")
+    )
+    assert len(batch_ids) == 3
+    # Recover which input slice each micro-batch processed (slices are
+    # disjoint residue classes, so any kept id identifies its slice).
+    order = []
+    for bid in batch_ids:
+        ids = [
+            r["doc_id"]
+            for r in spark.read.parquet(f"{kept}/batch_id={bid}").collect()
+        ]
+        assert ids, f"batch {bid} kept nothing — cannot identify its slice"
+        residues = {i % 3 for i in ids}
+        assert len(residues) == 1, residues
+        order.append(residues.pop())
+    assert sorted(order) == [0, 1, 2]
+
+    # Sequential batch-mode fold in that order.
+    state_df = build_signature_table(docs.limit(0))
+    expected: set[int] = set()
+    for res in order:
+        batch = docs.filter(docs.doc_id % 3 == res)
+        kept_ids = incremental_kept_against(state_df, batch)
+        kept_docs = batch.join(kept_ids, on="doc_id", how="left_semi")
+        expected |= {r["doc_id"] for r in kept_ids.collect()}
+        state_df = state_df.unionByName(
+            build_signature_table(kept_docs)
+        ).localCheckpoint()
+
+    assert {r["doc_id"] for r in got.collect()} == expected
