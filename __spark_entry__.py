@@ -75,67 +75,29 @@ def _registries() -> list:
 # in rounds 1-2); the previous round's green hash rows rotate through
 # whatever cap headroom remains.
 _SWEEP_FIRST = [
-    # 0. added in round 4 (late) — never driver-recorded
-    "curation_funnel",
-    "mixture_weights",
-    "zorder_cust_window",
-    "epoch_plan",
-    # 1. added in round 4 — never driver-recorded
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "approx_aggs_check",
-    "distinct_rollup_check",
-    "dedup_lsh_recall",
-    "ann_recall_check",
-    "kmeans_check",
-    "embedding_pca2_exact",
-    "graph_triangles",
-    "graph_degrees",
-    "partitioned_month_revenue",
-    "sorted_shipdate_window",
-    "curation_lm_score",
-    "training_split",
-    "event_trending",
-    "bpe_merges",
-    "salted_join",
-    "hybrid_search",
-    "multimodal_dedup",
-    "incremental_agg",
-    "returned_items",
-    "idle_rich_customers",
-    "part_supplier_counts",
-    "revenue_percentiles",
-    "revenue_deciles",
-    "token_positions",
-    "char_ngram_profile",
-    "embedding_quantize",
-    "embedding_matryoshka",
-    "scd2_intervals",
-    "rolling_spend",
-    "curation_tokenize",
-    "graph_pagerank",
-    "event_anomaly",
-    "event_distinct_rollup",
-    "top_supplier",
-    "embedding_pca_variance",
-    "ann_ivf_assign",
+    # 0. the ONLY 2 of 152 queries with no driver hash row in any round
+    #    (positions 51-52 last round, just past the 50-entry cap; judge-run
+    #    green at sf0.01 in round 4 — this rotation makes it official)
     "customer_rfm",
     "forecast_revenue",
-    # 2. changed in round 4 (vocab two-level rank; offsets window key;
-    #    incremental-LSH eager-count removal)
+    # 1. added in round 5 — never driver-recorded
+    "graph_triangles_capped",
+    "dedup_simhash_recall",
+    "daily_ingest",
+    # 2. changed in round 5 (oracle-interpolation fixes; PII widening;
+    #    tiny-share guard; epoch quantization; persisted-signature form;
+    #    survivor guard)
+    "curation_funnel",
+    "mixture_weights",
+    "epoch_plan",
+    "dedup_incremental_lsh",
+    "hybrid_search",
+    # 2b. changed in round 4 but never re-recorded after the change (they
+    #     sat at positions 53-54, past the 50-cap)
     "curation_vocab",
     "training_order",
-    "dedup_incremental_lsh",
-    # 3. last recorded in rounds 1-2 (round 3's sweep re-verified the other
-    #    50; these need re-confirmation after this round's edits)
+    # 3. last recorded in rounds 1-2 (round 3 re-verified one half, round 4
+    #    the other; these are now the stalest green rows)
     "customer_features",
     "scan_projection",
     "derived_age",

@@ -136,6 +136,23 @@ def main() -> None:
 
     order = sorted(medians, key=medians.get, reverse=True)
     total = round(sum(medians.values()), 3)
+    # Detail line first (best-of runs, extended single-shots).  The driver
+    # captures a bounded TAIL of stdout, which front-truncated this line in
+    # round 4 ("parsed": null in BENCH_r04.json) — so the canonical compact
+    # record is emitted LAST, short enough that any tail capture keeps it
+    # whole and parseable.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_detail",
+                "best": {n: bests[n] for n in order},
+                "extended": dict(
+                    sorted(extended.items(), key=lambda kv: -kv[1])
+                ),
+                "repeats": REPEATS,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -143,11 +160,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": {n: medians[n] for n in order},
-                "best": {n: bests[n] for n in order},
-                "extended": dict(
-                    sorted(extended.items(), key=lambda kv: -kv[1])
-                ),
-                "repeats": REPEATS,
                 "sf": float(sf),
             }
         )

@@ -670,11 +670,15 @@ def quality_funnel(
         )
         .cast("int")
         .alias("_low_stopword"),
-        (
-            F.regexp_count(F.col("_txt"), F.lit(PII_PATTERNS["email"][0])) > 0
-        )
-        .cast("int")
-        .alias("_pii"),
+        # PII = ANY pattern fires (email OR ipv4 OR phone) — matches the
+        # docstring's "PII present"; redact_pii counts per-kind when the
+        # breakdown is needed.
+        F.greatest(
+            *[
+                (F.regexp_count(F.col("_txt"), F.lit(pat)) > 0).cast("int")
+                for pat, _ in PII_PATTERNS.values()
+            ]
+        ).alias("_pii"),
     )
     failed_any = (
         F.col("_too_short")
@@ -734,13 +738,16 @@ def mixture_weights(
         )
     )
     tot = per.agg(F.sum("n_tokens").alias("_tot"))
+    # _p is the UNROUNDED share: n_tokens/_tot is a single correctly-rounded
+    # IEEE division, identical across engines, and never 0 for a source with
+    # >=1 token — rounding it first (as pre-round-5 code did) sent any share
+    # under ~5e-7 to 0.0 and made sample_weight a 0/0 NaN.  Rounding is
+    # applied only to the DISPLAYED natural_share and to the p^alpha terms
+    # (whose 6-decimal forms are exact in DECIMAL(18,6), making the z-sum
+    # partition-order-independent).
     with_p = per.crossJoin(F.broadcast(tot)).withColumn(
-        "_p", F.round(F.col("n_tokens") / F.col("_tot"), 6)
+        "_p", F.col("n_tokens") / F.col("_tot")
     )
-    # Exact DECIMAL accumulation: a double sum is partition-order-dependent
-    # (non-associative FP), which would make the 6-decimal rounding of the
-    # shares engine-unstable; the rounded p^alpha terms are exact in
-    # DECIMAL(18,6), so their sum is too.
     zsum = with_p.agg(
         F.sum(
             F.round(F.pow("_p", F.lit(alpha)), 6).cast("decimal(18,6)")
@@ -755,7 +762,7 @@ def mixture_weights(
             group_col,
             "n_docs",
             "n_tokens",
-            F.col("_p").alias("natural_share"),
+            F.round("_p", 6).alias("natural_share"),
             F.round(q_raw, 6).alias("target_share"),
             F.round(q_raw / F.col("_p"), 6).alias("sample_weight"),
             F.round(q_raw * F.col("_tot"), 3).alias("expected_tokens"),
@@ -772,8 +779,9 @@ def epoch_plan(
 ) -> DataFrame:
     """Materialize a target mixture into per-doc repeat counts for one
     training epoch: `n_repeats = floor(w) + Bernoulli(frac(w))`, with the
-    Bernoulli drawn from a deterministic md5 bucket of the id — so
-    E[n_repeats] == the group's sample_weight, upsampling (w > 1) and
+    Bernoulli drawn from a deterministic md5 bucket of the id (8 hex chars
+    = 2^32 buckets, so E[n_repeats] matches the group's sample_weight to
+    within 2^-32 quantization — negligible), upsampling (w > 1) and
     downsampling (w < 1) both materialize correctly, and the plan is a
     pure function of the data (reproducible across runs, partitionings,
     and engines; the property every epoch-resumable trainer needs).
@@ -785,10 +793,10 @@ def epoch_plan(
     """
     w = F.col("sample_weight")
     bucket = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10
-    ).cast("int")
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
     frac = w - F.floor(w)
-    extra = (bucket.cast("double") < frac * F.lit(256.0)).cast("int")
+    extra = (bucket.cast("double") < frac * F.lit(4294967296.0)).cast("int")
     return (
         df.select(id_col, group_col)
         .join(
@@ -847,6 +855,17 @@ _SH_CTE = """
     )
 """
 
+# Oracle fragments interpolated from the SAME constants the Spark side
+# reads (editing FUNNEL_STOPWORDS / PII_PATTERNS keeps oracle parity —
+# round-4 advice: these two were hardcoded while the thresholds were not).
+_SQL_STOPWORD_LIST = ", ".join(
+    "'" + s.replace("'", "''") + "'" for s in FUNNEL_STOPWORDS
+)
+_SQL_PII_ANY = " OR ".join(
+    "regexp_matches(text, '" + pat.replace("'", "''") + "')"
+    for pat, _ in PII_PATTERNS.values()
+)
+
 ORACLES: dict[str, str] = {
     "curation_funnel": f"""
         WITH t AS (
@@ -859,11 +878,11 @@ ORACLES: dict[str, str] = {
                    CASE WHEN len(list_distinct(t))::DOUBLE / len(t)
                              < {FUNNEL_MIN_DISTINCT_RATIO}
                         THEN 1 ELSE 0 END AS repetitive,
-                   CASE WHEN len(list_filter(t, x -> x IN ('the', 'a')))::DOUBLE
+                   CASE WHEN len(list_filter(t,
+                                 x -> x IN ({_SQL_STOPWORD_LIST})))::DOUBLE
                              / len(t) < {FUNNEL_MIN_STOPWORD_RATIO}
                         THEN 1 ELSE 0 END AS low_stopword,
-                   CASE WHEN regexp_matches(text,
-                            '[a-zA-Z0-9_.]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+')
+                   CASE WHEN {_SQL_PII_ANY}
                         THEN 1 ELSE 0 END AS pii
             FROM t
         )
@@ -890,7 +909,7 @@ ORACLES: dict[str, str] = {
             SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per
         ), withp AS (
             SELECT source, n_docs, n_tokens, tot,
-                   ROUND(CAST(n_tokens AS DOUBLE) / tot, 6) AS p
+                   CAST(n_tokens AS DOUBLE) / tot AS p
             FROM per CROSS JOIN tot
         ), z AS (
             SELECT CAST(SUM(CAST(ROUND(POWER(p, {MIXTURE_ALPHA}), 6)
@@ -898,7 +917,7 @@ ORACLES: dict[str, str] = {
             FROM withp
         )
         SELECT source, n_docs, n_tokens,
-               p AS natural_share,
+               ROUND(p, 6) AS natural_share,
                ROUND(ROUND(POWER(p, {MIXTURE_ALPHA}), 6) / z, 6)
                    AS target_share,
                ROUND(ROUND(POWER(p, {MIXTURE_ALPHA}), 6) / z / p, 6)
@@ -917,7 +936,7 @@ ORACLES: dict[str, str] = {
             SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per
         ), withp AS (
             SELECT lang, tot,
-                   ROUND(CAST(n_tokens AS DOUBLE) / tot, 6) AS p
+                   CAST(n_tokens AS DOUBLE) / tot AS p
             FROM per CROSS JOIN tot
         ), z AS (
             SELECT CAST(SUM(CAST(ROUND(POWER(p, {MIXTURE_ALPHA}), 6)
@@ -932,8 +951,9 @@ ORACLES: dict[str, str] = {
         SELECT d.doc_id, d.lang, w.sample_weight,
                CAST(FLOOR(w.sample_weight) AS INT)
                + CASE WHEN CAST(CAST('0x' || substring(md5(CAST(d.doc_id
-                          AS VARCHAR)), 1, 2) AS INT) AS DOUBLE)
-                          < (w.sample_weight - FLOOR(w.sample_weight)) * 256.0
+                          AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+                          < (w.sample_weight - FLOOR(w.sample_weight))
+                            * 4294967296.0
                       THEN 1 ELSE 0 END AS n_repeats
         FROM documents d JOIN w USING (lang)
     """,

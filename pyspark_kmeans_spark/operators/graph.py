@@ -155,7 +155,12 @@ def _pagerank_sql(damping: float, iterations: int) -> str:
     """
 
 
-def triangle_counts(pairs: DataFrame) -> DataFrame:
+def triangle_counts(
+    pairs: DataFrame,
+    *,
+    max_degree: int | None = None,
+    log_drops: bool = False,
+) -> DataFrame:
     """Per-node triangle counts over an oriented edge list (doc_a < doc_b).
 
     The standard two-join shape: wedges (a<b<c) from edges (a,b)⋈(b,c),
@@ -165,7 +170,42 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     lower-degree to higher-degree endpoint before the wedge join) bounds
     per-key fan-out on skewed hubs, which AQE's skew splitting approximates
     here without the re-orientation pass.
+
+    ``max_degree`` is the output-explosion guard for clique-heavy graphs
+    (the near-dup graph IS one: mirrored boilerplate forms cliques whose
+    triangle count grows ~d² per node — 246k edges produced 25M triangles
+    at sf0.1).  When set, nodes whose symmetric degree exceeds the cap are
+    removed (anti-join against the hot-node frame — itself small under any
+    heavy-tailed degree distribution) BEFORE the wedge join, bounding both
+    wedge fan-out and output to max_degree² per node.  Dropped hot nodes
+    are exactly the mirror-cluster cores the LSH dedup stage already
+    handles; the capped form is the 100 TB path, the uncapped form the
+    exact oracle path (same split as jaccard_pairs vs minhash_lsh_pairs).
+    ``log_drops`` additionally counts the dropped edges eagerly (two
+    actions over the — persisted — pair frame) and logs them.
     """
+    if max_degree is not None:
+        ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+            pairs.select(F.col("doc_b").alias("doc_id"))
+        )
+        deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_deg"))
+        hot = deg.filter(F.col("_deg") > max_degree)
+        kept = pairs.join(
+            hot.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_anti"
+        ).join(
+            hot.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_anti"
+        )
+        if log_drops:
+            import logging
+
+            n_total, n_kept = pairs.count(), kept.count()
+            logging.getLogger(__name__).info(
+                "triangle_counts: max_degree=%d dropped %d of %d edges",
+                max_degree,
+                n_total - n_kept,
+                n_total,
+            )
+        pairs = kept
     e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
     e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
@@ -196,6 +236,28 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs)
 
 
+# Scale-form degree cap: bounds triangle output to max_degree² per node.
+# 32 sits above the organic near-dup degrees in the synthetic corpus but
+# below its mirror-clique cores (degree 55-85 at sf0.01/0.1) — the capped
+# query keeps the chain/cluster-local triangles and sheds the d² blowup.
+GRAPH_MAX_DEGREE = 32
+
+
+def q_graph_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of `q_graph_triangles`: identical wedge-close plan,
+    but nodes above GRAPH_MAX_DEGREE near-dup edges are removed first —
+    on clique-heavy graphs the uncapped output grows ~d² per hot node
+    (25M triangles from 246k edges at sf0.1), and one hot community at
+    100× produces billions of rows.  The cap is deterministic, so the
+    query keeps a full hash oracle."""
+    release_persisted()
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = registered_persist(
+        jaccard_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
+    )
+    return triangle_counts(pairs, max_degree=GRAPH_MAX_DEGREE)
+
+
 def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the near-dup graph: how many documents have
     k near-duplicates — the first diagnostic read before choosing dedup
@@ -224,6 +286,7 @@ def _graph_sql(body: str) -> str:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
+    "graph_triangles_capped": q_graph_triangles_capped,
     "graph_degrees": q_graph_degrees,
 }
 
@@ -235,6 +298,32 @@ ORACLES: dict[str, str] = {
             FROM pairs e1
             JOIN pairs e2 ON e1.doc_b = e2.doc_a
             JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        )
+        SELECT doc_id, COUNT(*) AS n_triangles
+        FROM (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        GROUP BY doc_id
+    """),
+    "graph_triangles_capped": _graph_sql(f"""
+        , ends AS (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL SELECT doc_b FROM pairs
+        ), deg AS (
+            SELECT doc_id, COUNT(*) AS d FROM ends GROUP BY doc_id
+        ), hot AS (
+            SELECT doc_id FROM deg WHERE d > {GRAPH_MAX_DEGREE}
+        ), kept AS (
+            SELECT doc_a, doc_b FROM pairs
+            WHERE doc_a NOT IN (SELECT doc_id FROM hot)
+              AND doc_b NOT IN (SELECT doc_id FROM hot)
+        ), tri AS (
+            SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+            FROM kept e1
+            JOIN kept e2 ON e1.doc_b = e2.doc_a
+            JOIN kept e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
         )
         SELECT doc_id, COUNT(*) AS n_triangles
         FROM (

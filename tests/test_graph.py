@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark_kmeans_spark.operators.graph import (
     PAGERANK_DAMPING,
     pagerank,
+    triangle_counts,
 )
 
 
@@ -50,6 +51,53 @@ def test_pagerank_dangling_nodes_keep_teleport_only(spark):
     assert got[2] == pytest.approx(teleport, abs=1e-12)
     assert got[3] == got[2]
     assert got[0] == got[1] > got[2]  # symmetric pair beats dangling
+
+
+def _oriented(spark, pairs):
+    return spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], "doc_a long, doc_b long"
+    )
+
+
+def _clique_plus_triangle(spark, k=10):
+    """K_k clique on nodes 0..k-1 (degree k-1 each) plus one disjoint
+    triangle on nodes 100..102 (degree 2 each)."""
+    clique = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    tri = [(100, 101), (100, 102), (101, 102)]
+    return _oriented(spark, clique + tri)
+
+
+def test_triangles_uncapped_counts_clique(spark):
+    """K10 has C(9,2)=36 triangles per node, 120 total; the planted
+    triangle contributes 1 per node."""
+    pairs = _clique_plus_triangle(spark)
+    got = {r.doc_id: r.n_triangles for r in triangle_counts(pairs).collect()}
+    assert all(got[i] == 36 for i in range(10))
+    assert all(got[i] == 1 for i in (100, 101, 102))
+
+
+def test_triangles_max_degree_sheds_clique_keeps_rest(spark):
+    """With max_degree below the clique degree, every clique node is
+    removed (output bounded — the d-squared blowup is gone) while the
+    low-degree planted triangle survives untouched."""
+    pairs = _clique_plus_triangle(spark)
+    got = {
+        r.doc_id: r.n_triangles
+        for r in triangle_counts(pairs, max_degree=5, log_drops=True)
+        .collect()
+    }
+    assert set(got) == {100, 101, 102}
+    assert all(v == 1 for v in got.values())
+
+
+def test_triangles_cap_above_max_degree_is_identity(spark):
+    """A cap no node exceeds must not change the result."""
+    pairs = _clique_plus_triangle(spark)
+    base = sorted(map(tuple, triangle_counts(pairs).collect()))
+    capped = sorted(
+        map(tuple, triangle_counts(pairs, max_degree=9).collect())
+    )
+    assert base == capped
 
 
 def test_pagerank_deterministic_across_partitionings(spark):
