@@ -708,9 +708,17 @@ def q_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HYBRID_KEYWORD = "dup"  # ~5% of docs at sweep SFs — a selective predicate
+HYBRID_MAX_SURVIVORS = 200_000  # brute-force stage is probes×survivors
 
 
-def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hybrid_topk(
+    emb: DataFrame,
+    docs: DataFrame,
+    keyword: str,
+    *,
+    k: int = 5,
+    max_survivors: int | None = HYBRID_MAX_SURVIVORS,
+) -> DataFrame:
     """Filtered vector search — the hybrid keyword+vector retrieval
     pattern every vector store struggles with.  PRE-filtering is the
     correct strategy when the predicate is selective: the keyword match
@@ -720,15 +728,40 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     set by construction, unlike post-filtering an ANN result (which
     silently under-fills k when the filter is selective).  At 100 TB the
     same shape holds with the IVF/LSH candidate stage replacing brute
-    force once the filtered set is itself huge."""
-    release_persisted()
-    emb = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents")
-    keep = docs.filter(F.col("text").contains(HYBRID_KEYWORD)).select(
+    force once the filtered set is itself huge.
+
+    The brute-force stage TRUSTS the predicate to be selective, so
+    `max_survivors` makes that trust explicit (VERDICT r4 item 5): a
+    bounded eager count (`limit(max+1).count()` — scans only until the
+    bound is exceeded, never the full corpus) raises loudly when a
+    non-selective keyword would silently degrade the plan to full
+    probes×corpus — the same loud-failure convention as the dedup block
+    and convergence guards.  Callers with a known-huge filtered set pass
+    None and switch to the IVF/LSH candidate stage instead.
+    """
+    keep = docs.filter(F.col("text").contains(keyword)).select(
         F.col("doc_id").alias("vec_id")
     )
     corpus = emb.join(keep, on="vec_id", how="left_semi")
-    return cosine_topk(corpus, _probes(emb), k=5)
+    if max_survivors is not None:
+        n = corpus.limit(max_survivors + 1).count()
+        if n > max_survivors:
+            raise ValueError(
+                f"hybrid_topk: keyword {keyword!r} keeps more than "
+                f"max_survivors={max_survivors} embeddings — the predicate "
+                "is not selective enough for the brute-force stage; use the "
+                "IVF/LSH candidate path (ivf_topk/lsh_topk over the "
+                "filtered set) or raise the bound explicitly"
+            )
+    return cosine_topk(corpus, _probes(emb), k=k)
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered hybrid keyword+vector retrieval (see hybrid_topk)."""
+    release_persisted()
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    return hybrid_topk(emb, docs, HYBRID_KEYWORD, k=5)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

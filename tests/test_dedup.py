@@ -269,6 +269,42 @@ def test_incremental_kept_against_matches_self_contained(spark, tmp_path):
     dedup.release_persisted()
 
 
+def test_registered_incremental_lsh_reads_persisted_table(spark):
+    """The REGISTERED query must consume the write-once signature table
+    (VERDICT r4 item 3: the pre-round-5 form re-signed the whole corpus on
+    every run) and still return exactly the self-contained kept set: the
+    table exists on disk after the first run, and a second run — which only
+    reads it — returns the identical set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_kmeans_spark.operators import dedup
+    from pyspark_kmeans_spark.operators.dedup import (
+        INCREMENTAL_BATCH_MOD,
+        lsh_incremental_kept,
+        q_dedup_incremental_lsh,
+    )
+    from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, bucketed_name
+    from pyspark_kmeans_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id for r in q_dedup_incremental_lsh(spark, sf).collect()}
+    table_dir = os.path.join(
+        _WAREHOUSE,
+        bucketed_name(f"doc_sigs_m{INCREMENTAL_BATCH_MOD}", sf, n_buckets=64),
+    )
+    assert os.path.exists(os.path.join(table_dir, "_SUCCESS"))
+    docs = load_table(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD != 0)
+    expected = {r.doc_id for r in lsh_incremental_kept(new, corpus).collect()}
+    assert got == expected
+    rerun = {r.doc_id for r in q_dedup_incremental_lsh(spark, sf).collect()}
+    assert rerun == got
+    dedup.release_persisted()
+
+
 def test_incremental_lsh_kept_is_subset_of_exact(spark):
     """lsh_incremental_kept kills strictly more than the blocked exact path
     (it also sees cross-lang duplicates), so its kept set must be a subset;

@@ -269,3 +269,20 @@ def test_ivf_assign_matches_model_transform(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_hybrid_topk_survivor_guard_raises_on_nonselective_keyword(
+    spark, sf_dir
+):
+    """A keyword matching (nearly) everything must fail loudly instead of
+    silently degrading the brute-force stage to full probes×corpus; a
+    selective keyword under the bound still runs."""
+    from pyspark_kmeans_spark.operators.similarity import hybrid_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="not selective"):
+        # "" is contained in every text → every doc survives the filter
+        hybrid_topk(emb, docs, "", max_survivors=10)
+    got = hybrid_topk(emb, docs, "dup", max_survivors=100_000, k=3)
+    assert got.count() > 0
