@@ -28,6 +28,7 @@ def _registries() -> list:
     mods = [relational]
     for name in (
         "dedup",
+        "ingest",
         "similarity",
         "text",
         "multimodal",

@@ -83,6 +83,10 @@ EXTENDED = [
     "mixture_weights",
     "zorder_cust_window",
     "epoch_plan",
+    # round-5 additions
+    "graph_triangles_capped",
+    "dedup_simhash_recall",
+    "daily_ingest",
 ]
 
 

@@ -1,0 +1,262 @@
+"""Daily-ingest flagship: the incremental triple as ONE verifiable query.
+
+A 100 TB training-data pipeline never recomputes over the corpus when a
+batch arrives; it maintains small persisted artifacts and touches ONLY the
+batch.  The repo builds each maintenance primitive separately (signature
+table → `dedup.ensure_signature_table`; IVF codebook → `similarity
+.ivf_assign`; mergeable aggregate state → `analytics.q_incremental_agg`;
+funnel/mixture bookkeeping → `curation`).  `daily_ingest` chains them into
+the single artifact VERDICT r4 item 8 asks for — accept a batch end-to-end
+with zero corpus-sized rebuild in the plan:
+
+1. **Exact dedup against the persisted digest table** — the cheapest
+   ingestion filter (content md5).  The corpus side is a parquet READ of
+   `ensure_digest_table` (written once per scale factor, appended at
+   accept time in production); within the batch, the lowest doc_id per
+   digest wins.  The LSH near-dup stage over the signature table is the
+   second production filter — registered separately as
+   `dedup_incremental_lsh` (xxhash-based, hence not SQL-expressible; its
+   quality is hash-pinned by `dedup_lsh_recall`).  Keeping this flagship's
+   dedup stage exact keeps the WHOLE chain oracle-checkable.
+2. **IVF routing against a persisted codebook** — `ivf_assign` (map-side,
+   zero shuffle, centroids as plan literals).  The registered query uses a
+   deterministic seeded codebook so the DuckDB oracle can replay the
+   argmin-L2 routing exactly (same trick as `ann_lsh_topk`'s seeded plane
+   literals); production swaps in the k-means codebook through the same
+   `ivf_assign` signature (routing == model.transform is pinned in
+   tests/test_similarity.py).
+3. **Incremental aggregate merge** — the accepted batch's per-lang
+   (docs, tokens) partials are unioned with the persisted corpus state
+   (`ensure_lang_stats_table`, counts are commutative monoids) and
+   re-aggregated: post-ingest totals without re-reading history, exactly
+   the `q_incremental_agg` merge shape.  The per-(lang, cell) rollup of
+   the accepted batch is the funnel/mixture bookkeeping input
+   (`curation.mixture_weights` consumes exactly these token counts).
+
+Output: one row per (lang, cell) the accepted batch routed into, with the
+batch contribution and the post-ingest per-lang totals.  The oracle is the
+FULL EXACT RECOMPUTE in SQL (corpus split, md5 dedup, literal-codebook
+argmin routing, merged totals), so the driver hash pins the entire chain.
+
+Scale shape: batch-linear.  The corpus appears only as two bounded reads
+— the digest table (semi-join side, digest-distinct) and the lang-stats
+state (O(langs) rows).  Shuffles: one digest groupBy within the batch,
+one (lang, cell) groupBy, one O(langs) merge agg.  The routing stage is
+shuffle-free map-side arithmetic.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.functions.persist import (
+    registered_persist,
+    release_persisted,
+)
+from pyspark_kmeans_spark.operators.similarity import _hyperplanes, ivf_assign
+from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, bucketed_name
+from pyspark_kmeans_spark.sources.tables import load_table
+
+DAILY_BATCH_MOD = 5  # doc_id % 5 == 0 → the 20% "today" batch
+INGEST_N_CELLS = 16
+INGEST_CODEBOOK_SEED = 23
+INGEST_DIM = 64
+
+
+def ingest_codebook() -> list[list[float]]:
+    """Deterministic seeded codebook (plan literals, shared with the SQL
+    oracle).  Production passes `_kmeans_cells`' fitted centroids through
+    the same `ivf_assign` signature instead."""
+    return _hyperplanes(INGEST_N_CELLS, INGEST_DIM, INGEST_CODEBOOK_SEED)
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % DAILY_BATCH_MOD != 0
+    )
+
+
+def _ensure(spark: SparkSession, sf_dir: str, table: str, build) -> DataFrame:
+    """Write-once-per-sf_dir materialization (the sorted_layout/signature
+    table convention); `build()` returns the frame to persist."""
+    name = bucketed_name(table, sf_dir, n_buckets=1)
+    path = os.path.join(_WAREHOUSE, name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def ensure_digest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(digest) — distinct content digests of the corpus split, the
+    exact-dedup side artifact an ingestion job appends to."""
+    return _ensure(
+        spark,
+        sf_dir,
+        f"doc_digests_m{DAILY_BATCH_MOD}",
+        lambda: _corpus(spark, sf_dir)
+        .select(F.md5("text").alias("digest"))
+        .distinct(),
+    )
+
+
+def ensure_lang_stats_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, n_tokens) — the corpus's per-lang aggregate state;
+    counts are commutative monoids, so batch partials merge by union +
+    re-aggregation (`q_incremental_agg`'s contract)."""
+    return _ensure(
+        spark,
+        sf_dir,
+        f"lang_stats_m{DAILY_BATCH_MOD}",
+        lambda: _corpus(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        ),
+    )
+
+
+def q_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    release_persisted()
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = docs.filter(F.col("doc_id") % DAILY_BATCH_MOD == 0).select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("digest"),
+        F.size(F.split("text", " ")).alias("_n_tok"),
+    )
+    # 1. exact dedup: corpus digests kill batch docs; within the batch the
+    # lowest doc_id per digest survives (whole-partition window min — one
+    # digest shuffle).
+    fresh = batch.join(
+        ensure_digest_table(spark, sf_dir), on="digest", how="left_anti"
+    )
+    kept = registered_persist(
+        fresh.withColumn(
+            "_min", F.min("doc_id").over(Window.partitionBy("digest"))
+        )
+        .filter(F.col("doc_id") == F.col("_min"))
+        .drop("_min", "digest")
+    )
+    # 2. route accepted docs' embeddings to codebook cells (map-side).
+    routed = ivf_assign(
+        emb.join(
+            kept.select(F.col("doc_id").alias("vec_id")),
+            on="vec_id",
+            how="left_semi",
+        ),
+        ingest_codebook(),
+    ).select(F.col("vec_id").alias("doc_id"), "cell")
+    # 3. per-(lang, cell) bookkeeping of the accepted batch.
+    rollup = (
+        kept.join(routed, on="doc_id")
+        .groupBy("lang", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("batch_docs"),
+            F.sum("_n_tok").cast("bigint").alias("batch_tokens"),
+        )
+    )
+    # 4. merge batch partials into the persisted per-lang state.
+    delta = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_tok").alias("n_tokens"),
+    )
+    merged = (
+        ensure_lang_stats_table(spark, sf_dir)
+        .unionByName(delta)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs").alias("total_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+    # merged is O(langs): broadcast the dimension side of the final join.
+    return rollup.join(F.broadcast(merged), on="lang").select(
+        "lang",
+        "cell",
+        "batch_docs",
+        "batch_tokens",
+        "total_docs",
+        "total_tokens",
+    )
+
+
+def _ingest_oracle_sql() -> str:
+    """Full exact recompute: corpus split, md5 dedup, literal-codebook
+    argmin-L2 routing on unit vectors (the same left-to-right per-element
+    fold as ivf_assign's zip_with — centroid margins are structural, and a
+    disagreement fails the hash loudly), merged totals."""
+    cells = []
+    for i, c in enumerate(ingest_codebook()):
+        lit = "[" + ", ".join(repr(v) for v in c) + "]"
+        cells.append(
+            f"""SELECT doc_id, lang, n_tok, {i} AS cell,
+                   list_aggregate(
+                       list_transform(list_zip(u, CAST({lit} AS DOUBLE[])),
+                                      p -> (p[1]-p[2])*(p[1]-p[2])),
+                       'sum') AS d
+            FROM unitv"""
+        )
+    dists_sql = "\n            UNION ALL ".join(cells)
+    return f"""
+        WITH batch AS (
+            SELECT doc_id, lang, md5(text) AS digest,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents WHERE doc_id % {DAILY_BATCH_MOD} = 0
+        ), corpus AS (
+            SELECT lang, text FROM documents
+            WHERE doc_id % {DAILY_BATCH_MOD} != 0
+        ), kept AS (
+            SELECT doc_id, lang, n_tok FROM batch
+            WHERE digest NOT IN (SELECT md5(text) FROM corpus)
+            QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY digest)
+        ), unitv AS (
+            SELECT k.doc_id, k.lang, k.n_tok,
+                   list_transform(
+                       CAST(e.embedding AS DOUBLE[]),
+                       x -> x / sqrt(list_aggregate(
+                           list_transform(CAST(e.embedding AS DOUBLE[]),
+                                          y -> y*y), 'sum'))) AS u
+            FROM kept k JOIN embeddings e ON e.vec_id = k.doc_id
+        ), dists AS (
+            {dists_sql}
+        ), routed AS (
+            SELECT doc_id, lang, n_tok, cell FROM dists
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY d ASC, cell ASC) = 1
+        ), rollup AS (
+            SELECT lang, cell,
+                   COUNT(*) AS batch_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS batch_tokens
+            FROM routed GROUP BY lang, cell
+        ), merged AS (
+            SELECT lang,
+                   CAST(SUM(d) AS BIGINT) AS total_docs,
+                   CAST(SUM(t) AS BIGINT) AS total_tokens
+            FROM (
+                SELECT lang, COUNT(*) AS d,
+                       SUM(len(string_split(text, ' '))) AS t
+                FROM corpus GROUP BY lang
+                UNION ALL
+                SELECT lang, COUNT(*) AS d, SUM(n_tok) AS t
+                FROM kept GROUP BY lang
+            ) GROUP BY lang
+        )
+        SELECT r.lang, r.cell, r.batch_docs, r.batch_tokens,
+               m.total_docs, m.total_tokens
+        FROM rollup r JOIN merged m ON r.lang = m.lang
+    """
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "daily_ingest": q_daily_ingest,
+}
+
+ORACLES: dict[str, str] = {
+    "daily_ingest": _ingest_oracle_sql(),
+}

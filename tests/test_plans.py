@@ -307,6 +307,10 @@ def test_all_registered_plans_no_unbounded_cross(spark, sf_dir):
         # ann_recall_check crosses three 1-row count aggregates
         # (checks.py: `n_exact.crossJoin(ivf_hits).crossJoin(lsh_hits)`).
         "ann_recall_check",
+        # dedup_simhash_recall crosses four 1-row count aggregates
+        # (checks.py: `n_exact.crossJoin(n_truth).crossJoin(n_complete)
+        # .crossJoin(n_jac_hit)`) — the dedup_lsh_recall pattern.
+        "dedup_simhash_recall",
         # curation_lm_score crosses in the 1-row vocabulary-size scalar
         # (curation.py: `join(F.broadcast(vocab))`).
         "curation_lm_score",
