@@ -403,6 +403,77 @@ def build_vocab(
     )
 
 
+SEGMENT_TOKENS = 10
+
+
+def segment_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = SEGMENT_TOKENS,
+) -> DataFrame:
+    """Segment-level exact dedup WITH REMOVAL — the RefinedWeb/FineWeb
+    line-dedup stage re-expressed over fixed `seg_tokens`-token windows
+    (the synthetic corpus has no newline structure; real callers split on
+    newlines instead).  Unlike `duplicate_ngram_stats` (which only SCORES
+    duplication), this materializes the surviving document: every
+    occurrence of a segment except the globally FIRST one (lowest
+    (doc_id, seg_idx)) is dropped, and the per-doc output carries the
+    segment counts plus the md5 of the reconstructed kept text — the
+    digest keeps output rows small while pinning the reconstruction
+    byte-for-byte.
+
+    Scale shape: the explode is linear (tokens/seg_tokens rows per doc);
+    duplicate detection is one groupBy(segment) with a map-side-combining
+    MIN monoid; the decision join back is shuffle_hash on segment content
+    (each occurrence matches exactly one 1-row group — linear even on a
+    Zipf-hot boilerplate segment, which is precisely the row that SHOULD
+    be deduped); reassembly is one groupBy(doc).  No window over an
+    unpartitioned frame, no driver collect.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size("_t") / F.lit(seg_tokens)).cast("int")
+    segs = df.select(F.col(id_col), toks.alias("_t")).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(
+                    F.slice("_t", i * seg_tokens + 1, seg_tokens), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    first = segs.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("_first")
+    )
+    tagged = segs.join(first.hint("shuffle_hash"), on="seg").withColumn(
+        "_kept",
+        (F.col(id_col) == F.col("_first")[id_col])
+        & (F.col("seg_idx") == F.col("_first.seg_idx")),
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum((~F.col("_kept")).cast("int")).cast("bigint").alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_kept"), F.struct("seg_idx", "seg")
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            )
+        ).alias("kept_digest"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Query registry
 # --------------------------------------------------------------------------
@@ -812,6 +883,10 @@ def epoch_plan(
     )
 
 
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return segment_dedup(load_table(spark, sf_dir, "documents"))
+
+
 def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_funnel(load_table(spark, sf_dir, "documents"))
 
@@ -843,6 +918,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_importance": q_importance,
     "curation_tokenize": q_tokenize_docs,
     "curation_lm_score": q_lm_perplexity,
+    "curation_segment_dedup": q_segment_dedup,
 }
 
 _SH_CTE = """
@@ -867,6 +943,37 @@ _SQL_PII_ANY = " OR ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "curation_segment_dedup": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), segs AS (
+            SELECT doc_id,
+                   unnest(generate_series(
+                       0, CAST(ceil(len(t) / {SEGMENT_TOKENS}.0) AS INT) - 1
+                   )) AS seg_idx,
+                   unnest([array_to_string(
+                               t[(i*{SEGMENT_TOKENS}+1):((i+1)*{SEGMENT_TOKENS})],
+                               ' ')
+                           for i in generate_series(
+                               0,
+                               CAST(ceil(len(t) / {SEGMENT_TOKENS}.0) AS INT) - 1
+                           )]) AS seg
+            FROM toks
+        ), tagged AS (
+            SELECT doc_id, seg_idx, seg,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS kept
+            FROM segs
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_segments,
+               CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_removed,
+               md5(COALESCE(string_agg(CASE WHEN kept THEN seg END,
+                                       ' ' ORDER BY seg_idx), ''))
+                   AS kept_digest
+        FROM tagged GROUP BY doc_id
+    """,
     "curation_funnel": f"""
         WITH t AS (
             SELECT source, text, string_split(text, ' ') AS t FROM documents

@@ -322,3 +322,47 @@ def test_epoch_plan_planted(spark):
     assert set(up) <= {2, 3} and set(down) <= {0, 1}
     assert abs(sum(up) / 50 - 2.5) < 0.2
     assert abs(sum(down) / 50 - 0.25) < 0.2
+
+
+def test_segment_dedup_planted(spark):
+    """Global first occurrence (lowest doc_id, then seg_idx) keeps a
+    segment; every other occurrence — cross-doc or within-doc — is
+    removed, and kept_digest pins the reconstructed text."""
+    import hashlib
+
+    from pyspark_kmeans_spark.operators.curation import segment_dedup
+
+    seg_a = " ".join(["a"] * 10)
+    seg_b = " ".join(["b"] * 10)
+    seg_c = " ".join(["c"] * 10)
+    rows = [
+        (0, f"{seg_a} {seg_b}"),          # both first occurrences
+        (1, f"{seg_b} {seg_c} {seg_b}"),  # b dup of doc0; within-doc b dup
+        (2, seg_a),                       # whole doc is a dup
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, seg_tokens=10).collect()
+    }
+    assert got[0]["n_segments"] == 2 and got[0]["n_removed"] == 0
+    assert got[0]["kept_digest"] == hashlib.md5(
+        f"{seg_a} {seg_b}".encode()
+    ).hexdigest()
+    assert got[1]["n_segments"] == 3 and got[1]["n_removed"] == 2
+    assert got[1]["kept_digest"] == hashlib.md5(seg_c.encode()).hexdigest()
+    assert got[2]["n_segments"] == 1 and got[2]["n_removed"] == 1
+    assert got[2]["kept_digest"] == hashlib.md5(b"").hexdigest()
+
+
+def test_segment_dedup_partial_tail_segment(spark):
+    """A doc whose token count is not a multiple of seg_tokens keeps its
+    short tail segment as a distinct unit."""
+    from pyspark_kmeans_spark.operators.curation import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "x y z w v")], "doc_id long, text string"
+    )
+    row = segment_dedup(docs, seg_tokens=3).collect()[0]
+    assert row["n_segments"] == 2  # "x y z" + "w v"
+    assert row["n_removed"] == 0
