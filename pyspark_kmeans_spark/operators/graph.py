@@ -205,7 +205,10 @@ def triangle_counts(
                 n_total - n_kept,
                 n_total,
             )
-        pairs = kept
+        # kept feeds the three wedge-join arms below; without a persist the
+        # degree aggregation + both anti-joins re-run once per arm (same
+        # multi-arm recompute pagerank's edge persist avoids).
+        pairs = registered_persist(kept)
     e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
     e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
