@@ -85,6 +85,7 @@ _SWEEP_FIRST = [
     "graph_triangles_capped",
     "dedup_simhash_recall",
     "daily_ingest",
+    "daily_ingest_lsh",
     "curation_segment_dedup",
     # 2. changed in round 5 (oracle-interpolation fixes; PII widening;
     #    tiny-share guard; epoch quantization; persisted-signature form;

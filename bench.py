@@ -87,6 +87,7 @@ EXTENDED = [
     "graph_triangles_capped",
     "dedup_simhash_recall",
     "daily_ingest",
+    "daily_ingest_lsh",
     "curation_segment_dedup",
 ]
 

@@ -186,6 +186,77 @@ def q_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_ingest_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-parameterized form of `daily_ingest`: the dedup
+    stage is MinHash-LSH near-dup against the persisted corpus signature
+    table (`dedup.ensure_signature_table` → `incremental_kept_against` —
+    only the batch is tokenized+signed) and the routing codebook is the
+    k-means one fitted on the corpus embeddings (`_kmeans_cells`, the
+    `ann_ivf_assign` contract).  rows-only: both swapped stages are
+    xxhash/iterative and not SQL-expressible — their quality gates are
+    hash-pinned separately (`dedup_lsh_recall`, `kmeans_check`), and
+    tests/test_ingest.py pins kept(LSH) ⊆ kept(exact-digest) (identical
+    text ⇒ identical token set ⇒ Jaccard 1.0 ≥ threshold, so LSH kills
+    strictly more) plus the rollup-total consistency between both forms.
+    """
+    from pyspark_kmeans_spark.operators.dedup import (
+        ensure_signature_table,
+        incremental_kept_against,
+    )
+    from pyspark_kmeans_spark.operators.similarity import _kmeans_cells
+
+    release_persisted()
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = docs.filter(F.col("doc_id") % DAILY_BATCH_MOD == 0)
+    sigs = ensure_signature_table(spark, sf_dir)
+    kept_ids = incremental_kept_against(sigs, batch, threshold=0.9)
+    kept = registered_persist(
+        batch.select(
+            "doc_id", "lang", F.size(F.split("text", " ")).alias("_n_tok")
+        ).join(kept_ids, on="doc_id", how="left_semi")
+    )
+    corpus_emb = emb.filter(F.col("vec_id") % DAILY_BATCH_MOD != 0)
+    _, model = _kmeans_cells(corpus_emb, INGEST_N_CELLS, 1, "vec_id")
+    routed = ivf_assign(
+        emb.join(
+            kept.select(F.col("doc_id").alias("vec_id")),
+            on="vec_id",
+            how="left_semi",
+        ),
+        [c.tolist() for c in model.clusterCenters()],
+    ).select(F.col("vec_id").alias("doc_id"), "cell")
+    rollup = (
+        kept.join(routed, on="doc_id")
+        .groupBy("lang", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("batch_docs"),
+            F.sum("_n_tok").cast("bigint").alias("batch_tokens"),
+        )
+    )
+    delta = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_tok").alias("n_tokens"),
+    )
+    merged = (
+        ensure_lang_stats_table(spark, sf_dir)
+        .unionByName(delta)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs").alias("total_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+    return rollup.join(F.broadcast(merged), on="lang").select(
+        "lang",
+        "cell",
+        "batch_docs",
+        "batch_tokens",
+        "total_docs",
+        "total_tokens",
+    )
+
+
 def _ingest_oracle_sql() -> str:
     """Full exact recompute: corpus split, md5 dedup, literal-codebook
     argmin-L2 routing on unit vectors (the same left-to-right per-element
@@ -255,6 +326,7 @@ def _ingest_oracle_sql() -> str:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_ingest": q_daily_ingest,
+    "daily_ingest_lsh": q_daily_ingest_lsh,
 }
 
 ORACLES: dict[str, str] = {

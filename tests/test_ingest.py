@@ -1,0 +1,67 @@
+"""Daily-ingest flagship invariants: the relationship between the
+oracle-checked exact form and the production LSH/k-means form, plus the
+persisted-artifact contract.  (Value correctness of `daily_ingest` itself
+is oracle-pinned in test_oracle_parity.py / the driver sweep.)"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.operators.ingest import (
+    DAILY_BATCH_MOD,
+    q_daily_ingest,
+    q_daily_ingest_lsh,
+)
+
+
+def test_lsh_form_kept_subset_of_exact_form(spark, sf_dir):
+    """The LSH near-dup stage kills strictly more than the exact-digest
+    stage (identical text ⇒ identical token set ⇒ Jaccard 1.0 ≥ 0.9), so
+    per (lang, cell-independent) totals the LSH form's accepted batch is
+    a subset: batch_docs summed per lang must be ≤ the exact form's, and
+    both merge the SAME persisted corpus state."""
+    exact = (
+        q_daily_ingest(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.sum("batch_docs").alias("docs"),
+            F.first("total_docs").alias("total"),
+        )
+    )
+    lsh = (
+        q_daily_ingest_lsh(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.sum("batch_docs").alias("docs"),
+            F.first("total_docs").alias("total"),
+        )
+    )
+    e = {r["lang"]: r for r in exact.collect()}
+    l = {r["lang"]: r for r in lsh.collect()}
+    assert l, "LSH form returned no rows"
+    for lang, row in l.items():
+        assert row["docs"] <= e[lang]["docs"], lang
+        # totals = corpus state + that form's own accepted batch
+        assert row["total"] == row["docs"] + (
+            e[lang]["total"] - e[lang]["docs"]
+        ), lang
+
+
+def test_persisted_artifacts_written_once(spark, sf_dir):
+    """Both ensure_* artifacts exist on disk after a run and a second run
+    returns identical output (read-only path)."""
+    from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, bucketed_name
+
+    first = sorted(map(tuple, q_daily_ingest(spark, sf_dir).collect()))
+    for table in (
+        f"doc_digests_m{DAILY_BATCH_MOD}",
+        f"lang_stats_m{DAILY_BATCH_MOD}",
+    ):
+        path = os.path.join(
+            _WAREHOUSE, bucketed_name(table, sf_dir, n_buckets=1)
+        )
+        assert os.path.exists(os.path.join(path, "_SUCCESS")), table
+    again = sorted(map(tuple, q_daily_ingest(spark, sf_dir).collect()))
+    assert first == again
