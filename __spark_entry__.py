@@ -87,6 +87,10 @@ _SWEEP_FIRST = [
     "daily_ingest",
     "daily_ingest_lsh",
     "curation_segment_dedup",
+    "semdedup_check",
+    "bpe_check",
+    "quality_check",
+    "incremental_lsh_check",
     # 2. changed in round 5 (oracle-interpolation fixes; PII widening;
     #    tiny-share guard; epoch quantization; persisted-signature form;
     #    survivor guard)

@@ -403,6 +403,205 @@ def q_embedding_pca2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of `dedup_semantic` (rows-only: k-means cells
+    are engine-specific).  Given the engine's OWN cell assignment, the
+    kept flag is fully determined by the paper's greedy rule — a row is
+    dropped iff a smaller-id row in its cell has cosine ≥ threshold — so
+    the twin re-derives the expected drop set with an independent
+    aggregate shape (per-row bool_or instead of semantic_dedup's
+    distinct-losers anti-join) and counts disagreements.  The oracle
+    reproduces the corpus row count and expects zero mismatches, turning
+    a greedy-rule or cosine-contract regression into a red driver hash.
+
+    Plan: the within-cell pair join is the same equi-join on cell that
+    semantic_dedup itself is bounded by (n_cells is the paper's scale
+    knob); cosine uses the module's single-sourced rounded contract so
+    the rule and the audit can never diverge on ulps."""
+    from pyspark_kmeans_spark.functions.persist import (
+        registered_persist,
+        release_persisted,
+    )
+    from pyspark_kmeans_spark.operators.similarity import (
+        SEMDEDUP_THRESHOLD,
+        _cosine,
+        semantic_dedup,
+        with_unit_vectors,
+    )
+
+    release_persisted()
+    emb = _t(spark, sf_dir, "embeddings")
+    # Same working point as the registered query (coalesce: X1-style
+    # partition control for the tiny sweep corpus).
+    result = registered_persist(
+        semantic_dedup(emb.coalesce(8), SEMDEDUP_THRESHOLD)
+    )
+    vecs = with_unit_vectors(emb).select("vec_id", "vec", "norm")
+    withv = registered_persist(result.select("vec_id", "cell").join(vecs, on="vec_id"))
+    a = withv.select(
+        F.col("vec_id").alias("_ida"),
+        "cell",
+        F.col("vec").alias("pvec"),
+        F.col("norm").alias("pnorm"),
+    )
+    b = withv.select(F.col("vec_id").alias("_idb"), "cell", "vec", "norm")
+    expected_drop = (
+        a.join(b, on="cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .groupBy("_idb")
+        .agg(
+            F.max(
+                (_cosine() >= F.lit(SEMDEDUP_THRESHOLD)).cast("int")
+            ).alias("_drop")
+        )
+        .filter(F.col("_drop") == 1)
+        .select(F.col("_idb").alias("vec_id"), F.col("_drop"))
+    )
+    audited = result.join(expected_drop, on="vec_id", how="left")
+    return audited.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(
+            F.when(
+                F.col("kept") == F.col("_drop").isNull(), 0
+            ).otherwise(1)
+        ).alias("n_kept_mismatch"),
+    )
+
+
+def q_bpe_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of `bpe_merges` (rows-only: iterative,
+    data-dependent control flow).  The FIRST merge, though, is a pure
+    relational fact — the deterministic argmax (count desc, pair asc)
+    over character-pair frequencies weighted by word frequency — so the
+    oracle computes it outright: (first_left, first_right, first_count)
+    are real cross-engine values, not literals.  `n_distinct_words`
+    anchors the corpus; `merges_wellformed_ok` pins the driver-side model
+    invariants (contiguous ranks 1..N, exactly N_MERGES rows, and every
+    multi-char merge part is the product of an earlier merge — the
+    property that makes a merge list applicable at all).
+
+    The merge list is model-sized (O(N_MERGES), like k-means centers), so
+    auditing it driver-side is bounded at any corpus scale."""
+    from pyspark_kmeans_spark.functions.persist import release_persisted
+    from pyspark_kmeans_spark.operators.bpe import N_MERGES, bpe_merges
+
+    release_persisted()
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_merges(docs, n_merges=N_MERGES)
+    known: set[str] = set()
+    wellformed = len(merges) == N_MERGES and [
+        r for r, _, _, _ in merges
+    ] == list(range(1, len(merges) + 1))
+    for _, left, right, cnt in merges:
+        for part in (left, right):
+            if len(part) > 1 and part not in known:
+                wellformed = False
+        if cnt <= 0:
+            wellformed = False
+        known.add(left + right)
+    n_words = (
+        docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .select("w")
+        .distinct()
+        .count()
+    )
+    first = merges[0]
+    return spark.createDataFrame(
+        [(n_words, first[1], first[2], first[3], bool(wellformed))],
+        "n_distinct_words long, first_left string, first_right string, "
+        "first_count long, merges_wellformed_ok boolean",
+    )
+
+
+def q_incremental_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of `dedup_incremental_lsh` (rows-only:
+    xxhash64-based kept set).  Pins the PRODUCTION-ARTIFACT contract the
+    persisted path rests on: the signature-table spelling
+    (ensure_signature_table → incremental_kept_against — what the
+    registered query and the daily-ingest flagship run) keeps EXACTLY the
+    same batch docs as the self-contained LSH spelling that re-signs the
+    corpus inline.  A stale, truncated, or parameter-mismatched warehouse
+    table — the failure class write-once artifacts add — turns the driver
+    hash red instead of only a local test.  `n_batch` anchors the split
+    (the oracle recomputes it from the interpolated batch modulus).
+
+    Plan: one left join of the two kept marks onto the batch frame, one
+    aggregate — no crossJoin; cost is two batch-sized LSH probes (the
+    corpus side is read from parquet in the table path and re-signed once
+    in the self-contained path, both linear)."""
+    from pyspark_kmeans_spark.functions.persist import release_persisted
+    from pyspark_kmeans_spark.operators.dedup import (
+        INCREMENTAL_BATCH_MOD,
+        ensure_signature_table,
+        incremental_kept_against,
+        lsh_incremental_kept,
+    )
+
+    release_persisted()
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD != 0)
+    via_table = incremental_kept_against(
+        ensure_signature_table(spark, sf_dir), new, threshold=0.9
+    ).select("doc_id", F.lit(1).alias("_kt"))
+    self_contained = lsh_incremental_kept(
+        new, corpus, threshold=0.9
+    ).select("doc_id", F.lit(1).alias("_ks"))
+    audited = (
+        new.select("doc_id")
+        .join(via_table, on="doc_id", how="left")
+        .join(self_contained, on="doc_id", how="left")
+    )
+    return audited.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(
+            F.when(
+                F.coalesce(F.col("_kt"), F.lit(0))
+                == F.coalesce(F.col("_ks"), F.lit(0)),
+                0,
+            ).otherwise(1)
+        ).alias("n_kept_mismatch"),
+    )
+
+
+QUALITY_ACC_FLOOR = 0.9  # tests pin ≥0.95 at sf0.001; driver floor has margin
+
+
+def q_quality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of `quality_classifier` (rows-only: iterative
+    LBFGS fit).  The separability claim the invariant test pins — the
+    hashing-trick classifier learns the deterministic text-derived weak
+    label — becomes a driver-hashable boolean: train-set accuracy ≥ 0.9.
+    `n_docs` / `n_pos` anchor the corpus and the label itself (the oracle
+    recomputes the token-membership label in SQL, so a tokenization drift
+    between the label and the oracle's reading of it also goes red)."""
+    from pyspark_kmeans_spark.ml.quality import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    label = F.array_contains(F.split(F.lower("text"), "\\s+"), "spark")
+    model = train_quality_classifier(docs, label)
+    scored = score_quality(model, docs)
+    audited = scored.join(
+        docs.select("doc_id", label.cast("int").alias("_y")), on="doc_id"
+    )
+    return audited.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_y").cast("bigint").alias("n_pos"),
+        (
+            F.avg(
+                (F.col("predicted_label") == F.col("_y")).cast("double")
+            )
+            >= F.lit(QUALITY_ACC_FLOOR)
+        ).alias("train_accuracy_ok"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_aggs_check": q_approx_aggs_check,
     "distinct_rollup_check": q_distinct_rollup_check,
@@ -411,6 +610,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_check": q_ann_recall_check,
     "kmeans_check": q_kmeans_check,
     "embedding_pca2_exact": q_embedding_pca2_exact,
+    "semdedup_check": q_semdedup_check,
+    "bpe_check": q_bpe_check,
+    "quality_check": q_quality_check,
+    "incremental_lsh_check": q_incremental_lsh_check,
 }
 
 
@@ -458,6 +661,50 @@ ORACLES: dict[str, str] = {
         FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.t, b.t))) >= 0.9
+    """,
+    "semdedup_check": """
+        SELECT COUNT(*) AS n_vectors,
+               CAST(0 AS BIGINT) AS n_kept_mismatch
+        FROM embeddings
+    """,
+    # The first BPE merge is the argmax over word-frequency-weighted
+    # adjacent character pairs — SQL-expressible, so the oracle computes
+    # it for real (tie-break mirrors bpe.py: count desc, left asc,
+    # right asc).  Token split matches the dedup oracles' convention.
+    "bpe_check": r"""
+        WITH words AS (
+            SELECT w, COUNT(*) AS n_words
+            FROM (SELECT unnest(regexp_split_to_array(trim(text),
+                                                      '[ \t\n]+')) AS w
+                  FROM documents)
+            WHERE w <> ''
+            GROUP BY w
+        ),
+        pairs AS (
+            SELECT pr[1:1] AS left_sym, pr[2:] AS right_sym,
+                   CAST(SUM(n_words) AS BIGINT) AS pair_count
+            FROM (SELECT regexp_split_to_array(w, '') AS s, n_words
+                  FROM words),
+                 unnest([s[i] || s[i + 1]
+                         for i in range(1, len(s))]) AS t(pr)
+            GROUP BY 1, 2
+        )
+        SELECT (SELECT COUNT(*) FROM words) AS n_distinct_words,
+               left_sym AS first_left,
+               right_sym AS first_right,
+               pair_count AS first_count,
+               TRUE AS merges_wellformed_ok
+        FROM pairs
+        ORDER BY pair_count DESC, left_sym ASC, right_sym ASC
+        LIMIT 1
+    """,
+    "quality_check": r"""
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN list_contains(
+                        regexp_split_to_array(lower(text), '[ \t\n]+'),
+                        'spark') THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               TRUE AS train_accuracy_ok
+        FROM documents
     """,
     # constants interpolated from the same names the Spark side uses, so a
     # parameter change cannot silently de-sync the oracle
@@ -519,3 +766,17 @@ def _ann_recall_oracle() -> str:
 
 
 ORACLES["ann_recall_check"] = _ann_recall_oracle()
+
+
+def _incremental_lsh_check_oracle() -> str:
+    from pyspark_kmeans_spark.operators.dedup import INCREMENTAL_BATCH_MOD
+
+    return f"""
+        SELECT COUNT(*) AS n_batch,
+               CAST(0 AS BIGINT) AS n_kept_mismatch
+        FROM documents
+        WHERE doc_id % {INCREMENTAL_BATCH_MOD} = 0
+    """
+
+
+ORACLES["incremental_lsh_check"] = _incremental_lsh_check_oracle()
