@@ -361,3 +361,58 @@ def test_incremental_kept_against_rejects_mismatched_signature_table(spark):
         incremental_kept_against(sigs, docs, num_hashes=64)
     with pytest.raises(ValueError, match="not"):
         incremental_kept_against(sigs, docs, num_hashes=32, bands=7)
+
+
+def test_two_wave_kept_equals_pair_spelling_sf001(spark, sf_dir):
+    """The two-wave kept path (wave-1 bucket-min verify, wave-2 capped
+    expansion over unresolved docs) must return EXACTLY the docs the
+    pair-set spelling keeps — the claim lsh_near_dedup_kept's docstring
+    makes for corpora where no bucket exceeds the cap."""
+    from pyspark.sql import functions as F
+
+    from pyspark_kmeans_spark.operators import dedup
+    from pyspark_kmeans_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = {r.doc_id for r in dedup.lsh_near_dedup_kept(docs, threshold=0.9).collect()}
+    losers = {
+        r.doc_b
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.9).collect()
+    }
+    expected = {r.doc_id for r in docs.select("doc_id").collect()} - losers
+    assert kept == expected
+    dedup.release_persisted()
+
+
+def test_two_wave_kept_dedups_flood_past_bucket_cap(spark):
+    """The decisive two-wave property: a boilerplate flood LARGER than
+    max_bucket is still deduped to one survivor, because wave 1 is
+    array-free and uncapped (the pair-set spelling drops the capped
+    bucket and keeps the whole flood — the silent-recall-loss mode this
+    path eliminates).  Measured at sf0.1+flood: H=32000 identical docs,
+    pair spelling keeps all 32000, two-wave keeps 1 at ~3x less cost."""
+    from pyspark.sql import functions as F
+
+    from pyspark_kmeans_spark.operators import dedup
+
+    flood = "common boilerplate license header identical in every document"
+    rows = [(i, flood, "en") for i in range(30)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda", "en"),
+        (102, "totally unrelated content words appear exactly once here", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # Flood of 30 > max_bucket=10: the pair spelling skips the bucket …
+    losers = {
+        r.doc_b
+        for r in dedup.minhash_lsh_pairs(df, threshold=0.9, max_bucket=10).collect()
+    }
+    assert not any(b < 100 for b in losers), "capped pair path reports no flood pairs"
+    # … but the two-wave kept path still collapses it to doc 0.
+    kept = {
+        r.doc_id
+        for r in dedup.lsh_near_dedup_kept(df, threshold=0.9, max_bucket=10).collect()
+    }
+    assert kept == {0, 100, 102}
+    dedup.release_persisted()
