@@ -1228,8 +1228,15 @@ def incremental_kept_against(
     from cheap slice-hashes over the stored `sig` arrays, and only the
     batch pays tokenize+minhash.  Semantics are identical to
     lsh_incremental_kept (corpus always wins; between batch docs the lower
-    id wins; same bucket cap over the combined entries): output equality is
-    pinned in tests/test_dedup.py.  `num_hashes`/`seed` must match the
+    id wins) whenever no bucket exceeds `max_bucket`: output equality is
+    pinned in tests/test_dedup.py.  Verification runs in TWO WAVES (round
+    5, the lsh_near_dedup_kept shape): wave 1 pairs each batch doc with
+    only the bucket's min corpus member and min batch member — array-free
+    and UNCAPPED, so batch docs landing in boilerplate buckets larger
+    than the cap are still deduped (strictly more complete than the
+    capped expansion alone; planted-flood test) — and wave 2 runs the
+    capped grouped expansion for whatever wave 1 left unresolved.
+    `num_hashes`/`seed` must match the
     values the signature table was built with — the stored signature WIDTH
     is validated loudly below (a silent mismatch would band past the stored
     arrays' end, buckets would never collide, and every duplicate batch doc
@@ -1261,30 +1268,168 @@ def incremental_kept_against(
     ).unionByName(
         bat.select(F.col(id_col), "toks", "n", "sig", F.lit(0).alias("_is_corpus"))
     )
-    # Bucket cap over the COMBINED entries — the same degenerate-bucket
-    # guard (and the same dropped set) as the self-contained LSH spelling.
-    # Members carry the corpus flag so pair generation stays bipartite
-    # WITHOUT a join: b-side restricted to batch docs — corpus×corpus
+    def _verify_losers(candidates: DataFrame) -> DataFrame:
+        """(doc_a, doc_b) candidates → distinct losing batch ids: exact
+        size prune + Jaccard verify + the precedence rule (corpus always
+        beats a batch doc; between batch docs the lower id wins).
+
+        shuffle_hash on the a-side: the explode-derived candidate frame
+        has no usable size estimate and the corpus∪batch token side is
+        unboundedly large; never broadcast.  No hint on the batch side:
+        `bat` is the bounded daily batch (the whole point of the
+        incremental form) and its cached size estimate is real — AQE may
+        broadcast it when it actually fits."""
+        with_a = candidates.join(
+            all_sig.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("toks").alias("_ta"),
+                F.col("n").alias("_na"),
+                "_is_corpus",
+            ).hint("shuffle_hash"),
+            on="doc_a",
+        )
+        with_b = with_a.join(
+            bat.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("toks").alias("_tb"),
+                F.col("n").alias("_nb"),
+            ),
+            on="doc_b",
+        )
+        size_ok = (F.col("_na") >= F.lit(threshold) * F.col("_nb")) & (
+            F.col("_nb") >= F.lit(threshold) * F.col("_na")
+        )
+        inter = F.size(F.array_intersect("_ta", "_tb"))
+        union = F.col("_na") + F.col("_nb") - inter
+        jac = inter.cast("double") / union
+        precedence = (F.col("_is_corpus") == 1) | (
+            F.col("doc_a") < F.col("doc_b")
+        )
+        return (
+            with_b.filter(precedence)
+            .filter(size_ok)
+            .filter(jac >= threshold)
+            .select(F.col("doc_b").alias(id_col))
+            .distinct()
+        )
+
+    # Batch-adjacency prune (round 5): a bucket with no batch member can
+    # never produce a candidate, so the corpus's band entries are filtered
+    # MAP-SIDE against the batch's (band, bucket) key set before any agg.
+    # F.broadcast is justified here by construction: the key set is at
+    # most |batch|×bands rows — the bounded-daily-batch contract this
+    # whole function rests on (same argument as the unhinted verify-join
+    # batch side below).  Without the prune both waves would groupBy the
+    # ENTIRE corpus's band entries on every batch run — corpus-sized work
+    # for batch-sized output.
+    batch_buckets = band_entries_from_sig(
+        bat.select(F.col(id_col), "sig"),
+        bands=bands,
+        rows_per_band=rows_per_band,
+        id_col=id_col,
+    ).select("band", "bucket").distinct()
+    entries = band_entries_from_sig(
+        all_sig,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        id_col=id_col,
+        extra_cols=("_is_corpus",),
+    ).join(F.broadcast(batch_buckets), on=["band", "bucket"], how="left_semi")
+
+    # Wave 1 (round 5 — the two-wave shape of lsh_near_dedup_kept applied
+    # to the bipartite form): pair every batch member with just TWO bucket
+    # representatives — the minimum-id corpus member (ANY corpus match
+    # kills a batch doc, so one representative suffices as a first try)
+    # and the minimum-id batch member (killer of every later batch doc in
+    # the bucket).  Array-free partial-agg groupBy + equi-join: NO bucket
+    # cap and no per-row O(bucket) memory, so a 10^6-member boilerplate
+    # corpus bucket costs ONE candidate per batch doc instead of 10^6 —
+    # and batch docs landing in capped buckets still get deduped instead
+    # of silently kept.
+    reps = entries.groupBy("band", "bucket").agg(
+        F.min(
+            F.when(F.col("_is_corpus") == 1, F.col(id_col))
+        ).alias("_minc"),
+        F.min(
+            F.when(F.col("_is_corpus") == 0, F.col(id_col))
+        ).alias("_minb"),
+    )
+    w1 = (
+        entries.filter(F.col("_is_corpus") == 0)
+        .join(reps, on=["band", "bucket"])
+        .select(
+            F.col(id_col).alias("doc_b"),
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        F.col("_minc"),
+                        F.when(
+                            F.col("_minb") < F.col(id_col), F.col("_minb")
+                        ),
+                    )
+                )
+            ).alias("doc_a"),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    dropped1 = _persist(_verify_losers(w1))
+    dropped1.count()
+
+    # Wave 2: the capped grouped-bucket bipartite expansion over what wave
+    # 1 left unresolved.  Members carry the corpus flag so pair generation
+    # stays bipartite WITHOUT a join — the b-side is restricted to
+    # UNRESOLVED batch docs inside the member array (corpus×corpus
     # cohabitation is irrelevant to which batch docs survive, so it is
-    # never generated (the self-contained spelling generates and discards
-    # it).  Both explodes are partition-local; the groupBy inside
-    # _grouped_buckets is the only shuffle of the candidate stage.
+    # never generated); resolved docs stay on the a-side (a dropped batch
+    # doc still kills later batch ids — the rule is one-hop).  Both
+    # explodes are partition-local; the groupBy inside _grouped_buckets is
+    # the only shuffle of this candidate stage.  Only BATCH members ever
+    # read their _res flag (the b-side filter), so the resolved-tag join
+    # touches just the bounded batch frame — the 100 TB corpus side gets a
+    # literal and is never re-shuffled for tagging.  shuffle_hash:
+    # dropped1 is pair-derived (explode lineage, no usable static
+    # estimate).
+    tagged = signatures.select(
+        F.col(id_col),
+        "toks",
+        "n",
+        "sig",
+        F.lit(1).alias("_is_corpus"),
+        F.lit(0).alias("_res"),
+    ).unionByName(
+        bat.select(F.col(id_col), "toks", "n", "sig")
+        .withColumn("_is_corpus", F.lit(0))
+        .join(
+            dropped1.withColumn("_res", F.lit(1)).hint("shuffle_hash"),
+            on=id_col,
+            how="left",
+        )
+        .na.fill({"_res": 0})
+    )
     grouped = _grouped_buckets(
         band_entries_from_sig(
-            all_sig,
+            tagged,
             bands=bands,
             rows_per_band=rows_per_band,
             id_col=id_col,
-            extra_cols=("_is_corpus",),
+            extra_cols=("_is_corpus", "_res"),
+        ).join(
+            F.broadcast(batch_buckets), on=["band", "bucket"], how="left_semi"
         ),
-        F.struct(F.col(id_col).alias("_id"), F.col("_is_corpus")),
+        F.struct(
+            F.col(id_col).alias("_id"), F.col("_is_corpus"), F.col("_res")
+        ),
         max_bucket,
         "incremental_kept_against",
     )
     b_rows = grouped.select(
         "_ms",
         F.explode(
-            F.filter(F.col("_ms"), lambda m: m["_is_corpus"] == 0)
+            F.filter(
+                F.col("_ms"),
+                lambda m: (m["_is_corpus"] == 0) & (m["_res"] == 0),
+            )
         ).alias("_b"),
     )
     candidates = (
@@ -1299,45 +1444,7 @@ def incremental_kept_against(
         .select(F.col("_a")["_id"].alias("doc_a"), "doc_b")
         .distinct()
     )
-    # shuffle_hash: same rationale as minhash_lsh_pairs' verify joins —
-    # the explode-derived candidate side has no usable size estimate, and
-    # the corpus∪batch token side is unboundedly large; never broadcast.
-    with_a = candidates.join(
-        all_sig.select(
-            F.col(id_col).alias("doc_a"),
-            F.col("toks").alias("_ta"),
-            F.col("n").alias("_na"),
-            "_is_corpus",
-        ).hint("shuffle_hash"),
-        on="doc_a",
-    )
-    # No hint on the batch side: `bat` is the bounded daily batch (the
-    # whole point of the incremental form) and its cached size estimate is
-    # real — AQE may broadcast it when it actually fits.
-    with_b = with_a.join(
-        bat.select(
-            F.col(id_col).alias("doc_b"),
-            F.col("toks").alias("_tb"),
-            F.col("n").alias("_nb"),
-        ),
-        on="doc_b",
-    )
-    size_ok = (F.col("_na") >= F.lit(threshold) * F.col("_nb")) & (
-        F.col("_nb") >= F.lit(threshold) * F.col("_na")
-    )
-    inter = F.size(F.array_intersect("_ta", "_tb"))
-    union = F.col("_na") + F.col("_nb") - inter
-    jac = inter.cast("double") / union
-    # Precedence: corpus always beats a batch doc; between batch docs the
-    # lower id wins.
-    precedence = (F.col("_is_corpus") == 1) | (F.col("doc_a") < F.col("doc_b"))
-    losers = (
-        with_b.filter(precedence)
-        .filter(size_ok)
-        .filter(jac >= threshold)
-        .select(F.col("doc_b").alias(id_col))
-        .distinct()
-    )
+    losers = dropped1.unionByName(_verify_losers(candidates)).distinct()
     return new_df.join(losers, on=id_col, how="left_anti").select(id_col)
 
 

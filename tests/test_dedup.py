@@ -416,3 +416,41 @@ def test_two_wave_kept_dedups_flood_past_bucket_cap(spark):
     }
     assert kept == {0, 100, 102}
     dedup.release_persisted()
+
+
+def test_incremental_two_wave_dedups_flood_past_bucket_cap(spark):
+    """Bipartite two-wave: a batch doc that duplicates a CORPUS boilerplate
+    flood larger than max_bucket must still be dropped (wave 1 pairs it
+    with the bucket-min corpus member, uncapped), and a batch-side
+    duplicate pair must still resolve by min id — while the capped
+    expansion alone would skip the bucket and keep everything."""
+    from pyspark_kmeans_spark.operators.dedup import (
+        build_signature_table,
+        incremental_kept_against,
+        release_persisted,
+    )
+
+    flood = "common boilerplate license header identical in every document"
+    corpus = spark.createDataFrame(
+        [(i, flood) for i in range(30)]
+        + [(50, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, flood),  # dup of the capped corpus flood -> dropped (wave 1)
+            (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+            (102, flood),  # also dropped (corpus flood, and batch 100)
+            (103, "totally unrelated content words appear exactly once here"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = build_signature_table(corpus)
+    kept = {
+        r.doc_id
+        for r in incremental_kept_against(sigs, batch, max_bucket=10).collect()
+    }
+    # 100/102 die against the flood despite the capped bucket; 101 dies
+    # against corpus doc 50 (j = 10/11 >= 0.9); 103 survives.
+    assert kept == {103}
+    release_persisted()
