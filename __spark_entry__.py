@@ -99,6 +99,9 @@ _SWEEP_FIRST = [
     "epoch_plan",
     "dedup_incremental_lsh",
     "hybrid_search",
+    # 2c. changed late in round 5 (two-wave kept-set verification)
+    "dedup_lsh_kept",
+    "dedup_lsh_recall",
     # 2b. changed in round 4 but never re-recorded after the change (they
     #     sat at positions 53-54, past the 50-cap)
     "curation_vocab",

@@ -1022,7 +1022,12 @@ def lsh_near_dup_clusters(
     """The 100 TB clustering deliverable: connected components over the
     MinHash-LSH pair graph instead of the O(block²) exact graph — the whole
     pipeline (signatures → bucket join → verify → label propagation) is
-    shuffle-bound with nothing quadratic in corpus size.  Set-equality vs
+    shuffle-bound with nothing quadratic in corpus size.
+
+    This path keeps the FULL pair expansion (no two-wave shortcut):
+    component labels depend on every edge, so the kept-set trick — stop
+    verifying a doc once one killer is found — does not apply; the bucket
+    cap remains the flood guard here.  Set-equality vs
     the exact-graph clusters is pinned in tests/test_dedup.py (the LSH graph
     can only miss edges, and at threshold 0.9 / 8×8 bands recall ≈ 0.989 per
     edge; identical clusters on the testdata corpus)."""
@@ -1328,13 +1333,28 @@ def incremental_kept_against(
         rows_per_band=rows_per_band,
         id_col=id_col,
     ).select("band", "bucket").distinct()
-    entries = band_entries_from_sig(
-        all_sig,
-        bands=bands,
-        rows_per_band=rows_per_band,
-        id_col=id_col,
-        extra_cols=("_is_corpus",),
-    ).join(F.broadcast(batch_buckets), on=["band", "bucket"], how="left_semi")
+    entries = _persist(
+        band_entries_from_sig(
+            all_sig,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            id_col=id_col,
+            extra_cols=("_is_corpus",),
+        ).join(
+            F.broadcast(batch_buckets), on=["band", "bucket"], how="left_semi"
+        )
+    )
+    entries.count()
+
+    # ONE corpus-scale pass materializes the batch-adjacent slice of the
+    # signature table (the only docs any candidate can name); both verify
+    # waves join against this persisted slice, so the corpus token arrays
+    # are scanned and shuffled once per batch run — not once per wave.
+    near_ids = entries.select(F.col(id_col)).distinct()
+    all_sig = _persist(
+        all_sig.join(near_ids.hint("shuffle_hash"), on=id_col, how="left_semi")
+    )
+    all_sig.count()
 
     # Wave 1 (round 5 — the two-wave shape of lsh_near_dedup_kept applied
     # to the bipartite form): pair every batch member with just TWO bucket
@@ -1384,39 +1404,18 @@ def incremental_kept_against(
     # never generated); resolved docs stay on the a-side (a dropped batch
     # doc still kills later batch ids — the rule is one-hop).  Both
     # explodes are partition-local; the groupBy inside _grouped_buckets is
-    # the only shuffle of this candidate stage.  Only BATCH members ever
-    # read their _res flag (the b-side filter), so the resolved-tag join
-    # touches just the bounded batch frame — the 100 TB corpus side gets a
-    # literal and is never re-shuffled for tagging.  shuffle_hash:
-    # dropped1 is pair-derived (explode lineage, no usable static
-    # estimate).
-    tagged = signatures.select(
-        F.col(id_col),
-        "toks",
-        "n",
-        "sig",
-        F.lit(1).alias("_is_corpus"),
-        F.lit(0).alias("_res"),
-    ).unionByName(
-        bat.select(F.col(id_col), "toks", "n", "sig")
-        .withColumn("_is_corpus", F.lit(0))
-        .join(
-            dropped1.withColumn("_res", F.lit(1)).hint("shuffle_hash"),
-            on=id_col,
-            how="left",
-        )
-        .na.fill({"_res": 0})
-    )
+    # the only shuffle of this candidate stage.  The resolved tag joins
+    # onto the PERSISTED batch-adjacent entries (no second corpus scan;
+    # only batch members ever read their _res flag on the b-side).
+    # shuffle_hash: dropped1 is pair-derived (explode lineage, no usable
+    # static estimate).
+    entries2 = entries.join(
+        dropped1.withColumn("_res", F.lit(1)).hint("shuffle_hash"),
+        on=id_col,
+        how="left",
+    ).na.fill({"_res": 0})
     grouped = _grouped_buckets(
-        band_entries_from_sig(
-            tagged,
-            bands=bands,
-            rows_per_band=rows_per_band,
-            id_col=id_col,
-            extra_cols=("_is_corpus", "_res"),
-        ).join(
-            F.broadcast(batch_buckets), on=["band", "bucket"], how="left_semi"
-        ),
+        entries2,
         F.struct(
             F.col(id_col).alias("_id"), F.col("_is_corpus"), F.col("_res")
         ),
