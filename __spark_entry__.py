@@ -71,100 +71,67 @@ def _registries() -> list:
 # Sweep priority (the driver caps its sweep at 50 entries, so ordering
 # decides what gets validated each round).  Rebuilt every round: lead with
 # oracles the driver has NEVER hash-checked (new queries), then queries
-# whose code changed this round, then the entries least-recently recorded
-# (round-3 re-verified all of its 50; these are the other half, last green
-# in rounds 1-2); the previous round's green hash rows rotate through
-# whatever cap headroom remains.
+# whose code changed this round, then the entries least-recently recorded.
+# Round 6: the 20 stale rows last green in rounds 1-2 (VERDICT r5 "What's
+# missing" #3) all rotate in, plus the first 23 of the round-3 cohort;
+# the remaining 23 r3 rows are the round-7 rotation.
 _SWEEP_FIRST = [
-    # 0. the ONLY 2 of 152 queries with no driver hash row in any round
-    #    (positions 51-52 last round, just past the 50-entry cap; judge-run
-    #    green at sf0.01 in round 4 — this rotation makes it official)
-    "customer_rfm",
-    "forecast_revenue",
-    # 1. added in round 5 — never driver-recorded
-    "graph_triangles_capped",
-    "dedup_simhash_recall",
-    "daily_ingest",
+    # 0. added in round 6 — never driver-recorded
+    "lsh_twowave_check",
+    "daily_ingest_check",
+    # 1. changed in round 6 (persisted IVF codebook; seed-keyed signature
+    #    table name; explicit _verify_losers frame; wave ordering)
+    "ann_ivf_assign",
     "daily_ingest_lsh",
-    "curation_segment_dedup",
-    "semdedup_check",
-    "bpe_check",
-    "quality_check",
-    "incremental_lsh_check",
-    # 2. changed in round 5 (oracle-interpolation fixes; PII widening;
-    #    tiny-share guard; epoch quantization; persisted-signature form;
-    #    survivor guard)
-    "curation_funnel",
-    "mixture_weights",
-    "epoch_plan",
     "dedup_incremental_lsh",
-    "hybrid_search",
-    # 2c. changed late in round 5 (two-wave kept-set verification)
+    "incremental_lsh_check",
     "dedup_lsh_kept",
-    "dedup_lsh_recall",
-    # 2b. changed in round 4 but never re-recorded after the change (they
-    #     sat at positions 53-54, past the 50-cap)
-    "curation_vocab",
-    "training_order",
-    # 3. last recorded in rounds 1-2 (round 3 re-verified one half, round 4
-    #    the other; these are now the stalest green rows)
-    "customer_features",
-    "scan_projection",
-    "derived_age",
-    "log_features",
-    "scalar_functions",
-    "order_revenue",
-    "customer_revenue_stats",
-    "event_hit_rate",
-    "distinct_pairs",
-    "supplier_nation",
-    "left_join_fill",
-    "semi_anti_join",
-    "row_number",
-    "unpivot",
-    "distinct_priorities",
-    "running_sum",
-    "window_suite",
-    "top_customers",
-    "set_ops",
-    "pricing_summary",
-    "top_orders",
-    "region_volume",
-    "nation_trade_volume",
-    "promo_revenue_share",
-    "dedup_exact",
-    "text_chunks",
-    "text_tfidf",
-    "training_pipeline",
-    "event_funnel",
-    "event_retention",
-    "stratified_sample",
-    "count_distinct",
-    "json_extract",
-    "json_agg",
-    "asof_last_order",
-    "range_join_recent_orders",
-    "event_hourly_rollup",
-    "event_user_sessions",
-    "event_dedup",
-    "standard_scaled",
+    # 2. stale: last recorded in round 1
+    "cube_agg",
+    "deterministic_sample",
+    "multimodal_metadata",
+    "order_gap_stats",
+    "pivot_linestatus",
+    "rollup_agg",
+    "salted_agg",
+    "stats_agg",
     "text_rolling_hash",
     "top_tokens_per_lang",
-    "salted_agg",
-    "deterministic_sample",
-    "order_gap_stats",
-    "cube_agg",
-    "rollup_agg",
-    "pivot_linestatus",
-    "stats_agg",
-    "multimodal_metadata",
-    "text_token_counts",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_edit_distance",
-    "dedup_ngram_jaccard",
+    # 3. stale: last recorded in round 2
+    "asof_last_order",
+    "count_distinct",
+    "event_dedup",
+    "event_hourly_rollup",
+    "event_user_sessions",
+    "json_agg",
+    "json_extract",
+    "range_join_recent_orders",
+    "standard_scaled",
+    "stratified_sample",
+    # 4. round-3 cohort, first half (a-to-e; the rest rotate in round 7)
+    "ann_ivf_topk",
+    "ann_lsh_topk",
     "ann_topk_cosine",
+    "approx_aggs",
+    "bucketed_order_revenue",
+    "cdc_apply",
+    "collection_functions",
+    "curation_contamination",
+    "curation_dup_ngrams",
+    "curation_importance",
+    "curation_pack_sequences",
+    "curation_pii",
+    "curation_repetition",
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "dedup_incremental",
+    "dedup_jaccard_pairs",
+    "dedup_kept_docs",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "dedup_simhash",
+    "embedding_lang_norms",
 ]
 
 

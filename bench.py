@@ -57,6 +57,22 @@ HEADLINE = [
 
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+# Extended entries were single-shot through round 5 — on a host with
+# documented 18x intermittent CPU steal a single-shot number is unusable
+# against a 2x gate (round 5's driver run recorded graph_degrees at 32.4 s
+# vs 4.9 s for unchanged code).  Round 6: repeats + best/median for the
+# extended section too, so BENCH_r{N}.json is adjudicable on its own.
+REPEATS_EXT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS_EXT", "2"))
+
+
+def loadavg() -> list[float]:
+    """1/5/15-minute load averages — recorded at start and end of the run
+    so a steal-inflated number is adjudicable from the JSON alone."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [round(float(x), 2) for x in f.read().split()[:3]]
+    except OSError:
+        return []
 
 # Round-4 additions, timed single-shot in a separate section so the
 # headline series stays comparable across rounds (BASELINE.md band):
@@ -89,6 +105,11 @@ EXTENDED = [
     "daily_ingest",
     "daily_ingest_lsh",
     "curation_segment_dedup",
+    # round-6 additions: the persisted-codebook ingestion path and the two
+    # new driver-hash twins
+    "ann_ivf_assign",
+    "lsh_twowave_check",
+    "daily_ingest_check",
 ]
 
 
@@ -102,6 +123,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
+    load_start = loadavg()
 
     import __spark_entry__ as entrymod
 
@@ -132,14 +154,21 @@ def main() -> None:
         bests[name] = round(runs[0], 3)
 
     extended: dict[str, float] = {}
+    extended_best: dict[str, float] = {}
     for name in EXTENDED:
         if name not in queries:
             continue
-        t0 = time.perf_counter()
-        force(queries[name](spark, sf_dir))
-        extended[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        runs = []
+        for _ in range(REPEATS_EXT):
+            t0 = time.perf_counter()
+            force(queries[name](spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        runs.sort()
+        extended[name] = round(runs[len(runs) // 2], 3)
+        extended_best[name] = round(runs[0], 3)
 
+    load_end = loadavg()
     order = sorted(medians, key=medians.get, reverse=True)
     total = round(sum(medians.values()), 3)
     # Detail line first (best-of runs, extended single-shots).  The driver
@@ -152,8 +181,8 @@ def main() -> None:
             {
                 "metric": "headline_queries_detail",
                 "best": {n: bests[n] for n in order},
-                "extended": dict(
-                    sorted(extended.items(), key=lambda kv: -kv[1])
+                "extended_best": dict(
+                    sorted(extended_best.items(), key=lambda kv: -kv[1])
                 ),
                 "repeats": REPEATS,
             }
@@ -166,6 +195,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": {n: medians[n] for n in order},
+                "extended": dict(
+                    sorted(extended.items(), key=lambda kv: -kv[1])
+                ),
+                "repeats_extended": REPEATS_EXT,
+                "load_start": load_start,
+                "load_end": load_end,
                 "sf": float(sf),
             }
         )

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_kmeans_spark.functions.exact import decimal_sum
@@ -567,6 +567,156 @@ def q_incremental_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_twowave_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of `dedup_lsh_kept` (rows-only: xxhash64-based
+    kept set).  Pins the round-5 TWO-WAVE rewrite of the heaviest headline
+    query: the kept set from `lsh_near_dedup_kept` (wave-1 bucket-min
+    verify + wave-2 capped expansion over unresolved docs) must equal the
+    kept set derived from the pair-set spelling (`minhash_lsh_pairs`
+    losers removed) — the docstring claim for corpora where no bucket
+    exceeds the cap, previously pinned only in tests/test_dedup.py.
+    `n_docs` anchors the corpus (the oracle recomputes it); a zero
+    `n_kept_mismatch` is the driver-hashed equality.
+
+    Plan: one left join of the two kept marks onto the doc-id frame, one
+    aggregate — the incremental_lsh_check shape; cost is the two LSH
+    passes themselves (both linear band-bucket plans)."""
+    from pyspark_kmeans_spark.functions.persist import release_persisted
+    from pyspark_kmeans_spark.operators.dedup import (
+        lsh_near_dedup_kept,
+        minhash_lsh_pairs,
+    )
+
+    release_persisted()
+    docs = _t(spark, sf_dir, "documents")
+    two_wave = lsh_near_dedup_kept(docs, threshold=0.9).select(
+        "doc_id", F.lit(1).alias("_kt")
+    )
+    pair_losers = (
+        minhash_lsh_pairs(docs, threshold=0.9)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(1).alias("_lp"))
+    )
+    audited = (
+        docs.select("doc_id")
+        .join(two_wave, on="doc_id", how="left")
+        .join(pair_losers, on="doc_id", how="left")
+    )
+    # pair-spelling kept ⇔ not a loser: _kt must equal 1 - _lp everywhere.
+    return audited.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                F.coalesce(F.col("_kt"), F.lit(0))
+                == F.lit(1) - F.coalesce(F.col("_lp"), F.lit(0)),
+                0,
+            ).otherwise(1)
+        ).alias("n_kept_mismatch"),
+    )
+
+
+def q_daily_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of `daily_ingest_lsh` (rows-only: xxhash LSH +
+    iterative k-means codebook).  The production flagship's invariants —
+    previously pinned only in tests/test_ingest.py — become driver-hashed
+    counts:
+
+    - `n_batch` / `n_kept_exact` anchor the split and the exact-digest
+      dedup stage (the oracle replays both in SQL: md5 digests, corpus
+      anti-join, lowest-id-per-digest winner).
+    - `n_lsh_kept_not_in_exact` = 0: kept(LSH) ⊆ kept(exact-digest) at
+      DOC level (identical text ⇒ identical token set ⇒ Jaccard 1.0 ≥
+      threshold, so the LSH stage kills strictly more) — stronger than
+      the per-lang-sum subset the pytest pins.
+    - `n_total_mismatch` = 0: every (lang, total_docs) row the registered
+      query emits equals the persisted corpus state + that lang's
+      accepted-batch delta, recomputed independently here from the same
+      primitives (`ensure_lang_stats_table` + the kept set).
+
+    Plan: batch-sized joins plus one O(langs) merge — no corpus rescan
+    beyond the two bounded persisted reads the flagship itself makes."""
+    from pyspark_kmeans_spark.functions.persist import release_persisted
+    from pyspark_kmeans_spark.operators.dedup import (
+        ensure_signature_table,
+        incremental_kept_against,
+    )
+    from pyspark_kmeans_spark.operators.ingest import (
+        DAILY_BATCH_MOD,
+        ensure_digest_table,
+        ensure_lang_stats_table,
+        q_daily_ingest_lsh,
+    )
+
+    release_persisted()
+    # The flagship FIRST: it calls release_persisted() itself, which would
+    # otherwise drop the eager persists incremental_kept_against registers
+    # below (lineage would silently recompute them at action time).
+    emitted = q_daily_ingest_lsh(spark, sf_dir).select(
+        "lang", "total_docs", "total_tokens"
+    ).distinct()
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % DAILY_BATCH_MOD == 0)
+    # Exact-digest kept set (the daily_ingest stage-1 spelling).
+    fresh = batch.select(
+        "doc_id", "lang", F.md5("text").alias("digest")
+    ).join(ensure_digest_table(spark, sf_dir), on="digest", how="left_anti")
+    kept_exact = (
+        fresh.withColumn(
+            "_min", F.min("doc_id").over(Window.partitionBy("digest"))
+        )
+        .filter(F.col("doc_id") == F.col("_min"))
+        .select("doc_id")
+    )
+    # LSH kept set (the daily_ingest_lsh stage-1 spelling).
+    kept_lsh = incremental_kept_against(
+        ensure_signature_table(spark, sf_dir), batch, threshold=0.9
+    ).select("doc_id")
+    n_batch = batch.agg(F.count(F.lit(1)).alias("n_batch"))
+    n_kept_exact = kept_exact.agg(F.count(F.lit(1)).alias("n_kept_exact"))
+    n_subset_viol = kept_lsh.join(
+        kept_exact, on="doc_id", how="left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_lsh_kept_not_in_exact"))
+    # Independent recompute of the post-ingest per-lang totals and a
+    # zero-mismatch join against what the registered flagship emits.
+    delta = (
+        batch.join(kept_lsh, on="doc_id", how="left_semi")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        )
+    )
+    expected = (
+        ensure_lang_stats_table(spark, sf_dir)
+        .unionByName(delta)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs").alias("_ed"),
+            F.sum("n_tokens").cast("bigint").alias("_et"),
+        )
+    )
+    n_total_mismatch = (
+        emitted.join(F.broadcast(expected), on="lang", how="left")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("total_docs") == F.col("_ed"))
+                    & (F.col("total_tokens") == F.col("_et")),
+                    0,
+                ).otherwise(1)
+            ).alias("n_total_mismatch")
+        )
+    )
+    # Four 1-row aggregates — bounded crossJoins (the dedup_lsh_recall
+    # pattern).
+    return (
+        n_batch.crossJoin(n_kept_exact)
+        .crossJoin(n_subset_viol)
+        .crossJoin(n_total_mismatch)
+    )
+
+
 QUALITY_ACC_FLOOR = 0.9  # tests pin ≥0.95 at sf0.001; driver floor has margin
 
 
@@ -614,6 +764,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_check": q_bpe_check,
     "quality_check": q_quality_check,
     "incremental_lsh_check": q_incremental_lsh_check,
+    "lsh_twowave_check": q_lsh_twowave_check,
+    "daily_ingest_check": q_daily_ingest_check,
 }
 
 
@@ -780,3 +932,42 @@ def _incremental_lsh_check_oracle() -> str:
 
 
 ORACLES["incremental_lsh_check"] = _incremental_lsh_check_oracle()
+
+
+ORACLES["lsh_twowave_check"] = """
+    SELECT COUNT(*) AS n_docs,
+           CAST(0 AS BIGINT) AS n_kept_mismatch
+    FROM documents
+"""
+
+
+def _daily_ingest_check_oracle() -> str:
+    """Replays the exact-digest dedup stage in SQL (the daily_ingest
+    oracle's spelling: raw-text md5, corpus anti-join, lowest-id winner)
+    and asserts the two LSH-side invariants as literal zeros — the driver
+    hash goes red if either the anchors or the zero-mismatch booleans
+    drift."""
+    from pyspark_kmeans_spark.operators.ingest import DAILY_BATCH_MOD
+
+    return f"""
+        WITH batch AS (
+            SELECT doc_id, md5(text) AS digest FROM documents
+            WHERE doc_id % {DAILY_BATCH_MOD} = 0
+        ),
+        corpus AS (
+            SELECT DISTINCT md5(text) AS digest FROM documents
+            WHERE doc_id % {DAILY_BATCH_MOD} <> 0
+        ),
+        fresh AS (
+            SELECT b.* FROM batch b LEFT JOIN corpus c USING (digest)
+            WHERE c.digest IS NULL
+        ),
+        kept AS (SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY digest)
+        SELECT (SELECT COUNT(*) FROM batch) AS n_batch,
+               (SELECT COUNT(*) FROM kept) AS n_kept_exact,
+               CAST(0 AS BIGINT) AS n_lsh_kept_not_in_exact,
+               CAST(0 AS BIGINT) AS n_total_mismatch
+    """
+
+
+ORACLES["daily_ingest_check"] = _daily_ingest_check_oracle()

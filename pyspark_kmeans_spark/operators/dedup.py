@@ -1267,16 +1267,22 @@ def incremental_kept_against(
             new_df, num_hashes=num_hashes, seed=seed, id_col=id_col, text_col=text_col
         )
     )
-    bat.count()
+    n_batch = bat.count()
     all_sig = signatures.select(
         F.col(id_col), "toks", "n", "sig", F.lit(1).alias("_is_corpus")
     ).unionByName(
         bat.select(F.col(id_col), "toks", "n", "sig", F.lit(0).alias("_is_corpus"))
     )
-    def _verify_losers(candidates: DataFrame) -> DataFrame:
+    def _verify_losers(candidates: DataFrame, sig_side: DataFrame) -> DataFrame:
         """(doc_a, doc_b) candidates → distinct losing batch ids: exact
         size prune + Jaccard verify + the precedence rule (corpus always
         beats a batch doc; between batch docs the lower id wins).
+
+        `sig_side` is the frame the a-side token arrays come from — passed
+        EXPLICITLY (not closed over) because the caller narrows `all_sig`
+        to the batch-adjacent persisted slice after this helper is
+        defined; a closure would silently verify against whichever frame
+        the name happened to mean at call time.
 
         shuffle_hash on the a-side: the explode-derived candidate frame
         has no usable size estimate and the corpus∪batch token side is
@@ -1285,7 +1291,7 @@ def incremental_kept_against(
         incremental form) and its cached size estimate is real — AQE may
         broadcast it when it actually fits."""
         with_a = candidates.join(
-            all_sig.select(
+            sig_side.select(
                 F.col(id_col).alias("doc_a"),
                 F.col("toks").alias("_ta"),
                 F.col("n").alias("_na"),
@@ -1351,10 +1357,10 @@ def incremental_kept_against(
     # waves join against this persisted slice, so the corpus token arrays
     # are scanned and shuffled once per batch run — not once per wave.
     near_ids = entries.select(F.col(id_col)).distinct()
-    all_sig = _persist(
+    all_sig_near = _persist(
         all_sig.join(near_ids.hint("shuffle_hash"), on=id_col, how="left_semi")
     )
-    all_sig.count()
+    all_sig_near.count()
 
     # Wave 1 (round 5 — the two-wave shape of lsh_near_dedup_kept applied
     # to the bipartite form): pair every batch member with just TWO bucket
@@ -1393,8 +1399,24 @@ def incremental_kept_against(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    dropped1 = _persist(_verify_losers(w1))
-    dropped1.count()
+    dropped1 = _persist(_verify_losers(w1, all_sig_near))
+    n_dropped1 = dropped1.count()
+
+    # Wave-2 skip (round 6, VERDICT r5 item 6): both counts above are
+    # already forced eagerly, so this guard costs ZERO extra jobs.  If
+    # wave 1 dropped the ENTIRE batch — the re-ingest-of-already-seen-data
+    # case, the most common degenerate input an incremental pipeline sees
+    # — wave 2 has no unresolved b-side doc by construction and the whole
+    # grouped expansion (tag join + groupBy + explode + verify) is a
+    # provable no-op.  The weaker condition (no unresolved batch doc IN
+    # ENTRIES, though some batch docs survive outside any pruned bucket)
+    # would also suffice but needs an extra batch-sized anti-join count
+    # per run; measured A/B in PLANS.md — not worth paying on every
+    # normal batch for the same skip.
+    if n_dropped1 == n_batch:
+        return new_df.join(
+            dropped1.hint("shuffle_hash"), on=id_col, how="left_anti"
+        ).select(id_col)
 
     # Wave 2: the capped grouped-bucket bipartite expansion over what wave
     # 1 left unresolved.  Members carry the corpus flag so pair generation
@@ -1443,7 +1465,9 @@ def incremental_kept_against(
         .select(F.col("_a")["_id"].alias("doc_a"), "doc_b")
         .distinct()
     )
-    losers = dropped1.unionByName(_verify_losers(candidates)).distinct()
+    losers = dropped1.unionByName(
+        _verify_losers(candidates, all_sig_near)
+    ).distinct()
     return new_df.join(losers, on=id_col, how="left_anti").select(id_col)
 
 
@@ -1471,15 +1495,17 @@ def ensure_signature_table(
     parquet read — the ingestion-job contract: a production pipeline
     writes/appends this table at accept time, and every later batch dedup
     only READS it (same write-once-read-thereafter convention as
-    sources/sorted_layout.py's range-clustered copy).  num_hashes is part
-    of the cache name, so a parameter change rebuilds instead of silently
-    reusing a mismatched-width table."""
+    sources/sorted_layout.py's range-clustered copy).  BOTH num_hashes and
+    seed are part of the cache name, so any parameter change rebuilds
+    instead of silently reusing a mismatched table — a seed mismatch is
+    the nastier case because the width check downstream still passes while
+    buckets never collide and every duplicate batch doc is silently kept."""
     import os
 
     from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, bucketed_name
 
     name = bucketed_name(
-        f"doc_sigs_m{INCREMENTAL_BATCH_MOD}", sf_dir, n_buckets=num_hashes
+        f"doc_sigs_m{INCREMENTAL_BATCH_MOD}_s{seed}", sf_dir, n_buckets=num_hashes
     )
     path = os.path.join(_WAREHOUSE, name)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):

@@ -191,8 +191,9 @@ def q_daily_ingest_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is MinHash-LSH near-dup against the persisted corpus signature
     table (`dedup.ensure_signature_table` → `incremental_kept_against` —
     only the batch is tokenized+signed) and the routing codebook is the
-    k-means one fitted on the corpus embeddings (`_kmeans_cells`, the
-    `ann_ivf_assign` contract).  rows-only: both swapped stages are
+    PERSISTED k-means one (`similarity.ensure_codebook_table` — fitted
+    once per scale factor, the `ann_ivf_assign` contract).  rows-only:
+    both swapped stages are
     xxhash/iterative and not SQL-expressible — their quality gates are
     hash-pinned separately (`dedup_lsh_recall`, `kmeans_check`), and
     tests/test_ingest.py pins kept(LSH) ⊆ kept(exact-digest) (identical
@@ -200,10 +201,22 @@ def q_daily_ingest_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly more) plus the rollup-total consistency between both forms.
     """
     from pyspark_kmeans_spark.operators.dedup import (
+        INCREMENTAL_BATCH_MOD,
         ensure_signature_table,
         incremental_kept_against,
     )
-    from pyspark_kmeans_spark.operators.similarity import _kmeans_cells
+    from pyspark_kmeans_spark.operators.similarity import ensure_codebook_table
+
+    # The signature table covers doc_id % INCREMENTAL_BATCH_MOD != 0; the
+    # daily batch here is doc_id % DAILY_BATCH_MOD == 0.  The two splits
+    # are complementary ONLY while the moduli agree — a drift would make
+    # this flagship silently dedup against a corpus that overlaps or
+    # under-covers the batch.
+    assert DAILY_BATCH_MOD == INCREMENTAL_BATCH_MOD, (
+        f"daily_ingest_lsh: DAILY_BATCH_MOD={DAILY_BATCH_MOD} != "
+        f"INCREMENTAL_BATCH_MOD={INCREMENTAL_BATCH_MOD}; the persisted "
+        "signature table no longer matches the batch split"
+    )
 
     release_persisted()
     docs = load_table(spark, sf_dir, "documents")
@@ -216,15 +229,20 @@ def q_daily_ingest_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", F.size(F.split("text", " ")).alias("_n_tok")
         ).join(kept_ids, on="doc_id", how="left_semi")
     )
-    corpus_emb = emb.filter(F.col("vec_id") % DAILY_BATCH_MOD != 0)
-    _, model = _kmeans_cells(corpus_emb, INGEST_N_CELLS, 1, "vec_id")
+    # Routing codebook: the PERSISTED k-means centroids (fitted once per
+    # scale factor over the corpus embeddings, read thereafter — the same
+    # write-once artifact ann_ivf_assign routes against; pre-round-6 this
+    # query refit k-means over the corpus on every run).
+    codebook = ensure_codebook_table(
+        spark, sf_dir, n_cells=INGEST_N_CELLS, seed=1, batch_mod=DAILY_BATCH_MOD
+    )
     routed = ivf_assign(
         emb.join(
             kept.select(F.col("doc_id").alias("vec_id")),
             on="vec_id",
             how="left_semi",
         ),
-        [c.tolist() for c in model.clusterCenters()],
+        codebook,
     ).select(F.col("vec_id").alias("doc_id"), "cell")
     rollup = (
         kept.join(routed, on="doc_id")

@@ -398,17 +398,78 @@ def ivf_assign(
 IVF_BATCH_MOD = 5  # vec_id % 5 == 0 → 20% of vectors are the new batch
 
 
+def ensure_codebook_table(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_cells: int = 16,
+    seed: int = 1,
+    batch_mod: int = IVF_BATCH_MOD,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Write-once persisted IVF codebook: fit k-means ONCE per
+    (sf_dir, n_cells, seed, batch_mod) over the corpus split of the
+    embeddings table, persist the centroids as parquet rows, and return
+    them (ordered by cell) as plain lists on every later call.
+
+    This is the reference's own S4/S5 lesson (utils/kmeans_utils.py:107,
+    133-143: persist the fitted model once, load it for every later
+    transform) applied to the IVF codebook — before round 6 the two
+    ingestion queries (`ann_ivf_assign`, `daily_ingest_lsh`) refit
+    k-means over the CORPUS embeddings on every run, which at 100 TB
+    dwarfs the batch-sized work they exist to do.  Every parameter that
+    changes the fit is part of the cache name (the ensure_signature_table
+    contract at dedup.py: num_hashes AND seed), so a parameter change
+    rebuilds instead of silently reusing a stale codebook.
+
+    The returned centroids are exact: clusterCenters() float64 values
+    round-trip losslessly through parquet doubles, so routing against the
+    persisted codebook equals routing against the freshly-fitted one
+    (pinned in tests/test_similarity.py).  The read-back is O(n_cells)
+    rows — a codebook is model-sized by construction (√N cells for the
+    standard sizing), bounded at any corpus scale.
+
+    NOTE: the first call per parameter set runs the fit + a parquet write
+    eagerly (a construction-time job, like ensure_signature_table); later
+    calls cost one O(n_cells) parquet read.
+    """
+    import os
+
+    from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, bucketed_name
+
+    name = bucketed_name(
+        f"ivf_codebook_m{batch_mod}_s{seed}", sf_dir, n_buckets=n_cells
+    )
+    path = os.path.join(_WAREHOUSE, name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        corpus = load_table(spark, sf_dir, "embeddings").filter(
+            F.col(id_col) % batch_mod != 0
+        )
+        _, model = _kmeans_cells(corpus, n_cells, seed, id_col)
+        rows = [
+            (i, [float(v) for v in c])
+            for i, c in enumerate(model.clusterCenters())
+        ]
+        spark.createDataFrame(
+            rows, "cell int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+    stored = sorted(
+        spark.read.parquet(path).collect(), key=lambda r: r["cell"]
+    )
+    return [list(r["centroid"]) for r in stored]
+
+
 def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index-ingestion query: cells fit on the 80% corpus, the 20% batch
-    routed map-side against the persisted codebook.  rows-only (k-means
-    centroids are iterative); routing==transform consistency is pinned in
-    tests."""
+    """Index-ingestion query: the 20% batch routed map-side against the
+    PERSISTED codebook (ensure_codebook_table — fitted once per scale
+    factor over the 80% corpus, read thereafter; pre-round-6 this query
+    refit k-means over the corpus on every run).  rows-only (k-means
+    centroids are iterative); routing==transform consistency against the
+    persisted codebook is pinned in tests."""
     release_persisted()
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.filter(F.col("vec_id") % IVF_BATCH_MOD != 0)
     batch = emb.filter(F.col("vec_id") % IVF_BATCH_MOD == 0)
-    _, model = _kmeans_cells(corpus, 16, 1, "vec_id")
-    centroids = [c.tolist() for c in model.clusterCenters()]
+    centroids = ensure_codebook_table(spark, sf_dir, n_cells=16, seed=1)
     return ivf_assign(batch, centroids)
 
 

@@ -454,3 +454,46 @@ def test_incremental_two_wave_dedups_flood_past_bucket_cap(spark):
     # against corpus doc 50 (j = 10/11 >= 0.9); 103 survives.
     assert kept == {103}
     release_persisted()
+
+
+def test_incremental_wave2_skip_on_full_reingest(spark):
+    """Round-6 wave-2 skip: when wave 1 drops the ENTIRE batch (re-ingest
+    of already-seen documents — the common degenerate input), the kept set
+    is empty and identical to the unskipped semantics; partial overlap
+    must still take the wave-2 path and keep the genuinely new docs."""
+    from pyspark_kmeans_spark.operators.dedup import (
+        build_signature_table,
+        incremental_kept_against,
+        release_persisted,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "red orange yellow green blue indigo violet pink brown black"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = build_signature_table(corpus)
+    # Full re-ingest: every batch doc already in the corpus -> skip fires.
+    replay = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (101, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in incremental_kept_against(sigs, replay).collect()}
+    assert kept == set()
+    # Partial overlap: the new doc survives (wave 2 still runs).
+    mixed = spark.createDataFrame(
+        [
+            (200, "one two three four five six seven eight nine ten"),
+            (201, "fresh unseen words compose this entirely novel document"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in incremental_kept_against(sigs, mixed).collect()}
+    assert kept == {201}
+    release_persisted()

@@ -198,3 +198,49 @@ def test_svg_pointplots_are_valid_xml(tmp_path):
     # k=3: 3 clusters x 2 features = 6 data markers + 3 legend markers
     assert len(root3.findall(f"{ns}circle")) == 9
     assert len(root3.findall(f"{ns}polyline")) == 3
+
+
+def test_clustering_results_csv_golden_layout(spark, data_dir, tmp_path):
+    """S3 sink golden (VERDICT r5 stretch item 8): the byte layout of
+    clustering_results.csv is the contract the reference's downstream
+    report reads (utils/kmeans_utils.py:125-130 — header then one row per
+    (k, center), k ascending).  Pins: the exact header line, row order
+    (k ascending, cluster index 0..k-1 within each k), csv.writer float
+    formatting (repr, no padding), trailing CRLF-free lines, and BYTE
+    determinism — two runs with compat defaults produce identical files
+    (seeded k-means, driver-local writer)."""
+    cfg_kwargs = dict(
+        data_dir=data_dir,
+        k_min=2,
+        k_max=3,
+        num_partitions=4,
+    )
+    raws = []
+    for tag in ("a", "b"):
+        cfg = PipelineConfig(
+            results_path=str(tmp_path / f"results_{tag}.csv"),
+            models_dir=str(tmp_path / f"models_{tag}"),
+            **cfg_kwargs,
+        )
+        run(spark, cfg, email_transport=FakeTransport())
+        with open(cfg.results_path, "rb") as f:
+            raws.append(f.read())
+    assert raws[0] == raws[1], "clustering_results.csv is not byte-deterministic"
+
+    lines = raws[0].decode().splitlines()
+    features = list(PipelineConfig("", "", "").feature_cols)
+    assert lines[0] == ",".join(["k", "cluster", "score", *features])
+    rows = [line.split(",") for line in lines[1:]]
+    # one row per (k, center): k=2 -> 2 rows, k=3 -> 3 rows, k ascending,
+    # cluster index dense ascending within each k.
+    assert [(r[0], r[1]) for r in rows] == [
+        ("2", "0"), ("2", "1"), ("3", "0"), ("3", "1"), ("3", "2")
+    ]
+    for r in rows:
+        # score constant per k; every cell parses as a finite float and
+        # round-trips repr (csv.writer writes repr(float) exactly).
+        assert r[2] == rows[0][2] if r[0] == "2" else True
+        for cell in r[2:]:
+            v = float(cell)
+            assert v == v and abs(v) != float("inf")
+            assert repr(v) == cell

@@ -1,6 +1,28 @@
 """Plan-quality regression tests: pushdown, pruning, broadcast, partial agg,
 codegen — the physical-plan contract each operator is designed to keep at
-100 TB (SURVEY.md §4)."""
+100 TB (SURVEY.md §4).
+
+Construction-time-job contract (round 6, superseding the round-4 "plan-only
+consumers stay job-free" note in graph.py): MOST registered queries run
+zero Spark jobs at DataFrame-construction time, but the persisted-artifact
+and eager-verify families are documented exceptions —
+
+- `ensure_*` write-once warehouse artifacts (signature / digest /
+  lang-stats / codebook tables: dedup.ensure_signature_table,
+  ingest.ensure_digest_table / ensure_lang_stats_table,
+  similarity.ensure_codebook_table) pay a corpus-sized build job on the
+  FIRST call per (sf_dir, params) and a bounded read (the codebook adds an
+  O(n_cells) collect) on every later call — including plan-only ones.
+- the two-wave LSH kept paths (dedup.lsh_near_dedup_kept,
+  incremental_kept_against) eagerly persist+count their candidate frames
+  at construction, by design (the wave-2 input depends on wave-1 results).
+- similarity.hybrid_topk runs its survivor guard (a limit+count) at
+  construction so a non-selective keyword fails loudly before the
+  broadcast, not after.
+
+Plan-only consumers (this audit, .explain) therefore DO pay bounded jobs
+for those families; the audit below stays correct because the jobs are
+idempotent and the physical plan they return is the production plan."""
 
 from __future__ import annotations
 
@@ -311,6 +333,11 @@ def test_all_registered_plans_no_unbounded_cross(spark, sf_dir):
         # (checks.py: `n_exact.crossJoin(n_truth).crossJoin(n_complete)
         # .crossJoin(n_jac_hit)`) — the dedup_lsh_recall pattern.
         "dedup_simhash_recall",
+        # daily_ingest_check crosses four 1-row count aggregates
+        # (checks.py: `n_batch.crossJoin(n_kept_exact)
+        # .crossJoin(n_subset_viol).crossJoin(n_total_mismatch)`) — the
+        # same pattern.
+        "daily_ingest_check",
         # curation_lm_score crosses in the 1-row vocabulary-size scalar
         # (curation.py: `join(F.broadcast(vocab))`).
         "curation_lm_score",
