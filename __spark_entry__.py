@@ -72,66 +72,67 @@ def _registries() -> list:
 # decides what gets validated each round).  Rebuilt every round: lead with
 # oracles the driver has NEVER hash-checked (new queries), then queries
 # whose code changed this round, then the entries least-recently recorded.
-# Round 6: the 20 stale rows last green in rounds 1-2 (VERDICT r5 "What's
-# missing" #3) all rotate in, plus the first 23 of the round-3 cohort;
-# the remaining 23 r3 rows are the round-7 rotation.
+# Round 7: the 23 rows last recorded in round 3 (VERDICT r6 "What's
+# missing" #2 — the promised rotation) plus the alphabetically-first 23 of
+# the 44 rows last recorded in round 4; the remaining 21 r4 rows
+# (returned_items..zorder_cust_window) are the round-8 rotation.
 _SWEEP_FIRST = [
-    # 0. added in round 6 — never driver-recorded
+    # 0. added in round 7 — never driver-recorded
+    "codebook_check",
+    "streaming_ingest_check",
+    # 1. changed in round 7 (lsh_twowave_check gained the
+    #    n_over_cap_buckets scale-bound witness column; daily_ingest_check
+    #    gained kept_exact's forcing count)
     "lsh_twowave_check",
     "daily_ingest_check",
-    # 1. changed in round 6 (persisted IVF codebook; seed-keyed signature
-    #    table name; explicit _verify_losers frame; wave ordering)
-    "ann_ivf_assign",
-    "daily_ingest_lsh",
-    "dedup_incremental_lsh",
-    "incremental_lsh_check",
-    "dedup_lsh_kept",
-    # 2. stale: last recorded in round 1
-    "cube_agg",
-    "deterministic_sample",
-    "multimodal_metadata",
-    "order_gap_stats",
-    "pivot_linestatus",
-    "rollup_agg",
-    "salted_agg",
-    "stats_agg",
-    "text_rolling_hash",
-    "top_tokens_per_lang",
-    # 3. stale: last recorded in round 2
-    "asof_last_order",
-    "count_distinct",
-    "event_dedup",
-    "event_hourly_rollup",
-    "event_user_sessions",
-    "json_agg",
-    "json_extract",
-    "range_join_recent_orders",
-    "standard_scaled",
-    "stratified_sample",
-    # 4. round-3 cohort, first half (a-to-e; the rest rotate in round 7)
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_topk_cosine",
-    "approx_aggs",
-    "bucketed_order_revenue",
-    "cdc_apply",
-    "collection_functions",
-    "curation_contamination",
-    "curation_dup_ngrams",
-    "curation_importance",
-    "curation_pack_sequences",
-    "curation_pii",
-    "curation_repetition",
-    "dedup_clusters",
-    "dedup_clusters_lsh",
-    "dedup_incremental",
-    "dedup_jaccard_pairs",
-    "dedup_kept_docs",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_semantic",
-    "dedup_simhash",
-    "embedding_lang_norms",
+    # 2. stale: last recorded in round 3
+    "embedding_near_dups",
+    "event_resample_ffill",
+    "event_segment_rollup",
+    "event_sliding_rollup",
+    "event_view_click_join",
+    "full_outer_fill",
+    "grouping_sets",
+    "kmeans_centers",
+    "kmeans_embedding_clusters",
+    "large_orders",
+    "merge_upsert",
+    "multimodal_features",
+    "multimodal_frames",
+    "order_count_histogram",
+    "quality_classifier",
+    "snapshot_diff",
+    "source_quota_sample",
+    "text_edit_distance",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_token_counts",
+    "weighted_sample",
+    # 3. stale: last recorded in round 4 (first 23 of 44, alphabetical)
+    "ann_recall_check",
+    "approx_aggs_check",
+    "bpe_merges",
+    "char_ngram_profile",
+    "curation_lm_score",
+    "curation_tokenize",
+    "distinct_rollup_check",
+    "embedding_matryoshka",
+    "embedding_pca2_exact",
+    "embedding_pca_variance",
+    "embedding_quantize",
+    "event_anomaly",
+    "event_distinct_rollup",
+    "event_trending",
+    "graph_degrees",
+    "graph_pagerank",
+    "graph_triangles",
+    "idle_rich_customers",
+    "incremental_agg",
+    "kmeans_check",
+    "multimodal_dedup",
+    "part_supplier_counts",
+    "partitioned_month_revenue",
 ]
 
 

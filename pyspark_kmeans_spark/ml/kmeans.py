@@ -12,10 +12,14 @@ three deliberate improvements over the reference:
     scheduler pools (threads on the driver).  Off by default — at real
     scale a single fit saturates the cluster, so sequential is usually
     right; parallelism pays when k is large and the data is modest.
- 3. **Results as a DataFrame** in the reference's
-    ``clustering_results.csv`` layout (header ['k','score',*features],
-    one row per (k, center) — utils/kmeans_utils.py:123-130), writable via
-    ``df.write.csv`` instead of a driver-local csv.writer.
+ 3. **Results as a DataFrame** extending the reference's
+    ``clustering_results.csv`` layout: the reference writes header
+    ['k','score',*features] (one row per (k, center) —
+    utils/kmeans_utils.py:123-130) and has its report stage re-derive the
+    cluster index positionally; we add an explicit 'cluster' column
+    (header ['k','cluster','score',*features]) so rows are
+    self-describing, writable via ``df.write.csv`` instead of a
+    driver-local csv.writer.  Our reader accepts both shapes.
 """
 
 from __future__ import annotations

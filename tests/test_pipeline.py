@@ -202,9 +202,13 @@ def test_svg_pointplots_are_valid_xml(tmp_path):
 
 def test_clustering_results_csv_golden_layout(spark, data_dir, tmp_path):
     """S3 sink golden (VERDICT r5 stretch item 8): the byte layout of
-    clustering_results.csv is the contract the reference's downstream
-    report reads (utils/kmeans_utils.py:125-130 — header then one row per
-    (k, center), k ascending).  Pins: the exact header line, row order
+    clustering_results.csv — THIS REPO'S EXTENSION of the reference
+    format.  The reference writes 'k,score,<features>' with no cluster
+    column (utils/kmeans_utils.py:125-130 writerow(['k']+['score']+
+    features)) and its reports.py synthesizes the cluster index itself;
+    we emit the index explicitly as a 'cluster' column so the row
+    identity is self-describing (our reader handles both shapes).  Pins
+    the extended layout: the exact header line, row order
     (k ascending, cluster index 0..k-1 within each k), csv.writer float
     formatting (repr, no padding), trailing CRLF-free lines, and BYTE
     determinism — two runs with compat defaults produce identical files
@@ -236,10 +240,17 @@ def test_clustering_results_csv_golden_layout(spark, data_dir, tmp_path):
     assert [(r[0], r[1]) for r in rows] == [
         ("2", "0"), ("2", "1"), ("3", "0"), ("3", "1"), ("3", "2")
     ]
+    # score constant per k, pinned for EVERY k (the old inline
+    # conditional-expression assert was vacuously True for k=3 rows —
+    # ADVICE r6 #5).
+    by_k: dict[str, set[str]] = {}
     for r in rows:
-        # score constant per k; every cell parses as a finite float and
-        # round-trips repr (csv.writer writes repr(float) exactly).
-        assert r[2] == rows[0][2] if r[0] == "2" else True
+        by_k.setdefault(r[0], set()).add(r[2])
+    for k, scores in by_k.items():
+        assert len(scores) == 1, f"score not constant within k={k}: {scores}"
+    for r in rows:
+        # every cell parses as a finite float and round-trips repr
+        # (csv.writer writes repr(float) exactly).
         for cell in r[2:]:
             v = float(cell)
             assert v == v and abs(v) != float("inf")

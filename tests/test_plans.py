@@ -338,6 +338,10 @@ def test_all_registered_plans_no_unbounded_cross(spark, sf_dir):
         # .crossJoin(n_subset_viol).crossJoin(n_total_mismatch)`) — the
         # same pattern.
         "daily_ingest_check",
+        # lsh_twowave_check crosses the 1-row equality audit with the
+        # 1-row over-cap-bucket count (checks.py:
+        # `audit.crossJoin(over_cap)`) — the dedup_lsh_recall pattern.
+        "lsh_twowave_check",
         # curation_lm_score crosses in the 1-row vocabulary-size scalar
         # (curation.py: `join(F.broadcast(vocab))`).
         "curation_lm_score",

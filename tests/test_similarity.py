@@ -347,3 +347,37 @@ def test_registered_ingestion_queries_never_refit_codebook(
     monkeypatch.setattr(ml_kmeans, "fit_kmeans", _boom)
     assert q_ann_ivf_assign(spark, sf_dir).count() > 0
     assert q_daily_ingest_lsh(spark, sf_dir).count() > 0
+
+
+def test_codebook_check_green_on_honest_corpus_and_flags_planted_drift(
+    spark, sf_dir
+):
+    """The codebook staleness gate (VERDICT r6 item 3): on the honest
+    corpus the registered query anchors the vector count, reads the
+    16-cell persisted codebook, and reports balanced routing; embeddings
+    shifted far outside the fitted space (every unit vector collapses
+    toward 1/sqrt(d)*(1,..,1), so routing lands in ONE cell) must flip
+    `balance_ok` — the drift condition a write-once routing artifact needs
+    a canary for at 100 TB."""
+    from pyspark_kmeans_spark.operators.checks import (
+        q_codebook_check,
+        routing_balance,
+    )
+    from pyspark_kmeans_spark.operators.similarity import (
+        ensure_codebook_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_emb = emb.count()
+    row = q_codebook_check(spark, sf_dir).first()
+    assert row["n_vectors"] == n_emb
+    assert row["n_cells"] == 16
+    assert row["balance_ok"]
+
+    centroids = ensure_codebook_table(spark, sf_dir, n_cells=16, seed=1)
+    drifted = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x + F.lit(1000.0))
+    )
+    drow = routing_balance(drifted, centroids).first()
+    assert drow["n_vectors"] == n_emb
+    assert not drow["balance_ok"]
