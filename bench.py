@@ -122,6 +122,10 @@ EXTENDED = [
     "ann_ivf_assign",
     "lsh_twowave_check",
     "daily_ingest_check",
+    # round-7 additions: the codebook drift gate and the streaming
+    # ingestion-dedup loop's stream==batch gate
+    "codebook_check",
+    "streaming_ingest_check",
 ]
 
 

@@ -1,0 +1,35 @@
+"""Session-scoped memo for write-once warehouse artifact handles.
+
+The ensure_* artifacts (signature/digest/lang-stats tables, the IVF
+codebook) are write-once per parameter set, but through round 6 every
+CALL re-ran `os.path.exists` plus a read — a parquet schema discovery for
+the table handles, and for the codebook a real 16-row collect() job.
+Measured per-call cost at sf0.1: 155 ms (codebook), 83 ms (signature
+table) — pure overhead in multi-query sessions (the driver's 50-entry
+sweep calls the ingestion family repeatedly), VERDICT r6 item 5.
+
+The memo key includes the SparkSession's applicationId: a DataFrame is
+bound to the session that created it, so a fresh session (driver run,
+test run, bench run) never sees another session's handles.  Values are
+never invalidated within a session — exactly the write-once contract the
+artifacts already guarantee (no test or production path deletes a
+warehouse artifact mid-session; parameter changes change the path and
+therefore the key).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+_MEMO: dict[tuple[str, str], Any] = {}
+
+
+def memo_get(spark: SparkSession, path: str) -> Any | None:
+    return _MEMO.get((spark.sparkContext.applicationId, path))
+
+
+def memo_put(spark: SparkSession, path: str, value: Any) -> Any:
+    _MEMO[(spark.sparkContext.applicationId, path)] = value
+    return value

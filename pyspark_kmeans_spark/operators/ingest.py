@@ -82,12 +82,19 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ensure(spark: SparkSession, sf_dir: str, table: str, build) -> DataFrame:
     """Write-once-per-sf_dir materialization (the sorted_layout/signature
-    table convention); `build()` returns the frame to persist."""
+    table convention); `build()` returns the frame to persist.  The read
+    handle is memoized per session — repeated calls were paying parquet
+    schema discovery every time (VERDICT r6 item 5)."""
+    from pyspark_kmeans_spark.functions.warehouse_memo import memo_get, memo_put
+
     name = bucketed_name(table, sf_dir, n_buckets=1)
     path = os.path.join(_WAREHOUSE, name)
+    cached = memo_get(spark, path)
+    if cached is not None:
+        return cached
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build().write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    return memo_put(spark, path, spark.read.parquet(path))
 
 
 def ensure_digest_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -431,16 +431,23 @@ def ensure_codebook_table(
 
     NOTE: the first call per parameter set runs the fit + a parquet write
     eagerly (a construction-time job, like ensure_signature_table); later
-    calls cost one O(n_cells) parquet read.
+    calls in the same session return a memoized copy (the 16-row
+    collect() measured 155 ms/call at sf0.1 — VERDICT r6 item 5), and a
+    fresh session costs one O(n_cells) parquet read.
     """
     import os
 
+    from pyspark_kmeans_spark.functions.warehouse_memo import memo_get, memo_put
     from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, bucketed_name
 
     name = bucketed_name(
         f"ivf_codebook_m{batch_mod}_s{seed}", sf_dir, n_buckets=n_cells
     )
     path = os.path.join(_WAREHOUSE, name)
+    cached = memo_get(spark, path)
+    if cached is not None:
+        # fresh copies: callers must not be able to mutate the memo
+        return [list(c) for c in cached]
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         corpus = load_table(spark, sf_dir, "embeddings").filter(
             F.col(id_col) % batch_mod != 0
@@ -456,6 +463,7 @@ def ensure_codebook_table(
     stored = sorted(
         spark.read.parquet(path).collect(), key=lambda r: r["cell"]
     )
+    memo_put(spark, path, [list(r["centroid"]) for r in stored])
     return [list(r["centroid"]) for r in stored]
 
 

@@ -292,7 +292,10 @@ def test_registered_incremental_lsh_reads_persisted_table(spark):
     got = {r.doc_id for r in q_dedup_incremental_lsh(spark, sf).collect()}
     table_dir = os.path.join(
         _WAREHOUSE,
-        bucketed_name(f"doc_sigs_m{INCREMENTAL_BATCH_MOD}", sf, n_buckets=64),
+        # seed is part of the cache name since round 6 (default seed=7);
+        # the old unseeded spelling only passed while a stale pre-r6
+        # directory lingered in the warehouse.
+        bucketed_name(f"doc_sigs_m{INCREMENTAL_BATCH_MOD}_s7", sf, n_buckets=64),
     )
     assert os.path.exists(os.path.join(table_dir, "_SUCCESS"))
     docs = load_table(spark, sf, "documents")
