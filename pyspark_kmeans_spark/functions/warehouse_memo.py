@@ -14,7 +14,10 @@ test run, bench run) never sees another session's handles.  Values are
 never invalidated within a session — exactly the write-once contract the
 artifacts already guarantee (no test or production path deletes a
 warehouse artifact mid-session; parameter changes change the path and
-therefore the key).
+therefore the key) — with ONE sanctioned exception: an explicit refresh
+(`refresh_codebook_table`, the drift-remediation path `codebook_check`
+gates) rebuilds an artifact in place and calls `memo_invalidate` so the
+session sees the refitted values.
 """
 
 from __future__ import annotations
@@ -33,3 +36,7 @@ def memo_get(spark: SparkSession, path: str) -> Any | None:
 def memo_put(spark: SparkSession, path: str, value: Any) -> Any:
     _MEMO[(spark.sparkContext.applicationId, path)] = value
     return value
+
+
+def memo_invalidate(spark: SparkSession, path: str) -> None:
+    _MEMO.pop((spark.sparkContext.applicationId, path), None)

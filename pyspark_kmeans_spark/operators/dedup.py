@@ -1011,6 +1011,54 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def keep_best_kept(
+    docs: DataFrame,
+    labels: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware keeper selection over a component labelling: per
+    near-dup cluster keep the HIGHEST-quality member (text.with_quality's
+    composite score; ties break to the lowest id), plus every doc in no
+    cluster.  The production alternative to min-id-wins dedup: when a
+    boilerplate cluster mixes a clean original with mangled copies, min-id
+    keeps whichever was crawled first — quality-aware selection keeps the
+    best one, the choice an LLM-corpus pipeline actually wants.
+
+    `labels` is any (doc_id, cluster_id) component frame — the exact
+    blocked graph (near_dup_clusters ∘ jaccard_pairs, the oracle path) or
+    the LSH pair graph (lsh_near_dup_clusters, the 100 TB path) plug in
+    unchanged.  Plan: quality scoring is zero-shuffle per-row expressions;
+    keeper selection is one row_number window over (cluster_id) — cluster
+    counts are corpus-bounded and the window key is the component id, so
+    no skew beyond the component-size distribution the clustering itself
+    already bounds."""
+    from pyspark_kmeans_spark.operators.text import with_quality
+
+    scored = with_quality(docs).select(id_col, "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col(id_col).asc()
+    )
+    keepers = (
+        labels.join(scored, on=id_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col)
+    )
+    singletons = docs.select(id_col).join(labels, on=id_col, how="left_anti")
+    return singletons.unionByName(keepers)
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup with quality-aware keeper selection on the
+    exact blocked pair graph (oracle replays components via recursive CTE
+    + the text_quality score + the same ROW_NUMBER argmax)."""
+    release_persisted()
+    docs = load_table(spark, sf_dir, "documents")
+    labels = near_dup_clusters(jaccard_pairs(docs, 0.9))
+    return keep_best_kept(docs, labels)
+
+
 def lsh_near_dup_clusters(
     df: DataFrame,
     *,
@@ -1570,6 +1618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_lsh": q_dedup_clusters_lsh,
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_lsh": q_dedup_incremental_lsh,
 }
@@ -1638,6 +1687,47 @@ ORACLES: dict[str, str] = {
     "dedup_kept_docs": f"""
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT doc_b FROM ({_JACCARD_PAIRS_SQL}))
+    """,
+    # Components via the dedup_clusters recursive CTE; quality via the
+    # text_quality oracle's scoring expression (same 6-dp rounding as
+    # with_quality, so the ROW_NUMBER argmax orders identical values on
+    # both engines); keeper = best quality, ties to lowest doc_id.
+    "dedup_keep_best": f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+        e AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach(doc_id, r) AS (
+            SELECT DISTINCT a, a FROM e
+            UNION
+            SELECT e.a, reach.r FROM e JOIN reach ON reach.doc_id = e.b
+        ),
+        lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+        q AS (
+            SELECT doc_id,
+                   ROUND(
+                       LEAST(CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n]+')) AS DOUBLE) / 100, 1.0) * 0.4
+                       + (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n]')) AS DOUBLE) / length(text) * 4, 1.0)) * 0.3
+                       + LEAST(CAST(len(regexp_extract_all(text, '(^| )(the|and|of|to|a|in|is)( |$)')) AS DOUBLE)
+                             / len(regexp_split_to_array(trim(text), '[ \\t\\n]+')) * 5, 1.0) * 0.3,
+                   6) AS quality_score
+            FROM documents
+        ),
+        keepers AS (
+            SELECT doc_id FROM (
+                SELECT lab.doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY cluster_id
+                           ORDER BY quality_score DESC, lab.doc_id ASC
+                       ) AS rk
+                FROM lab JOIN q USING (doc_id)
+            ) WHERE rk = 1
+        )
+        SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM lab)
+        UNION ALL
+        SELECT doc_id FROM keepers
     """,
     # concat_ws on BOTH engines: it skips NULLs identically when a doc has
     # fewer words than the shingle width.

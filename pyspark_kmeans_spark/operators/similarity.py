@@ -467,6 +467,51 @@ def ensure_codebook_table(
     return [list(r["centroid"]) for r in stored]
 
 
+def refresh_codebook_table(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_cells: int = 16,
+    seed: int = 1,
+    batch_mod: int = IVF_BATCH_MOD,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Drift remediation for the write-once codebook: refit over the
+    CURRENT corpus split and overwrite the persisted artifact in place —
+    the action `codebook_check`'s balance gate exists to trigger.  At
+    100 TB the loop is: ingest runs `codebook_check` as a cheap canary;
+    when `balance_ok` flips, the operator schedules this refit (a full
+    k-means over the corpus — priced like the day-0 build) instead of
+    every query paying for drift forever.
+
+    Deliberately a SEPARATE entry point from ensure_codebook_table: the
+    registered ingestion queries stay zero-iterative-fit-per-run (the
+    monkeypatch-pinned property in tests/test_similarity.py) and a refit
+    only ever happens by explicit operator/check decision.  Invalidates
+    the session memo so callers in this session see the refitted values
+    immediately."""
+    import os
+    import shutil
+
+    from pyspark_kmeans_spark.functions.warehouse_memo import memo_invalidate
+    from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, bucketed_name
+
+    name = bucketed_name(
+        f"ivf_codebook_m{batch_mod}_s{seed}", sf_dir, n_buckets=n_cells
+    )
+    path = os.path.join(_WAREHOUSE, name)
+    shutil.rmtree(path, ignore_errors=True)
+    memo_invalidate(spark, path)
+    return ensure_codebook_table(
+        spark,
+        sf_dir,
+        n_cells=n_cells,
+        seed=seed,
+        batch_mod=batch_mod,
+        id_col=id_col,
+    )
+
+
 def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-ingestion query: the 20% batch routed map-side against the
     PERSISTED codebook (ensure_codebook_table — fitted once per scale

@@ -25,7 +25,12 @@ crash between sink write and checkpoint commit) comes from two decisions:
 Scale shape: state is read as a plain parquet scan (at 100 TB: a compacted
 table the ingestion service owns); only the batch is tokenized+signed; the
 candidate stage is the capped band-bucket join from the batch twin.  Nothing
-here collects to the driver.
+here collects to the driver.  `compact_signature_state` keeps the state
+listing-bound growth in check: per-batch directories below the stream's
+checkpoint merge into one snapshot (`compacted=<K>`) + incremental tail —
+the Delta/Iceberg checkpoint pattern in plain parquet, crash-safe by
+write ordering (snapshot commits before garbage collection; the reader
+never double-counts overlap).
 """
 
 from __future__ import annotations
@@ -55,22 +60,85 @@ def read_signature_state(
     spark: SparkSession, state_dir: str, *, before_batch: int | None = None
 ) -> DataFrame:
     """The corpus signature table as of a point in the batch sequence:
-    union of committed (`_SUCCESS`-marked) per-batch directories, optionally
-    restricted to batch_id < `before_batch` (replay determinism).  Missing/
-    empty state yields an empty frame with the signature schema."""
-    dirs = []
+    the newest usable compacted snapshot (`compacted=<K>` holds batches
+    0..K-1 — see compact_signature_state) plus the committed
+    (`_SUCCESS`-marked) per-batch directories above it, optionally
+    restricted to batch_id < `before_batch` (replay determinism).
+    Missing/empty state yields an empty frame with the signature schema.
+
+    Batch directories BELOW the snapshot point are ignored even if they
+    still exist — compaction deletes them only after its snapshot commits,
+    so a crash between snapshot commit and garbage collection leaves
+    overlapping dirs that must not be double-counted."""
+    snap_k, snap_dir = 0, None
+    batch_dirs: list[tuple[int, str]] = []
     if os.path.isdir(state_dir):
         for name in sorted(os.listdir(state_dir)):
-            if not name.startswith("batch_id="):
+            path = os.path.join(state_dir, name)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 continue
-            bid = int(name.split("=", 1)[1])
-            if before_batch is not None and bid >= before_batch:
-                continue
-            if os.path.exists(os.path.join(state_dir, name, "_SUCCESS")):
-                dirs.append(os.path.join(state_dir, name))
+            if name.startswith("compacted="):
+                k = int(name.split("=", 1)[1])
+                # usable iff it contains no batch the caller must not see
+                if (before_batch is None or k <= before_batch) and k > snap_k:
+                    snap_k, snap_dir = k, path
+            elif name.startswith("batch_id="):
+                batch_dirs.append((int(name.split("=", 1)[1]), path))
+    dirs = [snap_dir] if snap_dir else []
+    dirs += [
+        p
+        for bid, p in batch_dirs
+        if bid >= snap_k
+        and (before_batch is None or bid < before_batch)
+    ]
     if not dirs:
         return spark.createDataFrame([], SIG_SCHEMA)
     return spark.read.schema(SIG_SCHEMA).parquet(*dirs)
+
+
+def compact_signature_state(
+    spark: SparkSession, state_dir: str, *, up_to: int
+) -> int:
+    """Merge the per-batch signature directories with batch_id < `up_to`
+    into one `compacted=<up_to>` snapshot — the Delta/Iceberg
+    checkpoint-plus-tail pattern in plain parquet.  At 100 TB a
+    long-running ingestion stream accumulates one small directory per
+    micro-batch; reading state then unions thousands of fragments and the
+    scan becomes listing-bound.  Compaction restores one fat snapshot +
+    a short incremental tail.
+
+    Safety contract (`up_to` must be ≤ the latest CHECKPOINTED batch + 1):
+    Structured Streaming only ever replays the latest uncommitted batch,
+    so batches below the checkpoint can never replay and their per-batch
+    read boundaries are no longer needed.  Crash-safe by write ordering:
+    the snapshot is written (with Spark's own _SUCCESS marker) BEFORE the
+    source dirs are deleted, and read_signature_state ignores batch dirs
+    below a committed snapshot — a crash between commit and GC leaves
+    overlap that is never double-counted, and re-running compaction is
+    idempotent garbage collection.  Returns the number of directories
+    compacted."""
+    import shutil
+
+    victims = []
+    if os.path.isdir(state_dir):
+        for name in sorted(os.listdir(state_dir)):
+            path = os.path.join(state_dir, name)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                continue
+            if name.startswith("batch_id="):
+                if int(name.split("=", 1)[1]) < up_to:
+                    victims.append(path)
+            elif name.startswith("compacted="):
+                # an older snapshot is subsumed by the new one
+                if int(name.split("=", 1)[1]) < up_to:
+                    victims.append(path)
+    snap = os.path.join(state_dir, f"compacted={up_to}")
+    if not os.path.exists(os.path.join(snap, "_SUCCESS")):
+        merged = read_signature_state(spark, state_dir, before_batch=up_to)
+        merged.write.mode("overwrite").parquet(snap)
+    for path in victims:
+        shutil.rmtree(path, ignore_errors=True)
+    return len(victims)
 
 
 def dedup_ingest_batch(

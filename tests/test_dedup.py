@@ -500,3 +500,32 @@ def test_incremental_wave2_skip_on_full_reingest(spark):
     kept = {r.doc_id for r in incremental_kept_against(sigs, mixed).collect()}
     assert kept == {201}
     release_persisted()
+
+
+def test_keep_best_keeps_highest_quality_not_lowest_id(spark):
+    """Quality-aware keeper selection must differ from min-id-wins where
+    it matters: a 3-doc near-dup cluster (pairwise Jaccard 38/42 ≈ 0.905)
+    whose CLEANEST member has the HIGHEST id.  Docs 1/2 carry
+    punctuation-heavy unique tokens (punct_ratio penalty); doc 3's unique
+    tokens are clean stopwords — keep_best_kept keeps 3, min-id would
+    keep 1.  Doc 10 shares nothing and must survive as a singleton."""
+    from pyspark.sql import functions as F
+
+    from pyspark_kmeans_spark.operators.dedup import (
+        jaccard_pairs,
+        keep_best_kept,
+        near_dup_clusters,
+    )
+
+    shared = " ".join(f"alpha{i}" for i in range(38))
+    rows = [
+        (1, shared + " @@@@! $$$$%", "en"),
+        (2, shared + " %%%%% #####", "en"),
+        (3, shared + " the is", "en"),
+        (10, "totally unrelated content nothing shared whatsoever", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    labels = near_dup_clusters(jaccard_pairs(docs, 0.9))
+    assert {r["doc_id"] for r in labels.collect()} == {1, 2, 3}
+    kept = {r["doc_id"] for r in keep_best_kept(docs, labels).collect()}
+    assert kept == {3, 10}

@@ -381,3 +381,44 @@ def test_codebook_check_green_on_honest_corpus_and_flags_planted_drift(
     drow = routing_balance(drifted, centroids).first()
     assert drow["n_vectors"] == n_emb
     assert not drow["balance_ok"]
+
+
+def test_refresh_codebook_rebuilds_and_invalidates_session_memo(
+    spark, sf_dir
+):
+    """The monitor->refit loop: refresh_codebook_table must actually
+    rebuild the artifact AND drop the session memo, so post-refresh reads
+    see the refitted centroids.  The memo poisoning here simulates the
+    stale-cache failure mode directly: if refresh forgot to invalidate,
+    ensure would keep returning the poisoned values."""
+    from pyspark_kmeans_spark.functions import warehouse_memo
+    from pyspark_kmeans_spark.operators.similarity import (
+        ensure_codebook_table,
+        refresh_codebook_table,
+    )
+
+    honest = ensure_codebook_table(spark, sf_dir, n_cells=16, seed=1)
+    # Poison the memo entry for this artifact (prove ensure reads it),
+    # deriving the key exactly as the production code does.
+    import os
+
+    from pyspark_kmeans_spark.operators.similarity import IVF_BATCH_MOD
+    from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, bucketed_name
+
+    path = os.path.join(
+        _WAREHOUSE,
+        bucketed_name(
+            f"ivf_codebook_m{IVF_BATCH_MOD}_s1", sf_dir, n_buckets=16
+        ),
+    )
+    key = (spark.sparkContext.applicationId, path)
+    assert key in warehouse_memo._MEMO
+    warehouse_memo._MEMO[key] = [[0.0] * 64 for _ in range(16)]
+    assert ensure_codebook_table(spark, sf_dir, n_cells=16, seed=1) == [
+        [0.0] * 64 for _ in range(16)
+    ]
+    # Refresh refits over the same corpus (deterministic seed -> same
+    # centroids) and must clear the poisoned entry.
+    refreshed = refresh_codebook_table(spark, sf_dir, n_cells=16, seed=1)
+    assert refreshed == honest
+    assert ensure_codebook_table(spark, sf_dir, n_cells=16, seed=1) == honest

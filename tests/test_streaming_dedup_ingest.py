@@ -121,3 +121,64 @@ def test_stream_equals_sequential_batch_fold(spark, sf_dir, tmp_path):
         ).localCheckpoint()
 
     assert {r["doc_id"] for r in got.collect()} == expected
+
+
+def test_compaction_preserves_state_ignores_overlap_and_is_idempotent(
+    spark, tmp_path
+):
+    """compact_signature_state must (1) merge every batch dir below up_to
+    into one committed snapshot with byte-equivalent state, (2) leave
+    future-batch reads (before_batch=up_to) identical, (3) never
+    double-count a leftover batch dir below the snapshot (the
+    crash-between-commit-and-GC window), and (4) be an idempotent GC when
+    re-run."""
+    import shutil
+
+    from pyspark_kmeans_spark.streaming.dedup_ingest import (
+        compact_signature_state,
+        read_signature_state,
+    )
+
+    state, kept = str(tmp_path / "state"), str(tmp_path / "kept")
+    dedup_ingest_batch(_docs(spark, [(1, T20), (2, U20)]), 0,
+                       state_dir=state, kept_dir=kept)
+    dedup_ingest_batch(_docs(spark, [(3, V20)]), 1,
+                       state_dir=state, kept_dir=kept)
+    dedup_ingest_batch(_docs(spark, [(4, V20 + " tail")]), 2,
+                       state_dir=state, kept_dir=kept)
+
+    def rows(**kw):
+        return sorted(
+            (r["doc_id"], tuple(r["sig"]))
+            for r in read_signature_state(spark, state, **kw).collect()
+        )
+
+    before_all = rows()
+    before_replay3 = rows(before_batch=3)
+    # Keep a copy of batch 0's dir to simulate the crash-overlap window.
+    leftover_src = f"{state}/batch_id=0"
+    leftover_copy = str(tmp_path / "leftover")
+    shutil.copytree(leftover_src, leftover_copy)
+
+    n = compact_signature_state(spark, state, up_to=3)
+    assert n == 3
+    assert os.path.exists(f"{state}/compacted=3/_SUCCESS")
+    assert not os.path.exists(f"{state}/batch_id=0")
+    assert rows() == before_all
+    assert rows(before_batch=3) == before_replay3
+
+    # Crash window: snapshot committed but one victim never GC'd — the
+    # reader must ignore it (no double-counted signatures).
+    shutil.copytree(leftover_copy, leftover_src)
+    assert rows() == before_all
+    # Re-running compaction is pure garbage collection.
+    assert compact_signature_state(spark, state, up_to=3) == 1
+    assert not os.path.exists(leftover_src)
+    assert rows() == before_all
+
+    # The stream keeps working on top of a compacted state: a dup of the
+    # corpus must still be dropped, a new doc kept.
+    dedup_ingest_batch(_docs(spark, [(5, T20), (6, "brand new words only")]),
+                       3, state_dir=state, kept_dir=kept)
+    assert 5 not in _kept_ids(spark, kept)
+    assert 6 in _kept_ids(spark, kept)
