@@ -838,12 +838,21 @@ def q_streaming_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = spark.read.parquet(path).first()
         assert row is not None, f"{path} kept nothing — cannot identify slice"
         order.append(row["doc_id"] % 3)
-    # Batch-mode fold in the stream's processing order.
+    # Batch-mode fold in the stream's processing order.  Each round's
+    # kept_ids is persisted with a forcing count: the per-round
+    # localCheckpoint below executes the LSH probe once while building
+    # the next state, and the final audit aggregate would otherwise
+    # execute every probe a SECOND time through the `folded` lineage.
+    from pyspark_kmeans_spark.functions.persist import registered_persist
+
     state_df = build_signature_table(docs.limit(0))
     folded = None
     for res in order:
         batch = docs.filter(F.col("doc_id") % 3 == res)
-        kept_ids = incremental_kept_against(state_df, batch).select("doc_id")
+        kept_ids = registered_persist(
+            incremental_kept_against(state_df, batch).select("doc_id")
+        )
+        kept_ids.count()
         folded = kept_ids if folded is None else folded.unionByName(kept_ids)
         kept_docs = batch.join(kept_ids, on="doc_id", how="left_semi")
         state_df = state_df.unionByName(

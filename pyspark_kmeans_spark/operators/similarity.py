@@ -488,8 +488,16 @@ def refresh_codebook_table(
     registered ingestion queries stay zero-iterative-fit-per-run (the
     monkeypatch-pinned property in tests/test_similarity.py) and a refit
     only ever happens by explicit operator/check decision.  Invalidates
-    the session memo so callers in this session see the refitted values
-    immediately."""
+    BOTH session caches a drifted-in-place corpus can poison:
+
+    - the warehouse memo (so this session re-reads the refitted values),
+    - Spark's own CacheManager/file-index entries under `sf_dir` via
+      refreshByPath — refresh is called precisely BECAUSE the corpus
+      changed under the artifact, and a persisted frame from an earlier
+      fit (e.g. _kmeans_cells' registered_persist) matches the new fit's
+      logical plan and would silently feed it the PRE-drift data (caught
+      by the end-to-end drift test: the 'refit' reproduced the day-0
+      centroids byte-for-byte)."""
     import os
     import shutil
 
@@ -502,6 +510,7 @@ def refresh_codebook_table(
     path = os.path.join(_WAREHOUSE, name)
     shutil.rmtree(path, ignore_errors=True)
     memo_invalidate(spark, path)
+    spark.catalog.refreshByPath(sf_dir)
     return ensure_codebook_table(
         spark,
         sf_dir,
