@@ -453,12 +453,16 @@ def ensure_codebook_table(
             F.col(id_col) % batch_mod != 0
         )
         _, model = _kmeans_cells(corpus, n_cells, seed, id_col)
+        # per-cell populations (model.summary over the training data) are
+        # persisted alongside the centroids — they are the running weights
+        # update_codebook_table's mini-batch step folds new batches into.
+        sizes = list(model.summary.clusterSizes)
         rows = [
-            (i, [float(v) for v in c])
+            (i, [float(v) for v in c], int(sizes[i]))
             for i, c in enumerate(model.clusterCenters())
         ]
         spark.createDataFrame(
-            rows, "cell int, centroid array<double>"
+            rows, "cell int, centroid array<double>, n long"
         ).coalesce(1).write.mode("overwrite").parquet(path)
     stored = sorted(
         spark.read.parquet(path).collect(), key=lambda r: r["cell"]
@@ -519,6 +523,97 @@ def refresh_codebook_table(
         batch_mod=batch_mod,
         id_col=id_col,
     )
+
+
+def update_codebook_table(
+    spark: SparkSession,
+    sf_dir: str,
+    batch: DataFrame,
+    *,
+    n_cells: int = 16,
+    seed: int = 1,
+    batch_mod: int = IVF_BATCH_MOD,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Mini-batch codebook maintenance — the middle path of the lifecycle
+    ensure (day-0 fit) → codebook_check (drift canary) → THIS (cheap
+    incremental update) → refresh (full refit, the last resort).
+
+    The streaming-k-means update step: route the accepted batch against
+    the persisted centroids (map-side, zero shuffle beyond one
+    n_cells-group aggregate), then fold each cell's batch mass into its
+    running mean — c' = (n·c + Σu) / (n + m) with the per-cell population
+    n persisted at fit time and u the unit-normalized batch vectors
+    (routing space, matching _kmeans_cells).  One batch-linear pass, no
+    iteration, no corpus read: at 100 TB this runs per accepted batch at
+    the cost of the routing the ingest already does, keeping centroids
+    tracking slow drift so the expensive full refit stays rare.
+
+    Exactly-once is the CALLER's contract, as for the kept/signature
+    artifacts: apply each accepted batch once (a replayed application
+    double-weights the batch).  The per-cell math runs driver-side over
+    n_cells rows — model-sized by construction, like the codebook read
+    itself.  Raises on a pre-round-7 artifact without the `n` column
+    (refresh first).  Overwrites the artifact and invalidates the session
+    memo; returns the updated centroids (ordered by cell)."""
+    import os
+
+    from pyspark_kmeans_spark.functions.warehouse_memo import memo_invalidate
+    from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, bucketed_name
+
+    name = bucketed_name(
+        f"ivf_codebook_m{batch_mod}_s{seed}", sf_dir, n_buckets=n_cells
+    )
+    path = os.path.join(_WAREHOUSE, name)
+    ensure_codebook_table(
+        spark, sf_dir, n_cells=n_cells, seed=seed, batch_mod=batch_mod,
+        id_col=id_col,
+    )
+    stored = sorted(
+        spark.read.parquet(path).collect(), key=lambda r: r["cell"]
+    )
+    if "n" not in stored[0].asDict():
+        raise ValueError(
+            f"codebook at {path} predates per-cell populations; run "
+            "refresh_codebook_table once to upgrade the artifact"
+        )
+    centroids = [list(r["centroid"]) for r in stored]
+    counts = [int(r["n"]) for r in stored]
+    dim = len(centroids[0])
+
+    unit = F.transform("vec", lambda x: x / F.col("norm"))
+    routed = (
+        ivf_assign(batch, centroids, id_col=id_col)
+        .select(id_col, "cell")
+        .join(
+            with_unit_vectors(batch).select(id_col, unit.alias("_u")),
+            on=id_col,
+        )
+    )
+    # One n_cells-group aggregate: per-cell batch count + element-wise sum
+    # (dim bounded F.sum columns — JVM-side, no explode shuffle).
+    agg = routed.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("_m"),
+        *[F.sum(F.col("_u")[i]).alias(f"_s{i}") for i in range(dim)],
+    )
+    by_cell = {r["cell"]: r for r in agg.collect()}  # ≤ n_cells rows
+    rows = []
+    for cell, (c, n) in enumerate(zip(centroids, counts)):
+        hit = by_cell.get(cell)
+        if hit is None:
+            rows.append((cell, c, n))
+            continue
+        m = int(hit["_m"])
+        c_new = [
+            (n * c[i] + float(hit[f"_s{i}"])) / (n + m) for i in range(dim)
+        ]
+        rows.append((cell, c_new, n + m))
+    spark.createDataFrame(
+        rows, "cell int, centroid array<double>, n long"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    memo_invalidate(spark, path)
+    spark.catalog.refreshByPath(path)
+    return [r[1] for r in rows]
 
 
 def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

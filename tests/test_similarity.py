@@ -480,3 +480,88 @@ def test_drift_loop_end_to_end_check_flips_then_refresh_heals(
     # Remediation: refit over the current corpus; the check heals.
     refresh_codebook_table(spark, tmp_sf, n_cells=16, seed=1)
     assert q_codebook_check(spark, tmp_sf).first()["balance_ok"]
+
+
+def test_update_codebook_minibatch_matches_closed_form(spark, tmp_path):
+    """The mini-batch update step, pinned against a Python mirror: route
+    each batch point to its nearest persisted centroid in unit space,
+    fold c' = (n*c + sum_u)/(n + m) per cell, leave untouched cells
+    byte-identical and increment per-cell populations — then the memo
+    invalidation must make ensure_* return the UPDATED centroids."""
+    import math
+    import os
+
+    from pyspark_kmeans_spark.operators.similarity import (
+        ensure_codebook_table,
+        update_codebook_table,
+    )
+    from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, bucketed_name
+
+    tmp_sf = str(tmp_path / "mb_sf")
+    os.makedirs(tmp_sf)
+    # Two tight clusters around e0 and e1; corpus split (vec_id % 5 != 0)
+    # covers both; the batch (vec_id % 5 == 0) sits near cluster e0.
+    rows = []
+    for i in range(1, 9):
+        rows.append((i if i % 5 else i + 100, [1.0, 0.05 * i, 0.0, 0.0], 0))
+    for i in range(1, 9):
+        rows.append(
+            (200 + (i if i % 5 else i + 50), [0.05 * i, 1.0, 0.0, 0.0], 1)
+        )
+    rows += [(5, [1.0, 0.3, 0.0, 0.0], 0), (10, [1.0, 0.4, 0.0, 0.0], 0)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.write.parquet(f"{tmp_sf}/embeddings.parquet")
+
+    before = ensure_codebook_table(spark, tmp_sf, n_cells=2, seed=1)
+    path = os.path.join(
+        _WAREHOUSE, bucketed_name("ivf_codebook_m5_s1", tmp_sf, n_buckets=2)
+    )
+    stored = sorted(
+        spark.read.parquet(path).collect(), key=lambda r: r["cell"]
+    )
+    counts = [int(r["n"]) for r in stored]
+    assert sum(counts) == 14  # fit split size
+
+    batch_rows = [r for r in rows if r[0] % 5 == 0]
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = update_codebook_table(spark, tmp_sf, batch, n_cells=2, seed=1)
+
+    # Python mirror.  Batch values live as float32 in Spark (the
+    # embedding column type) before the double-math unit division — the
+    # mirror must round-trip through float32 too or 0.3-style values
+    # diverge at the 1e-8 level.
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    def unit(v):
+        nrm = math.sqrt(sum(x * x for x in v))
+        return [x / nrm for x in v]
+
+    folds = {c: [0, [0.0] * 4] for c in range(2)}
+    for _, v, _lbl in batch_rows:
+        u = unit([f32(x) for x in v])
+        cell = min(
+            range(2),
+            key=lambda c: sum((u[i] - before[c][i]) ** 2 for i in range(4)),
+        )
+        folds[cell][0] += 1
+        folds[cell][1] = [a + b for a, b in zip(folds[cell][1], u)]
+    for c in range(2):
+        m, s = folds[c]
+        n = counts[c]
+        want = (
+            before[c]
+            if m == 0
+            else [(n * before[c][i] + s[i]) / (n + m) for i in range(4)]
+        )
+        assert all(abs(g - w) < 1e-9 for g, w in zip(got[c], want)), c
+    # Populations advanced by the batch size; ensure() sees the update.
+    after = sorted(spark.read.parquet(path).collect(), key=lambda r: r["cell"])
+    assert sum(int(r["n"]) for r in after) == 14 + len(batch_rows)
+    assert ensure_codebook_table(spark, tmp_sf, n_cells=2, seed=1) == got
