@@ -129,8 +129,19 @@ def compact_signature_state(
                 if int(name.split("=", 1)[1]) < up_to:
                     victims.append(path)
             elif name.startswith("compacted="):
-                # an older snapshot is subsumed by the new one
-                if int(name.split("=", 1)[1]) < up_to:
+                k = int(name.split("=", 1)[1])
+                if k > up_to:
+                    # Backwards compaction: batch dirs below k are already
+                    # gone, so a smaller snapshot would silently miss them
+                    # and mid-range readers would lose data.  Compaction
+                    # points must be monotone (they track the stream's
+                    # checkpoint, which only advances).
+                    raise ValueError(
+                        f"compaction point {up_to} is below the existing "
+                        f"snapshot compacted={k}; compaction is monotone"
+                    )
+                if k < up_to:
+                    # an older snapshot is subsumed by the new one
                     victims.append(path)
     snap = os.path.join(state_dir, f"compacted={up_to}")
     if not os.path.exists(os.path.join(snap, "_SUCCESS")):

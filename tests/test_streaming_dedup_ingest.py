@@ -182,3 +182,23 @@ def test_compaction_preserves_state_ignores_overlap_and_is_idempotent(
                        3, state_dir=state, kept_dir=kept)
     assert 5 not in _kept_ids(spark, kept)
     assert 6 in _kept_ids(spark, kept)
+
+
+def test_compaction_is_monotone(spark, tmp_path):
+    """A compaction point below an existing snapshot must raise: the batch
+    dirs it would need are already garbage-collected, so the smaller
+    snapshot would silently lose data for mid-range readers."""
+    import pytest as _pytest
+
+    from pyspark_kmeans_spark.streaming.dedup_ingest import (
+        compact_signature_state,
+    )
+
+    state, kept = str(tmp_path / "state"), str(tmp_path / "kept")
+    dedup_ingest_batch(_docs(spark, [(1, T20)]), 0,
+                       state_dir=state, kept_dir=kept)
+    dedup_ingest_batch(_docs(spark, [(2, U20)]), 1,
+                       state_dir=state, kept_dir=kept)
+    compact_signature_state(spark, state, up_to=2)
+    with _pytest.raises(ValueError, match="monotone"):
+        compact_signature_state(spark, state, up_to=1)
