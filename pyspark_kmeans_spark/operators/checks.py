@@ -829,7 +829,14 @@ def q_streaming_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept_dir=kept_dir,
         checkpoint_dir=os.path.join(root, "ckpt"),
     )
-    stream.awaitTermination(600)
+    # A timed-out stream must fail LOUDLY: proceeding with however many
+    # batches committed would read as a stream!=batch semantic mismatch
+    # (or crash on an empty kept dir) instead of the timeout it is.
+    if not stream.awaitTermination(600):
+        stream.stop()
+        raise RuntimeError(
+            "streaming_ingest_check: stream did not finish within 600 s"
+        )
 
     # Recover each micro-batch's residue class (slices are disjoint, so
     # any single kept id identifies its slice) — one 1-row read per batch.
@@ -872,7 +879,7 @@ def q_streaming_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             how="left",
         )
     )
-    return audited.agg(
+    result = audited.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.lit(len(order)).alias("n_batches"),
         F.sum(
@@ -883,6 +890,14 @@ def q_streaming_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(1)
         ).alias("n_kept_mismatch"),
     )
+    # Materialize the 1-row audit eagerly so the scratch tree (a full
+    # corpus copy per session: slices, state, kept, checkpoint) can be
+    # reclaimed HERE instead of leaking one tree per session into /tmp —
+    # the returned plan must not depend on the deleted files.
+    rows = result.collect()
+    schema = result.schema
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 # Max/mean cell-occupancy ratio above which the persisted IVF codebook is

@@ -352,6 +352,7 @@ def ivf_assign(
     centroids: list[list[float]],
     *,
     id_col: str = "vec_id",
+    emit_unit: bool = False,
 ) -> DataFrame:
     """Incremental IVF index maintenance: route a NEW batch of vectors to
     their nearest persisted centroid — the ingestion path of an ANN index
@@ -365,7 +366,10 @@ def ivf_assign(
     Routing happens in UNIT space to match `_kmeans_cells`; the returned
     `cell` agrees exactly with what `model.transform` would assign
     (argmin L2 over the same centroids — pinned in
-    tests/test_similarity.py)."""
+    tests/test_similarity.py).  `emit_unit=True` additionally returns the
+    unit vector as `unit_vec` so consumers that need both (the mini-batch
+    codebook update) stay single-scan instead of re-normalizing and
+    joining back."""
     p = with_unit_vectors(batch).select(
         F.col(id_col),
         F.transform("vec", lambda x: x / F.col("norm")).alias("_uvec"),
@@ -388,11 +392,14 @@ def ivf_assign(
         ]
     )
     best = F.element_at(F.array_sort(dists), 1)
-    return p.select(
-        id_col,
+    cols = [
+        F.col(id_col),
         best["cell"].alias("cell"),
         F.round(F.sqrt(best["d"]), 6).alias("l2_to_centroid"),
-    )
+    ]
+    if emit_unit:
+        cols.append(F.col("_uvec").alias("unit_vec"))
+    return p.select(*cols)
 
 
 IVF_BATCH_MOD = 5  # vec_id % 5 == 0 → 20% of vectors are the new batch
@@ -444,10 +451,25 @@ def ensure_codebook_table(
         f"ivf_codebook_m{batch_mod}_s{seed}", sf_dir, n_buckets=n_cells
     )
     path = os.path.join(_WAREHOUSE, name)
+    marker = os.path.join(path, "_SUCCESS")
+
+    def _stamp() -> float | None:
+        try:
+            return os.path.getmtime(marker)
+        except OSError:
+            return None
+
     cached = memo_get(spark, path)
     if cached is not None:
-        # fresh copies: callers must not be able to mutate the memo
-        return [list(c) for c in cached]
+        stamp, centroids_hit = cached
+        # Cross-process refresh visibility: another application's
+        # refresh/update rewrites the artifact in place; memo_invalidate
+        # only reaches THIS process, so a memo hit re-validates against
+        # the _SUCCESS mtime (one local stat — no Spark job).  A changed
+        # or missing marker falls through to a fresh read.
+        if stamp == _stamp():
+            # fresh copies: callers must not be able to mutate the memo
+            return [list(c) for c in centroids_hit]
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         corpus = load_table(spark, sf_dir, "embeddings").filter(
             F.col(id_col) % batch_mod != 0
@@ -467,7 +489,7 @@ def ensure_codebook_table(
     stored = sorted(
         spark.read.parquet(path).collect(), key=lambda r: r["cell"]
     )
-    memo_put(spark, path, [list(r["centroid"]) for r in stored])
+    memo_put(spark, path, (_stamp(), [list(r["centroid"]) for r in stored]))
     return [list(r["centroid"]) for r in stored]
 
 
@@ -581,20 +603,14 @@ def update_codebook_table(
     counts = [int(r["n"]) for r in stored]
     dim = len(centroids[0])
 
-    unit = F.transform("vec", lambda x: x / F.col("norm"))
-    routed = (
-        ivf_assign(batch, centroids, id_col=id_col)
-        .select(id_col, "cell")
-        .join(
-            with_unit_vectors(batch).select(id_col, unit.alias("_u")),
-            on=id_col,
-        )
-    )
-    # One n_cells-group aggregate: per-cell batch count + element-wise sum
-    # (dim bounded F.sum columns — JVM-side, no explode shuffle).
+    routed = ivf_assign(batch, centroids, id_col=id_col, emit_unit=True)
+    # One n_cells-group aggregate over the SINGLE routing scan (emit_unit
+    # carries the unit vector out of ivf_assign, so there is no second
+    # normalization pass and no join): per-cell batch count + element-wise
+    # sum (dim bounded F.sum columns — JVM-side, no explode shuffle).
     agg = routed.groupBy("cell").agg(
         F.count(F.lit(1)).alias("_m"),
-        *[F.sum(F.col("_u")[i]).alias(f"_s{i}") for i in range(dim)],
+        *[F.sum(F.col("unit_vec")[i]).alias(f"_s{i}") for i in range(dim)],
     )
     by_cell = {r["cell"]: r for r in agg.collect()}  # ≤ n_cells rows
     rows = []

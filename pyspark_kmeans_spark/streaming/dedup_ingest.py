@@ -120,16 +120,20 @@ def compact_signature_state(
     import shutil
 
     victims = []
+    covered_through = 0  # batches 0..covered_through-1 are committed
     if os.path.isdir(state_dir):
         for name in sorted(os.listdir(state_dir)):
             path = os.path.join(state_dir, name)
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 continue
             if name.startswith("batch_id="):
-                if int(name.split("=", 1)[1]) < up_to:
+                bid = int(name.split("=", 1)[1])
+                covered_through = max(covered_through, bid + 1)
+                if bid < up_to:
                     victims.append(path)
             elif name.startswith("compacted="):
                 k = int(name.split("=", 1)[1])
+                covered_through = max(covered_through, k)
                 if k > up_to:
                     # Backwards compaction: batch dirs below k are already
                     # gone, so a smaller snapshot would silently miss them
@@ -143,6 +147,16 @@ def compact_signature_state(
                 if k < up_to:
                     # an older snapshot is subsumed by the new one
                     victims.append(path)
+    if up_to > covered_through:
+        # A snapshot claiming batches that never committed would hide
+        # every later real batch from full-state reads (the tail filter
+        # is bid >= snapshot point) and make mid-range replay reads skip
+        # the snapshot entirely — permanent silent data loss either way.
+        raise ValueError(
+            f"compaction point {up_to} exceeds the committed state "
+            f"(batches 0..{covered_through - 1}); pass a point at most "
+            "one past the last checkpointed batch"
+        )
     snap = os.path.join(state_dir, f"compacted={up_to}")
     if not os.path.exists(os.path.join(snap, "_SUCCESS")):
         merged = read_signature_state(spark, state_dir, before_batch=up_to)

@@ -413,7 +413,8 @@ def test_refresh_codebook_rebuilds_and_invalidates_session_memo(
     )
     key = (spark.sparkContext.applicationId, path)
     assert key in warehouse_memo._MEMO
-    warehouse_memo._MEMO[key] = [[0.0] * 64 for _ in range(16)]
+    stamp, _ = warehouse_memo._MEMO[key]
+    warehouse_memo._MEMO[key] = (stamp, [[0.0] * 64 for _ in range(16)])
     assert ensure_codebook_table(spark, sf_dir, n_cells=16, seed=1) == [
         [0.0] * 64 for _ in range(16)
     ]

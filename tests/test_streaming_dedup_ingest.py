@@ -202,3 +202,24 @@ def test_compaction_is_monotone(spark, tmp_path):
     compact_signature_state(spark, state, up_to=2)
     with _pytest.raises(ValueError, match="monotone"):
         compact_signature_state(spark, state, up_to=1)
+
+
+def test_compaction_rejects_point_beyond_committed_state(spark, tmp_path):
+    """An up_to past the last committed batch+1 would write a snapshot
+    claiming batches that never existed — later real batches fall below
+    the snapshot point and vanish from full-state reads.  Refuse loudly."""
+    import pytest as _pytest
+
+    from pyspark_kmeans_spark.streaming.dedup_ingest import (
+        compact_signature_state,
+    )
+
+    state, kept = str(tmp_path / "state"), str(tmp_path / "kept")
+    dedup_ingest_batch(_docs(spark, [(1, T20)]), 0,
+                       state_dir=state, kept_dir=kept)
+    dedup_ingest_batch(_docs(spark, [(2, U20)]), 1,
+                       state_dir=state, kept_dir=kept)
+    with _pytest.raises(ValueError, match="exceeds the committed state"):
+        compact_signature_state(spark, state, up_to=10)
+    # The exact boundary (last batch + 1) is legal.
+    assert compact_signature_state(spark, state, up_to=2) == 2
