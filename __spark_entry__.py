@@ -74,13 +74,14 @@ def _registries() -> list:
 # whose code changed this round, then the entries least-recently recorded.
 # Round 7: the 23 rows last recorded in round 3 (VERDICT r6 "What's
 # missing" #2 — the promised rotation) plus the alphabetically-first 23 of
-# the 44 rows last recorded in round 4; the remaining 22 r4 rows
-# (partitioned_month_revenue..zorder_cust_window) are the round-8 rotation.
+# the 44 rows last recorded in round 4; the remaining 23 r4 rows
+# (part_supplier_counts..zorder_cust_window) are the round-8 rotation.
 _SWEEP_FIRST = [
     # 0. added in round 7 — never driver-recorded
     "codebook_check",
     "streaming_ingest_check",
     "dedup_keep_best",
+    "keep_best_lsh_check",
     # 1. changed in round 7 (lsh_twowave_check gained the
     #    n_over_cap_buckets scale-bound witness column; daily_ingest_check
     #    gained kept_exact's forcing count)
@@ -132,7 +133,6 @@ _SWEEP_FIRST = [
     "incremental_agg",
     "kmeans_check",
     "multimodal_dedup",
-    "part_supplier_counts",
 ]
 
 

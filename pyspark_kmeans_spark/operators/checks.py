@@ -770,6 +770,55 @@ def q_daily_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_keep_best_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hash gate linking the quality-aware keeper's SCALE path to
+    its oracle path: the keeper set from the LSH component graph
+    (`lsh_near_dup_clusters` ∘ `keep_best_kept`) must be a SUBSET of the
+    keeper set from the exact blocked graph (the `dedup_keep_best`
+    registered query, fully oracle-checked).
+
+    Why subset and not equality: LSH sees strictly MORE true edges than
+    the lang-blocked exact graph (cross-lang duplicates), so it can only
+    MERGE exact clusters — and a merged cluster's quality-argmax is
+    always one of the merged exact clusters' own keepers (each exact
+    loser is dominated by its own cluster's keeper, which is present in
+    the merged set; swallowed exact singletons were exact-kept too).  The
+    containment can only break if LSH MISSES an exact edge and splits a
+    cluster, promoting an exact loser — per-edge recall ≈0.989 makes this
+    the regression this gate exists to catch (zero misses on the
+    testdata corpus, pinned by tests/test_dedup.py's cluster-containment
+    test; this makes it a driver row).
+
+    Plan: both sides are the linear clustering pipelines this module
+    already ships plus two bounded window argmaxes; the audit is one
+    left-anti join and two 1-row aggregates (bounded crossJoin, the
+    dedup_lsh_recall pattern)."""
+    from pyspark_kmeans_spark.functions.persist import release_persisted
+    from pyspark_kmeans_spark.operators.dedup import (
+        jaccard_pairs,
+        keep_best_kept,
+        lsh_near_dup_clusters,
+        near_dup_clusters,
+    )
+
+    release_persisted()
+    docs = _t(spark, sf_dir, "documents")
+    kept_exact = keep_best_kept(
+        docs, near_dup_clusters(jaccard_pairs(docs, 0.9))
+    )
+    kept_lsh = keep_best_kept(
+        docs,
+        lsh_near_dup_clusters(docs, threshold=0.9).select(
+            "doc_id", "cluster_id"
+        ),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    viol = kept_lsh.join(kept_exact, on="doc_id", how="left_anti").agg(
+        F.count(F.lit(1)).alias("n_lsh_kept_not_in_exact")
+    )
+    return n_docs.crossJoin(viol)
+
+
 def q_streaming_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-hash gate for the streaming ingestion-dedup loop
     (streaming/dedup_ingest.py — previously the only module with no
@@ -1016,6 +1065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_ingest_check": q_daily_ingest_check,
     "codebook_check": q_codebook_check,
     "streaming_ingest_check": q_streaming_ingest_check,
+    "keep_best_lsh_check": q_keep_best_lsh_check,
 }
 
 
@@ -1249,6 +1299,17 @@ ORACLES["codebook_check"] = """
            16 AS n_cells,
            TRUE AS balance_ok
     FROM embeddings
+"""
+
+
+# SCALE BOUND: n_lsh_kept_not_in_exact = 0 rests on LSH missing no exact
+# edge (per-edge recall ≈0.989; zero misses on this corpus) — see
+# q_keep_best_lsh_check's docstring for why merges cannot break the
+# subset, only splits can.
+ORACLES["keep_best_lsh_check"] = """
+    SELECT COUNT(*) AS n_docs,
+           CAST(0 AS BIGINT) AS n_lsh_kept_not_in_exact
+    FROM documents
 """
 
 
