@@ -73,8 +73,9 @@ def _registries() -> list:
 # oracles the driver has NEVER hash-checked (new queries), then queries
 # whose code changed this round, then the entries least-recently recorded.
 # Round 7: the 23 rows last recorded in round 3 (VERDICT r6 "What's
-# missing" #2 — the promised rotation) plus the alphabetically-first 23 of
-# the 44 rows last recorded in round 4; the remaining 23 r4 rows
+# missing" #2 — the promised rotation) plus the alphabetically-first 21 of
+# the 44 rows last recorded in round 4 (two slots went to round-7-new
+# queries instead); the remaining 23 r4 rows
 # (part_supplier_counts..zorder_cust_window) are the round-8 rotation.
 _SWEEP_FIRST = [
     # 0. added in round 7 — never driver-recorded
@@ -111,7 +112,7 @@ _SWEEP_FIRST = [
     "text_quality",
     "text_token_counts",
     "weighted_sample",
-    # 3. stale: last recorded in round 4 (first 23 of 44, alphabetical)
+    # 3. stale: last recorded in round 4 (first 21 of 44, alphabetical)
     "ann_recall_check",
     "approx_aggs_check",
     "bpe_merges",

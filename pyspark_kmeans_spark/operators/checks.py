@@ -801,6 +801,12 @@ def q_keep_best_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_clusters,
     )
 
+    from pyspark_kmeans_spark.operators.dedup import (
+        _sig_col,
+        band_entries_from_sig,
+        hashed_tokens_col,
+    )
+
     release_persisted()
     docs = _t(spark, sf_dir, "documents")
     kept_exact = keep_best_kept(
@@ -812,11 +818,33 @@ def q_keep_best_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "cluster_id"
         ),
     )
+    # The lsh_twowave_check witness pattern: a second miss source besides
+    # banding recall is the 5000-member bucket cap dropping a hot
+    # bucket's edges — emit the over-cap count (same params as
+    # lsh_near_dup_clusters' pair stage: 64 hashes, 8 bands, seed 7) so a
+    # red row on a flooded corpus is attributable to the documented cap.
+    over_cap = (
+        band_entries_from_sig(
+            docs.select(
+                "doc_id",
+                _sig_col(
+                    hashed_tokens_col("text"), num_hashes=64, seed=7
+                ).alias("sig"),
+            ),
+            bands=8,
+            rows_per_band=8,
+            id_col="doc_id",
+        )
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_b"))
+        .filter(F.col("_b") > 5000)
+        .agg(F.count(F.lit(1)).alias("n_over_cap_buckets"))
+    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     viol = kept_lsh.join(kept_exact, on="doc_id", how="left_anti").agg(
         F.count(F.lit(1)).alias("n_lsh_kept_not_in_exact")
     )
-    return n_docs.crossJoin(viol)
+    return n_docs.crossJoin(viol).crossJoin(over_cap)
 
 
 def q_streaming_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -863,90 +891,94 @@ def q_streaming_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"streaming_ingest_check_{sf_tag}_{spark.sparkContext.applicationId}",
     )
     shutil.rmtree(root, ignore_errors=True)
-    input_dir = os.path.join(root, "in")
-    os.makedirs(input_dir)
-    for i in range(3):
-        stage = os.path.join(root, f"stage{i}")
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(stage)
-        part = glob.glob(f"{stage}/part-*.parquet")[0]
-        shutil.move(part, f"{input_dir}/batch{i}.parquet")
-    kept_dir = os.path.join(root, "kept")
-    stream = dedup_ingest_stream(
-        spark,
-        input_dir,
-        state_dir=os.path.join(root, "state"),
-        kept_dir=kept_dir,
-        checkpoint_dir=os.path.join(root, "ckpt"),
-    )
-    # A timed-out stream must fail LOUDLY: proceeding with however many
-    # batches committed would read as a stream!=batch semantic mismatch
-    # (or crash on an empty kept dir) instead of the timeout it is.
-    if not stream.awaitTermination(600):
-        stream.stop()
-        raise RuntimeError(
-            "streaming_ingest_check: stream did not finish within 600 s"
+    try:
+        input_dir = os.path.join(root, "in")
+        os.makedirs(input_dir)
+        for i in range(3):
+            stage = os.path.join(root, f"stage{i}")
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(stage)
+            part = glob.glob(f"{stage}/part-*.parquet")[0]
+            shutil.move(part, f"{input_dir}/batch{i}.parquet")
+        kept_dir = os.path.join(root, "kept")
+        stream = dedup_ingest_stream(
+            spark,
+            input_dir,
+            state_dir=os.path.join(root, "state"),
+            kept_dir=kept_dir,
+            checkpoint_dir=os.path.join(root, "ckpt"),
         )
+        # A timed-out stream must fail LOUDLY: proceeding with however many
+        # batches committed would read as a stream!=batch semantic mismatch
+        # (or crash on an empty kept dir) instead of the timeout it is.
+        if not stream.awaitTermination(600):
+            stream.stop()
+            raise RuntimeError(
+                "streaming_ingest_check: stream did not finish within 600 s"
+            )
 
-    # Recover each micro-batch's residue class (slices are disjoint, so
-    # any single kept id identifies its slice) — one 1-row read per batch.
-    order = []
-    for path in sorted(glob.glob(f"{kept_dir}/batch_id=*")):
-        row = spark.read.parquet(path).first()
-        assert row is not None, f"{path} kept nothing — cannot identify slice"
-        order.append(row["doc_id"] % 3)
-    # Batch-mode fold in the stream's processing order.  Each round's
-    # kept_ids is persisted with a forcing count: the per-round
-    # localCheckpoint below executes the LSH probe once while building
-    # the next state, and the final audit aggregate would otherwise
-    # execute every probe a SECOND time through the `folded` lineage.
-    from pyspark_kmeans_spark.functions.persist import registered_persist
+        # Recover each micro-batch's residue class (slices are disjoint, so
+        # any single kept id identifies its slice) — one 1-row read per batch.
+        order = []
+        for path in sorted(glob.glob(f"{kept_dir}/batch_id=*")):
+            row = spark.read.parquet(path).first()
+            assert row is not None, f"{path} kept nothing — cannot identify slice"
+            order.append(row["doc_id"] % 3)
+        # Batch-mode fold in the stream's processing order.  Each round's
+        # kept_ids is persisted with a forcing count: the per-round
+        # localCheckpoint below executes the LSH probe once while building
+        # the next state, and the final audit aggregate would otherwise
+        # execute every probe a SECOND time through the `folded` lineage.
+        from pyspark_kmeans_spark.functions.persist import registered_persist
 
-    state_df = build_signature_table(docs.limit(0))
-    folded = None
-    for res in order:
-        batch = docs.filter(F.col("doc_id") % 3 == res)
-        kept_ids = registered_persist(
-            incremental_kept_against(state_df, batch).select("doc_id")
+        state_df = build_signature_table(docs.limit(0))
+        folded = None
+        for res in order:
+            batch = docs.filter(F.col("doc_id") % 3 == res)
+            kept_ids = registered_persist(
+                incremental_kept_against(state_df, batch).select("doc_id")
+            )
+            kept_ids.count()
+            folded = kept_ids if folded is None else folded.unionByName(kept_ids)
+            kept_docs = batch.join(kept_ids, on="doc_id", how="left_semi")
+            state_df = state_df.unionByName(
+                build_signature_table(kept_docs)
+            ).localCheckpoint()
+
+        streamed = (
+            spark.read.parquet(f"{kept_dir}/batch_id=*")
+            .select("doc_id", F.lit(1).alias("_ks"))
         )
-        kept_ids.count()
-        folded = kept_ids if folded is None else folded.unionByName(kept_ids)
-        kept_docs = batch.join(kept_ids, on="doc_id", how="left_semi")
-        state_df = state_df.unionByName(
-            build_signature_table(kept_docs)
-        ).localCheckpoint()
-
-    streamed = (
-        spark.read.parquet(f"{kept_dir}/batch_id=*")
-        .select("doc_id", F.lit(1).alias("_ks"))
-    )
-    audited = (
-        docs.select("doc_id")
-        .join(streamed, on="doc_id", how="left")
-        .join(
-            folded.select("doc_id", F.lit(1).alias("_kb")),
-            on="doc_id",
-            how="left",
+        audited = (
+            docs.select("doc_id")
+            .join(streamed, on="doc_id", how="left")
+            .join(
+                folded.select("doc_id", F.lit(1).alias("_kb")),
+                on="doc_id",
+                how="left",
+            )
         )
-    )
-    result = audited.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.lit(len(order)).alias("n_batches"),
-        F.sum(
-            F.when(
-                F.coalesce(F.col("_ks"), F.lit(0))
-                == F.coalesce(F.col("_kb"), F.lit(0)),
-                0,
-            ).otherwise(1)
-        ).alias("n_kept_mismatch"),
-    )
-    # Materialize the 1-row audit eagerly so the scratch tree (a full
-    # corpus copy per session: slices, state, kept, checkpoint) can be
-    # reclaimed HERE instead of leaking one tree per session into /tmp —
-    # the returned plan must not depend on the deleted files.
-    rows = result.collect()
-    schema = result.schema
-    shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+        result = audited.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.lit(len(order)).alias("n_batches"),
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("_ks"), F.lit(0))
+                    == F.coalesce(F.col("_kb"), F.lit(0)),
+                    0,
+                ).otherwise(1)
+            ).alias("n_kept_mismatch"),
+        )
+        # Materialize the 1-row audit eagerly: the returned plan must
+        # not depend on the scratch files the finally below deletes.
+        rows = result.collect()
+        schema = result.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        # Reclaim the scratch tree (a full corpus copy per session:
+        # slices, state, kept, checkpoint) on EVERY path — a stream
+        # timeout or fold failure must not leak one tree per session
+        # into /tmp.
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # Max/mean cell-occupancy ratio above which the persisted IVF codebook is
@@ -1303,12 +1335,16 @@ ORACLES["codebook_check"] = """
 
 
 # SCALE BOUND: n_lsh_kept_not_in_exact = 0 rests on LSH missing no exact
-# edge (per-edge recall ≈0.989; zero misses on this corpus) — see
-# q_keep_best_lsh_check's docstring for why merges cannot break the
-# subset, only splits can.
+# edge — per-edge banding recall ≈0.989 (zero misses on this corpus) AND
+# no (band, bucket) group past the 5000-member cap (a dropped hot bucket
+# also deletes edges); n_over_cap_buckets = 0 pins the second
+# precondition explicitly, so a red row on a boilerplate-flooded corpus
+# is attributable to the documented cap.  See q_keep_best_lsh_check's
+# docstring for why merges cannot break the subset, only splits can.
 ORACLES["keep_best_lsh_check"] = """
     SELECT COUNT(*) AS n_docs,
-           CAST(0 AS BIGINT) AS n_lsh_kept_not_in_exact
+           CAST(0 AS BIGINT) AS n_lsh_kept_not_in_exact,
+           CAST(0 AS BIGINT) AS n_over_cap_buckets
     FROM documents
 """
 

@@ -466,8 +466,9 @@ def ensure_codebook_table(
         # refresh/update rewrites the artifact in place; memo_invalidate
         # only reaches THIS process, so a memo hit re-validates against
         # the _SUCCESS mtime (one local stat — no Spark job).  A changed
-        # or missing marker falls through to a fresh read.
-        if stamp == _stamp():
+        # or missing marker falls through to a fresh read; a None stamp
+        # (marker absent at memo time) never matches.
+        if stamp is not None and stamp == _stamp():
             # fresh copies: callers must not be able to mutate the memo
             return [list(c) for c in centroids_hit]
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -486,10 +487,18 @@ def ensure_codebook_table(
         spark.createDataFrame(
             rows, "cell int, centroid array<double>, n long"
         ).coalesce(1).write.mode("overwrite").parquet(path)
+    # Stamp BEFORE the read: if another process rewrites the artifact
+    # between the read and a stamp-after, the memo would pair the NEW
+    # mtime with the OLD centroids and the staleness check could never
+    # fire again.  Stamping first makes that race converge: the rewrite
+    # bumps the mtime past the stored stamp, so the next call re-reads.
+    stamp_before = _stamp()
     stored = sorted(
         spark.read.parquet(path).collect(), key=lambda r: r["cell"]
     )
-    memo_put(spark, path, (_stamp(), [list(r["centroid"]) for r in stored]))
+    memo_put(
+        spark, path, (stamp_before, [list(r["centroid"]) for r in stored])
+    )
     return [list(r["centroid"]) for r in stored]
 
 
@@ -587,10 +596,14 @@ def update_codebook_table(
         f"ivf_codebook_m{batch_mod}_s{seed}", sf_dir, n_buckets=n_cells
     )
     path = os.path.join(_WAREHOUSE, name)
-    ensure_codebook_table(
-        spark, sf_dir, n_cells=n_cells, seed=seed, batch_mod=batch_mod,
-        id_col=id_col,
-    )
+    # Build only if absent — ensure() would also COLLECT the centroids,
+    # and the single read below already yields them with the counts (one
+    # O(n_cells) job per update, not two).
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ensure_codebook_table(
+            spark, sf_dir, n_cells=n_cells, seed=seed, batch_mod=batch_mod,
+            id_col=id_col,
+        )
     stored = sorted(
         spark.read.parquet(path).collect(), key=lambda r: r["cell"]
     )

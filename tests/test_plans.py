@@ -342,8 +342,9 @@ def test_all_registered_plans_no_unbounded_cross(spark, sf_dir):
         # 1-row over-cap-bucket count (checks.py:
         # `audit.crossJoin(over_cap)`) — the dedup_lsh_recall pattern.
         "lsh_twowave_check",
-        # keep_best_lsh_check crosses two 1-row count aggregates
-        # (checks.py: `n_docs.crossJoin(viol)`) — the same pattern.
+        # keep_best_lsh_check crosses three 1-row count aggregates
+        # (checks.py: `n_docs.crossJoin(viol).crossJoin(over_cap)`) —
+        # the same pattern.
         "keep_best_lsh_check",
         # curation_lm_score crosses in the 1-row vocabulary-size scalar
         # (curation.py: `join(F.broadcast(vocab))`).
