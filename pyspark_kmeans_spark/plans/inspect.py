@@ -103,3 +103,39 @@ def assert_whole_stage_codegen(df: DataFrame) -> None:
     assert "WholeStageCodegen" in plan or re.search(r"\*\(\d+\)", plan), (
         f"no whole-stage codegen span:\n{plan}"
     )
+
+
+# Operator classes whose COUNT in a query's physical plan is the shape
+# contract plan_signature pins: join strategies (a broadcast silently
+# degrading to sort-merge is a 100 TB regression), exchange kinds (every
+# extra shuffle is a full network pass of the data), and scan count
+# (an accidental double read of a fact table).
+_SIGNATURE_OPS = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "BroadcastExchange",
+    "Exchange hashpartitioning",
+    "Exchange rangepartitioning",
+    "Exchange SinglePartition",
+    "Scan parquet",
+    "Window",
+)
+
+
+def plan_signature(df: DataFrame) -> dict[str, int]:
+    """Shape signature of the SIMPLE physical plan: occurrence count of
+    each operator class in `_SIGNATURE_OPS` (zero-count keys omitted).
+    Deterministic for fixed code + fixed input files; used by the
+    plan-golden regression test."""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+    sig = {}
+    for op in _SIGNATURE_OPS:
+        n = plan.count(op)
+        if n:
+            sig[op] = n
+    return sig
