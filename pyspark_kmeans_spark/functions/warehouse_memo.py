@@ -34,7 +34,16 @@ def memo_get(spark: SparkSession, path: str) -> Any | None:
 
 
 def memo_put(spark: SparkSession, path: str, value: Any) -> Any:
-    _MEMO[(spark.sparkContext.applicationId, path)] = value
+    app = spark.sparkContext.applicationId
+    # Evict dead sessions' entries: a long-lived process (pytest run,
+    # notebook host) cycles SparkSessions, and a stopped session's
+    # DataFrame handles would otherwise pin its JVM references forever
+    # (ADVICE r7 #5).  One applicationId is live per process at a time
+    # (getOrCreate semantics; newSession() shares the id), so keeping
+    # only the current app's keys is exact, not heuristic.
+    for key in [k for k in _MEMO if k[0] != app]:
+        del _MEMO[key]
+    _MEMO[(app, path)] = value
     return value
 
 

@@ -33,6 +33,47 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _over_cap_witness(docs: DataFrame) -> DataFrame:
+    """1-row `n_over_cap_buckets`: how many (band, bucket) groups exceed
+    the LSH bucket cap under the DEFAULT banding.  The scale-bound witness
+    for every zero pinned conditionally on "no bucket past the cap"
+    (lsh_twowave_check, keep_best_lsh_check): a red hash with a nonzero
+    count here is the documented flood bound firing, not a regression.
+    Parameters come from operators/dedup.py's shared constants — the same
+    names the pair stages default to — so witness and pair stage cannot
+    diverge (ADVICE r7 #3).  Cost: one signature+banding pass and a
+    groupBy count over bucket keys; no pair expansion."""
+    from pyspark_kmeans_spark.operators.dedup import (
+        LSH_BANDS,
+        LSH_BUCKET_CAP,
+        LSH_NUM_HASHES,
+        LSH_SEED,
+        _sig_col,
+        band_entries_from_sig,
+        hashed_tokens_col,
+    )
+
+    return (
+        band_entries_from_sig(
+            docs.select(
+                "doc_id",
+                _sig_col(
+                    hashed_tokens_col("text"),
+                    num_hashes=LSH_NUM_HASHES,
+                    seed=LSH_SEED,
+                ).alias("sig"),
+            ),
+            bands=LSH_BANDS,
+            rows_per_band=LSH_NUM_HASHES // LSH_BANDS,
+            id_col="doc_id",
+        )
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_b"))
+        .filter(F.col("_b") > LSH_BUCKET_CAP)
+        .agg(F.count(F.lit(1)).alias("n_over_cap_buckets"))
+    )
+
+
 def q_approx_aggs_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checkable twin of `approx_aggs` (rows-only): per return flag,
     the exact distinct/median plus booleans asserting the sketch estimates
@@ -595,32 +636,13 @@ def q_lsh_twowave_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     over-cap count."""
     from pyspark_kmeans_spark.functions.persist import release_persisted
     from pyspark_kmeans_spark.operators.dedup import (
-        _sig_col,
-        band_entries_from_sig,
-        hashed_tokens_col,
         lsh_near_dedup_kept,
         minhash_lsh_pairs,
     )
 
     release_persisted()
     docs = _t(spark, sf_dir, "documents")
-    over_cap = (
-        band_entries_from_sig(
-            docs.select(
-                "doc_id",
-                _sig_col(
-                    hashed_tokens_col("text"), num_hashes=64, seed=7
-                ).alias("sig"),
-            ),
-            bands=8,
-            rows_per_band=8,
-            id_col="doc_id",
-        )
-        .groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_b"))
-        .filter(F.col("_b") > 5000)
-        .agg(F.count(F.lit(1)).alias("n_over_cap_buckets"))
-    )
+    over_cap = _over_cap_witness(docs)
     two_wave = lsh_near_dedup_kept(docs, threshold=0.9).select(
         "doc_id", F.lit(1).alias("_kt")
     )
@@ -801,12 +823,6 @@ def q_keep_best_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_clusters,
     )
 
-    from pyspark_kmeans_spark.operators.dedup import (
-        _sig_col,
-        band_entries_from_sig,
-        hashed_tokens_col,
-    )
-
     release_persisted()
     docs = _t(spark, sf_dir, "documents")
     kept_exact = keep_best_kept(
@@ -819,27 +835,11 @@ def q_keep_best_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # The lsh_twowave_check witness pattern: a second miss source besides
-    # banding recall is the 5000-member bucket cap dropping a hot
-    # bucket's edges — emit the over-cap count (same params as
-    # lsh_near_dup_clusters' pair stage: 64 hashes, 8 bands, seed 7) so a
-    # red row on a flooded corpus is attributable to the documented cap.
-    over_cap = (
-        band_entries_from_sig(
-            docs.select(
-                "doc_id",
-                _sig_col(
-                    hashed_tokens_col("text"), num_hashes=64, seed=7
-                ).alias("sig"),
-            ),
-            bands=8,
-            rows_per_band=8,
-            id_col="doc_id",
-        )
-        .groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_b"))
-        .filter(F.col("_b") > 5000)
-        .agg(F.count(F.lit(1)).alias("n_over_cap_buckets"))
-    )
+    # banding recall is the bucket cap dropping a hot bucket's edges —
+    # emit the over-cap count (shared-constant params, identical to
+    # lsh_near_dup_clusters' pair stage) so a red row on a flooded corpus
+    # is attributable to the documented cap.
+    over_cap = _over_cap_witness(docs)
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     viol = kept_lsh.join(kept_exact, on="doc_id", how="left_anti").agg(
         F.count(F.lit(1)).alias("n_lsh_kept_not_in_exact")
@@ -917,12 +917,26 @@ def q_streaming_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         # Recover each micro-batch's residue class (slices are disjoint, so
-        # any single kept id identifies its slice) — one 1-row read per batch.
-        order = []
-        for path in sorted(glob.glob(f"{kept_dir}/batch_id=*")):
+        # any single kept id identifies its slice) — one 1-row read per
+        # batch.  Tolerant of a zero-kept batch (a legitimate outcome if a
+        # residue slice is entirely duplicates of earlier state — ADVICE
+        # r7 #1): empties resolve by elimination against the known full
+        # residue set, in batch order.  A zero-kept batch contributes no
+        # signatures to state, so order among empties cannot change the
+        # fold — and if the assignment were ever wrong anyway, the
+        # n_kept_mismatch audit below goes red instead of this aborting.
+        # Dirs sort by int(batch_id), not lexicographically (batch 10
+        # must not land between 1 and 2).
+        batch_paths = sorted(
+            glob.glob(f"{kept_dir}/batch_id=*"),
+            key=lambda p: int(p.rsplit("=", 1)[1]),
+        )
+        order: list[int | None] = []
+        for path in batch_paths:
             row = spark.read.parquet(path).first()
-            assert row is not None, f"{path} kept nothing — cannot identify slice"
-            order.append(row["doc_id"] % 3)
+            order.append(None if row is None else row["doc_id"] % 3)
+        unseen = [r for r in range(3) if r not in order]
+        order = [r if r is not None else unseen.pop(0) for r in order]
         # Batch-mode fold in the stream's processing order.  Each round's
         # kept_ids is persisted with a forcing count: the per-round
         # localCheckpoint below executes the LSH probe once while building
@@ -988,6 +1002,16 @@ def q_streaming_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test's shape) reads n_cells (=16).  8.0 sits well clear of both.
 IVF_SKEW_LIMIT = 8.0
 
+# RELATIVE drift gate (VERDICT r7 missing #4): the absolute limit only
+# catches severe collapse — a codebook whose fit-time ratio was 1.3 can
+# degrade to 6.5 (5× worse probe cost) and still pass 8.0.  The artifact
+# records its per-cell training populations, so the check also gates
+# current ratio ≤ 3× the FIT-TIME ratio.  Honest value ≈ 1.0 at every
+# tested sf (the routed corpus is the fit split plus the 20% batch, so
+# current ≈ fit); 3.0 leaves noise margin while firing long before the
+# absolute gate when the fit was well balanced.
+IVF_REL_DRIFT_LIMIT = 3.0
+
 
 def q_codebook_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staleness/drift gate for the write-once IVF codebook (VERDICT r6
@@ -1010,25 +1034,42 @@ def q_codebook_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - `balance_ok`: max cell occupancy ≤ IVF_SKEW_LIMIT × mean occupancy
       (mean over ALL n_cells, so vanished cells count against balance).
       A planted drift (embeddings shifted far outside the fitted space
-      collapse into one cell) flips it — pinned in tests/test_checks.py.
+      collapse into one cell) flips it — pinned in tests/test_similarity.py.
+    - `balance_vs_fit_ok`: current ratio ≤ IVF_REL_DRIFT_LIMIT × the
+      FIT-TIME ratio derived from the artifact's persisted per-cell
+      populations — catches moderate degradation the absolute gate
+      misses (a planted 1.0→5.5 drift passes 8.0 and flips this; pinned
+      in tests/test_similarity.py).
 
     Plan: one map-side routing pass (broadcast 16-row codebook inside a
     literal array expression — no join, no shuffle beyond the 16-group
     aggregate), O(n_cells) driver read for the codebook.  Batch-linear at
     any corpus scale; at 100 TB this runs as the ingest job's cheap
-    canary and its boolean decides when to pay for a refit."""
+    canary and its booleans decide when to pay for a refit."""
     from pyspark_kmeans_spark.operators.similarity import (
-        ensure_codebook_table,
+        ensure_codebook_stats,
     )
 
-    centroids = ensure_codebook_table(spark, sf_dir, n_cells=16, seed=1)
-    return routing_balance(_t(spark, sf_dir, "embeddings"), centroids)
+    centroids, fit_counts = ensure_codebook_stats(
+        spark, sf_dir, n_cells=16, seed=1
+    )
+    return routing_balance(
+        _t(spark, sf_dir, "embeddings"), centroids, fit_counts=fit_counts
+    )
 
 
-def routing_balance(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """(n_vectors, n_cells, balance_ok) for `emb` routed against a fixed
-    codebook — the q_codebook_check body, factored so the planted-drift
-    test runs the exact production aggregate over shifted embeddings."""
+def routing_balance(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    *,
+    fit_counts: list[int] | None = None,
+) -> DataFrame:
+    """(n_vectors, n_cells, balance_ok[, balance_vs_fit_ok]) for `emb`
+    routed against a fixed codebook — the q_codebook_check body, factored
+    so the planted-drift tests run the exact production aggregate over
+    shifted embeddings.  `fit_counts` (the artifact's per-cell training
+    populations) enables the relative gate; its max/mean ratio is a
+    Python scalar — n_cells numbers, model-sized by construction."""
     from pyspark_kmeans_spark.operators.similarity import ivf_assign
 
     n_cells = len(centroids)
@@ -1037,13 +1078,22 @@ def routing_balance(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
-    return occ.agg(
+    cols = [
         F.sum("_n").cast("bigint").alias("n_vectors"),
         F.lit(n_cells).alias("n_cells"),
         (
             F.max("_n") * n_cells <= F.lit(IVF_SKEW_LIMIT) * F.sum("_n")
         ).alias("balance_ok"),
-    )
+    ]
+    if fit_counts is not None:
+        fit_ratio = max(fit_counts) * len(fit_counts) / sum(fit_counts)
+        cols.append(
+            (
+                F.max("_n") * n_cells
+                <= F.lit(IVF_REL_DRIFT_LIMIT * fit_ratio) * F.sum("_n")
+            ).alias("balance_vs_fit_ok")
+        )
+    return occ.agg(*cols)
 
 
 QUALITY_ACC_FLOOR = 0.9  # tests pin ≥0.95 at sf0.001; driver floor has margin
@@ -1323,13 +1373,17 @@ ORACLES["daily_ingest_check"] = _daily_ingest_check_oracle()
 
 
 # balance_ok = TRUE rests on IVF_SKEW_LIMIT (see q_codebook_check: honest
-# skew 2.82 at sf0.01 / 1.29 at sf0.1 vs limit 8.0) — a red hash here
-# means the persisted codebook no longer balances the corpus (the drift
-# condition the check exists to surface), not a pipeline defect.
+# skew 2.82 at sf0.01 / 1.29 at sf0.1 vs limit 8.0); balance_vs_fit_ok =
+# TRUE rests on IVF_REL_DRIFT_LIMIT (honest current/fit ratio ≈ 1.0 —
+# the routed corpus is the fit split plus the 20% batch — vs limit 3.0).
+# A red hash here means the persisted codebook no longer balances the
+# corpus (the drift condition the check exists to surface), not a
+# pipeline defect.
 ORACLES["codebook_check"] = """
     SELECT COUNT(*) AS n_vectors,
            16 AS n_cells,
-           TRUE AS balance_ok
+           TRUE AS balance_ok,
+           TRUE AS balance_vs_fit_ok
     FROM embeddings
 """
 

@@ -48,6 +48,16 @@ from pyspark_kmeans_spark.sources.tables import load_table
 # times and the family behaves like independent permutations.
 _MERSENNE31 = (1 << 31) - 1
 
+# Default MinHash-LSH banding parameters.  Single source of truth shared
+# by every signing/banding call site in this module AND by the over-cap
+# witnesses in operators/checks.py (ADVICE r7 #3: the witnesses previously
+# hard-coded 64/8/7/5000, so a default change here would have silently
+# made them measure a different banding than the pair stage uses).
+LSH_NUM_HASHES = 64
+LSH_BANDS = 8
+LSH_SEED = 7
+LSH_BUCKET_CAP = 5000
+
 _LOG = logging.getLogger(__name__)
 
 
@@ -358,7 +368,7 @@ def minhash_signatures(
     df: DataFrame,
     *,
     num_hashes: int = 32,
-    seed: int = 7,
+    seed: int = LSH_SEED,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -540,12 +550,12 @@ def minhash_lsh_pairs(
     df: DataFrame,
     *,
     threshold: float = 0.9,
-    num_hashes: int = 64,
-    bands: int = 8,
-    seed: int = 7,
+    num_hashes: int = LSH_NUM_HASHES,
+    bands: int = LSH_BANDS,
+    seed: int = LSH_SEED,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_bucket: int | None = 5000,
+    max_bucket: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Candidate generation via banded LSH, then exact-Jaccard verification.
 
@@ -685,7 +695,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_bucket: int | None = 5000,
+    max_bucket: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
@@ -774,7 +784,7 @@ def lsh_near_dedup_kept(
     threshold: float = 0.9,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_bucket: int | None = 5000,
+    max_bucket: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """The 100 TB dedup deliverable: the kept-document set via LSH.
 
@@ -1029,20 +1039,36 @@ def keep_best_kept(
     blocked graph (near_dup_clusters ∘ jaccard_pairs, the oracle path) or
     the LSH pair graph (lsh_near_dup_clusters, the 100 TB path) plug in
     unchanged.  Plan: quality scoring is zero-shuffle per-row expressions;
-    keeper selection is one row_number window over (cluster_id) — cluster
-    counts are corpus-bounded and the window key is the component id, so
-    no skew beyond the component-size distribution the clustering itself
-    already bounds."""
+    keeper selection is an AGGREGATE argmax — max_by(id, struct(quality,
+    -id)) per cluster_id — not a row_number window (VERDICT r7 "What's
+    wrong" #1): component sizes on a near-dup graph are unbounded (a
+    boilerplate flood can chain millions of members into one component)
+    and a window sorts each cluster inside a single task, while max_by
+    runs as a partial+final aggregate (SortAggregate — the struct-typed
+    ordering buffer keeps it off the hash path, but partial_max_by still
+    runs BEFORE the exchange): map-side combine shrinks every partition
+    to one candidate per cluster before the shuffle, so a mega-component
+    costs one comparison per row plus a parallel per-partition sort by
+    cluster_id instead of a single-task sort of the whole component.
+    The struct ordering encodes the same tie-break
+    (highest quality, then lowest id: max of -id == min id; ties
+    impossible since ids are unique), so the kept set is identical —
+    same ROW_NUMBER oracle, pinned by dedup_keep_best's driver hash."""
     from pyspark_kmeans_spark.operators.text import with_quality
 
     scored = with_quality(docs).select(id_col, "quality_score")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("quality_score").desc(), F.col(id_col).asc()
-    )
     keepers = (
         labels.join(scored, on=id_col)
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                F.col(id_col),
+                F.struct(
+                    F.col("quality_score").alias("_q"),
+                    (-F.col(id_col)).alias("_neg_id"),
+                ),
+            ).alias(id_col)
+        )
         .select(id_col)
     )
     singletons = docs.select(id_col).join(labels, on=id_col, how="left_anti")
@@ -1065,7 +1091,7 @@ def lsh_near_dup_clusters(
     threshold: float = 0.9,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_bucket: int | None = 5000,
+    max_bucket: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """The 100 TB clustering deliverable: connected components over the
     MinHash-LSH pair graph instead of the O(block²) exact graph — the whole
@@ -1190,7 +1216,7 @@ def lsh_incremental_kept(
     threshold: float = 0.9,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_bucket: int | None = 5000,
+    max_bucket: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Self-contained scale form of incremental ingestion dedup: MinHash-LSH
     pairs over corpus ∪ batch, keep a new doc unless it pairs with a corpus
@@ -1236,8 +1262,8 @@ def lsh_incremental_kept(
 def build_signature_table(
     df: DataFrame,
     *,
-    num_hashes: int = 64,
-    seed: int = 7,
+    num_hashes: int = LSH_NUM_HASHES,
+    seed: int = LSH_SEED,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -1266,12 +1292,12 @@ def incremental_kept_against(
     new_df: DataFrame,
     *,
     threshold: float = 0.9,
-    num_hashes: int = 64,
-    bands: int = 8,
-    seed: int = 7,
+    num_hashes: int = LSH_NUM_HASHES,
+    bands: int = LSH_BANDS,
+    seed: int = LSH_SEED,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_bucket: int | None = 5000,
+    max_bucket: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Production incremental ingestion dedup: sign ONLY the batch, join its
     band buckets against a stored corpus signature table (VERDICT r2 item 4).
@@ -1535,8 +1561,8 @@ def ensure_signature_table(
     spark: SparkSession,
     sf_dir: str,
     *,
-    num_hashes: int = 64,
-    seed: int = 7,
+    num_hashes: int = LSH_NUM_HASHES,
+    seed: int = LSH_SEED,
 ) -> DataFrame:
     """Materialize ONCE per sf_dir the corpus signature table for the
     80% corpus split (doc_id % INCREMENTAL_BATCH_MOD != 0) and return the
@@ -1559,8 +1585,12 @@ def ensure_signature_table(
     path = os.path.join(_WAREHOUSE, name)
     # Session-scoped memo of the read handle: repeated calls were paying
     # parquet schema discovery every time (83 ms/call at sf0.1 — VERDICT
-    # r6 item 5).  The frame is immutable and lazily read, so one handle
-    # per session is exactly right.
+    # r6 item 5).  Deliberately NO content stamp here, unlike
+    # ensure_codebook_table's memo: the signature table has no sanctioned
+    # rewrite path (no refresh/update analogue — appends go to NEW batch
+    # dirs, parameter changes change the path), so the write-once
+    # contract makes an unstamped handle valid for the whole session.
+    # Anyone adding an in-place update path later must add the stamp.
     cached = memo_get(spark, path)
     if cached is not None:
         return cached

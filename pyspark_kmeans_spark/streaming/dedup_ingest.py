@@ -69,8 +69,15 @@ def read_signature_state(
     Batch directories BELOW the snapshot point are ignored even if they
     still exist — compaction deletes them only after its snapshot commits,
     so a crash between snapshot commit and garbage collection leaves
-    overlapping dirs that must not be double-counted."""
-    snap_k, snap_dir = 0, None
+    overlapping dirs that must not be double-counted.
+
+    A `before_batch` BELOW an existing snapshot point violates the
+    compaction contract (`up_to` ≤ last checkpointed batch + 1 — such a
+    batch can never replay): if the snapshot's source dirs were already
+    garbage-collected the mid-range state is simply gone, and returning
+    whatever survives would silently lose data.  That case raises
+    ValueError instead (ADVICE r7 #2)."""
+    snap_k, snap_dir, max_k = 0, None, 0
     batch_dirs: list[tuple[int, str]] = []
     if os.path.isdir(state_dir):
         for name in sorted(os.listdir(state_dir)):
@@ -79,11 +86,27 @@ def read_signature_state(
                 continue
             if name.startswith("compacted="):
                 k = int(name.split("=", 1)[1])
+                max_k = max(max_k, k)
                 # usable iff it contains no batch the caller must not see
                 if (before_batch is None or k <= before_batch) and k > snap_k:
                     snap_k, snap_dir = k, path
             elif name.startswith("batch_id="):
                 batch_dirs.append((int(name.split("=", 1)[1]), path))
+    if before_batch is not None and max_k > before_batch:
+        # A committed snapshot subsumes every batch below its point; the
+        # dirs this read needs (snap_k..before_batch-1) may be GC'd.  If
+        # any is absent the read would be PARTIAL — fail loudly.
+        have = {bid for bid, _ in batch_dirs}
+        missing = [b for b in range(snap_k, before_batch) if b not in have]
+        if missing:
+            raise ValueError(
+                f"state read at before_batch={before_batch} is below the "
+                f"committed snapshot compacted={max_k} and batch dirs "
+                f"{missing} it subsumed are gone — mid-range state for "
+                "this point no longer exists (reads below a compaction "
+                "point are contract-violating: compaction only covers "
+                "batches that can never replay)"
+            )
     dirs = [snap_dir] if snap_dir else []
     dirs += [
         p

@@ -413,8 +413,10 @@ def test_refresh_codebook_rebuilds_and_invalidates_session_memo(
     )
     key = (spark.sparkContext.applicationId, path)
     assert key in warehouse_memo._MEMO
-    stamp, _ = warehouse_memo._MEMO[key]
-    warehouse_memo._MEMO[key] = (stamp, [[0.0] * 64 for _ in range(16)])
+    stamp, _, counts = warehouse_memo._MEMO[key]
+    warehouse_memo._MEMO[key] = (
+        stamp, [[0.0] * 64 for _ in range(16)], counts
+    )
     assert ensure_codebook_table(spark, sf_dir, n_cells=16, seed=1) == [
         [0.0] * 64 for _ in range(16)
     ]
@@ -481,6 +483,64 @@ def test_drift_loop_end_to_end_check_flips_then_refresh_heals(
     # Remediation: refit over the current corpus; the check heals.
     refresh_codebook_table(spark, tmp_sf, n_cells=16, seed=1)
     assert q_codebook_check(spark, tmp_sf).first()["balance_ok"]
+
+
+def test_relative_drift_gate_catches_what_absolute_gate_misses(
+    spark, tmp_path
+):
+    """VERDICT r7 missing #4: the absolute IVF_SKEW_LIMIT (8.0) only
+    catches severe collapse.  Build a 16-blob corpus whose fit is
+    perfectly balanced (fit ratio 1.0: 16 unit basis-vector blobs, 20
+    vectors each, uniformly split 80/20), then drift 25% of the mass
+    into blob 0 IN PLACE: current ratio 5.0 still passes the absolute
+    gate, but is 5× the artifact's fit-time ratio — only the new
+    relative gate (IVF_REL_DRIFT_LIMIT = 3.0) fires."""
+    import os
+    import shutil
+
+    from pyspark_kmeans_spark.operators.checks import q_codebook_check
+    from pyspark_kmeans_spark.operators.similarity import (
+        ensure_codebook_stats,
+    )
+
+    tmp_sf = str(tmp_path / "mdrift_sf")
+    os.makedirs(tmp_sf)
+    dim = 64
+
+    def blob_vec(b):
+        v = [0.0] * dim
+        v[b] = 1.0
+        return v
+
+    def write_embeddings(rows):
+        stage = str(tmp_path / "stage_emb")
+        shutil.rmtree(stage, ignore_errors=True)
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(1).write.parquet(stage)
+        shutil.rmtree(f"{tmp_sf}/embeddings.parquet", ignore_errors=True)
+        shutil.copytree(stage, f"{tmp_sf}/embeddings.parquet")
+
+    write_embeddings([(i, blob_vec(i % 16)) for i in range(320)])
+    # Day 0: balanced fit (each blob contributes exactly 16 vectors to
+    # the 80% fit split — 16*1 ≡ 1 mod 5 walks every residue class).
+    _, counts = ensure_codebook_stats(spark, tmp_sf)
+    fit_ratio = max(counts) * len(counts) / sum(counts)
+    assert fit_ratio < 1.5, counts
+    row = q_codebook_check(spark, tmp_sf).first()
+    assert row["balance_ok"] and row["balance_vs_fit_ok"]
+
+    # Moderate drift: blobs 1-4's mass re-routes to blob 0 (cell gets
+    # 100 of 320 → ratio 5.0 — under the absolute 8.0, 5× the fit).
+    write_embeddings(
+        [(i, blob_vec(0 if i % 16 in (1, 2, 3, 4) else i % 16))
+         for i in range(320)]
+    )
+    row = q_codebook_check(spark, tmp_sf).first()
+    assert row["balance_ok"], "absolute gate must MISS moderate drift"
+    assert not row["balance_vs_fit_ok"], (
+        "relative gate must CATCH a 5x-vs-fit degradation"
+    )
 
 
 def test_update_codebook_minibatch_matches_closed_form(spark, tmp_path):

@@ -184,6 +184,62 @@ def test_compaction_preserves_state_ignores_overlap_and_is_idempotent(
     assert 6 in _kept_ids(spark, kept)
 
 
+def test_midrange_read_below_snapshot_raises_when_dirs_gone(spark, tmp_path):
+    """A state read at a point BELOW a committed snapshot whose source
+    dirs were garbage-collected must raise, not silently return the
+    partial/empty survivors (ADVICE r7 #2): the mid-range state no longer
+    exists, and such reads are contract-violating anyway (compaction only
+    ever covers batches that can never replay)."""
+    import pytest as _pytest
+
+    from pyspark_kmeans_spark.streaming.dedup_ingest import (
+        compact_signature_state,
+    )
+
+    state, kept = str(tmp_path / "state"), str(tmp_path / "kept")
+    dedup_ingest_batch(_docs(spark, [(1, T20)]), 0,
+                       state_dir=state, kept_dir=kept)
+    dedup_ingest_batch(_docs(spark, [(2, U20)]), 1,
+                       state_dir=state, kept_dir=kept)
+    # Crash-overlap window (batch dirs still present): mid-range reads
+    # below the snapshot keep working off the surviving dirs.
+    snap = f"{state}/compacted=2"
+    merged = read_signature_state(spark, state, before_batch=2)
+    merged.write.mode("overwrite").parquet(snap)
+    assert sorted(
+        r["doc_id"]
+        for r in read_signature_state(spark, state, before_batch=1).collect()
+    ) == [1]
+    # After GC the subsumed dirs are gone — the same read must now raise.
+    compact_signature_state(spark, state, up_to=2)
+    assert not os.path.exists(f"{state}/batch_id=0")
+    with _pytest.raises(ValueError, match="no longer exists"):
+        read_signature_state(spark, state, before_batch=1)
+    # Reads at or above the snapshot point stay valid.
+    assert sorted(
+        r["doc_id"]
+        for r in read_signature_state(spark, state, before_batch=2).collect()
+    ) == [1, 2]
+
+
+def test_warehouse_memo_evicts_stopped_sessions_entries(spark):
+    """memo_put keeps only the LIVE applicationId's entries: a long-lived
+    process cycling SparkSessions must not accumulate stopped sessions'
+    DataFrame handles (ADVICE r7 #5)."""
+    from pyspark_kmeans_spark.functions import warehouse_memo
+
+    app = spark.sparkContext.applicationId
+    warehouse_memo._MEMO[("app-dead-1", "/p1")] = object()
+    warehouse_memo._MEMO[("app-dead-2", "/p2")] = object()
+    try:
+        warehouse_memo.memo_put(spark, "/p3", "live")
+        owners = {k[0] for k in warehouse_memo._MEMO}
+        assert owners == {app}
+        assert warehouse_memo.memo_get(spark, "/p3") == "live"
+    finally:
+        warehouse_memo.memo_invalidate(spark, "/p3")
+
+
 def test_compaction_is_monotone(spark, tmp_path):
     """A compaction point below an existing snapshot must raise: the batch
     dirs it would need are already garbage-collected, so the smaller
