@@ -1096,6 +1096,146 @@ def routing_balance(
     return occ.agg(*cols)
 
 
+def q_codebook_update_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hash gate for the mini-batch codebook update — the middle
+    path of the lifecycle (ensure → check → UPDATE → refresh) and the one
+    round-7 addition with no driver row (VERDICT r7 missing #2: it
+    mutates the shared warehouse artifact, so it cannot run against the
+    sweep's codebook).  Runs the whole unit against a SCRATCH copy of the
+    embeddings table (the streaming_ingest_check pattern:
+    applicationId-keyed scratch sf_dir, finally-cleanup of both the
+    scratch tree and the scratch-keyed warehouse artifact):
+
+    - fit the day-0 codebook on the scratch corpus split,
+    - fold the 20% batch via the REGISTERED `update_codebook_table`,
+    - recompute the closed-form expectation c' = (n·c + Σu) / (n + m)
+      as a SPARK expression (zip_with over the persisted pre-state joined
+      to a per-cell batch aggregate — not the update's driver-side Python
+      loop) and driver-hash a zero-mismatch comparison against what the
+      update actually WROTE (read back from the artifact, so the
+      persisted bytes are what's checked, not the return value).
+
+    Columns: `n_batch` anchors the split (oracle recomputes it);
+    `n_cells` pins the artifact size; `n_centroid_mismatch` = 0 counts
+    (cell, dim) entries where |expected − written| > 1e-6 — the
+    tolerance exists because the Σu aggregate executes twice (partial-sum
+    order can differ at the last bit, ~1e-12 here) while any real fold
+    defect moves centroids by the update magnitude (~1e-2);
+    `n_count_mismatch` = 0 pins the population fold n + m exactly.
+
+    Plan: one seeded fit on the scratch corpus (the priced construction
+    job), one batch-linear routing pass per side, two O(n_cells) frames
+    joined — nothing corpus-quadratic; the daily_ingest_check class of
+    gate query."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark_kmeans_spark.functions.persist import release_persisted
+    from pyspark_kmeans_spark.operators.similarity import (
+        IVF_BATCH_MOD,
+        ensure_codebook_stats,
+        ivf_assign,
+        update_codebook_table,
+    )
+    from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, bucketed_name
+
+    release_persisted()
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"codebook_update_check_{sf_tag}_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    scratch_sf = os.path.join(root, "sf")
+    art = os.path.join(
+        _WAREHOUSE,
+        bucketed_name(
+            f"ivf_codebook_m{IVF_BATCH_MOD}_s1", scratch_sf, n_buckets=16
+        ),
+    )
+    try:
+        os.makedirs(scratch_sf)
+        shutil.copy(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            os.path.join(scratch_sf, "embeddings.parquet"),
+        )
+        pre_cents, pre_counts = ensure_codebook_stats(
+            spark, scratch_sf, n_cells=16, seed=1
+        )
+        dim = len(pre_cents[0])
+        batch = load_table(spark, scratch_sf, "embeddings").filter(
+            F.col("vec_id") % IVF_BATCH_MOD == 0
+        )
+        # Independent expectation: per-cell batch mass as a Spark
+        # aggregate, folded into the PRE-update persisted state with
+        # array expressions (no driver-side arithmetic).
+        pre = spark.createDataFrame(
+            [
+                (cell, c, int(n))
+                for cell, (c, n) in enumerate(zip(pre_cents, pre_counts))
+            ],
+            "cell int, pre_centroid array<double>, pre_n long",
+        )
+        batch_agg = (
+            ivf_assign(batch, pre_cents, emit_unit=True)
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("_m"),
+                F.array(
+                    *[F.sum(F.col("unit_vec")[i]) for i in range(dim)]
+                ).alias("_s"),
+            )
+        )
+        expected = pre.join(F.broadcast(batch_agg), on="cell", how="left").select(
+            "cell",
+            F.when(F.col("_m").isNull(), F.col("pre_centroid"))
+            .otherwise(
+                F.zip_with(
+                    "pre_centroid",
+                    "_s",
+                    lambda c, s: (F.col("pre_n") * c + s)
+                    / (F.col("pre_n") + F.col("_m")),
+                )
+            )
+            .alias("exp_centroid"),
+            (F.col("pre_n") + F.coalesce("_m", F.lit(0))).alias("exp_n"),
+        )
+        n_batch = batch.count()
+        update_codebook_table(spark, scratch_sf, batch, n_cells=16, seed=1)
+        written = spark.read.parquet(art)
+        audit = expected.join(written, on="cell", how="full_outer")
+        result = audit.agg(
+            F.lit(n_batch).cast("bigint").alias("n_batch"),
+            # real row count over the full-outer audit (a written/expected
+            # cell-set divergence changes it); cast matches the oracle's
+            # INTEGER literal
+            F.count(F.lit(1)).cast("int").alias("n_cells"),
+            F.sum(
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            "exp_centroid",
+                            "centroid",
+                            lambda a, b: F.abs(a - b),
+                        ),
+                        lambda d: d > 1e-6,
+                    )
+                )
+            ).cast("bigint").alias("n_centroid_mismatch"),
+            F.sum(
+                F.when(F.col("exp_n") == F.col("n"), 0).otherwise(1)
+            ).cast("bigint").alias("n_count_mismatch"),
+        )
+        # Materialize eagerly: the returned plan must not depend on the
+        # scratch files the finally below deletes.
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(art, ignore_errors=True)
+
+
 QUALITY_ACC_FLOOR = 0.9  # tests pin ≥0.95 at sf0.001; driver floor has margin
 
 
@@ -1146,6 +1286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_twowave_check": q_lsh_twowave_check,
     "daily_ingest_check": q_daily_ingest_check,
     "codebook_check": q_codebook_check,
+    "codebook_update_check": q_codebook_update_check,
     "streaming_ingest_check": q_streaming_ingest_check,
     "keep_best_lsh_check": q_keep_best_lsh_check,
 }
@@ -1412,3 +1553,23 @@ ORACLES["streaming_ingest_check"] = """
            CAST(0 AS BIGINT) AS n_kept_mismatch
     FROM documents
 """
+
+
+def _codebook_update_check_oracle() -> str:
+    """The two zeros are exact closed-form equalities (see
+    q_codebook_update_check's tolerance note: 1e-6 sits 6 orders above
+    double partial-sum noise and 4 below the update magnitude), and the
+    anchors are SQL-recomputable from the same split constant."""
+    from pyspark_kmeans_spark.operators.similarity import IVF_BATCH_MOD
+
+    return f"""
+        SELECT COUNT(*) AS n_batch,
+               16 AS n_cells,
+               CAST(0 AS BIGINT) AS n_centroid_mismatch,
+               CAST(0 AS BIGINT) AS n_count_mismatch
+        FROM embeddings
+        WHERE vec_id % {IVF_BATCH_MOD} = 0
+    """
+
+
+ORACLES["codebook_update_check"] = _codebook_update_check_oracle()

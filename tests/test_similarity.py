@@ -543,6 +543,31 @@ def test_relative_drift_gate_catches_what_absolute_gate_misses(
     )
 
 
+def test_codebook_update_check_green_and_reclaims_scratch(spark):
+    """The registered driver row for the mini-batch update (VERDICT r7
+    missing #2): zero closed-form mismatches on the honest corpus, and
+    both the scratch tree and the scratch-keyed warehouse artifact are
+    reclaimed (the update runs against a COPY — the shared sf codebook
+    must be untouched)."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark_kmeans_spark.operators.checks import q_codebook_update_check
+
+    sf = "/root/testdata/sf0.001"
+    row = q_codebook_update_check(spark, sf).first()
+    assert row["n_batch"] == 100  # 500 vectors, vec_id % 5 == 0
+    assert row["n_cells"] == 16
+    assert row["n_centroid_mismatch"] == 0
+    assert row["n_count_mismatch"] == 0
+    app = spark.sparkContext.applicationId
+    assert not glob.glob(
+        os.path.join(tempfile.gettempdir(), f"codebook_update_check_*_{app}")
+    )
+    assert not glob.glob("spark-warehouse/ivf_codebook_*_bucketed_sf_*")
+
+
 def test_update_codebook_minibatch_matches_closed_form(spark, tmp_path):
     """The mini-batch update step, pinned against a Python mirror: route
     each batch point to its nearest persisted centroid in unit space,
