@@ -72,68 +72,71 @@ def _registries() -> list:
 # decides what gets validated each round).  Rebuilt every round: lead with
 # oracles the driver has NEVER hash-checked (new queries), then queries
 # whose code changed this round, then the entries least-recently recorded.
-# Round 7: the 23 rows last recorded in round 3 (VERDICT r6 "What's
-# missing" #2 — the promised rotation) plus the alphabetically-first 21 of
-# the 44 rows last recorded in round 4 (two slots went to round-7-new
-# queries instead); the remaining 23 r4 rows
-# (part_supplier_counts..zorder_cust_window) are the round-8 rotation.
+# Round 8: the new codebook_update_check, the five rows whose code or
+# columns changed this round, then the final 23 rows last recorded in
+# round 4 (exactly the rotation VERDICT r7 item 1 demands — this closes
+# the first full cycle: after round 8 every oracle row's latest record is
+# round 5 or newer), then the alphabetically-first 21 of the 46 rows last
+# recorded in round 5 to start the second cycle.
 _SWEEP_FIRST = [
-    # 0. added in round 7 — never driver-recorded
-    "codebook_check",
+    # 0. added in round 8 — never driver-recorded
+    "codebook_update_check",
+    # 1. changed in round 8 (streaming_ingest_check gained the three
+    #    compaction-contract columns; codebook_check gained the relative
+    #    drift gate column; dedup_keep_best/keep_best_lsh_check run the
+    #    max_by keeper rewrite; lsh_twowave_check's witness now derives
+    #    from the shared LSH constants)
     "streaming_ingest_check",
+    "codebook_check",
     "dedup_keep_best",
     "keep_best_lsh_check",
-    # 1. changed in round 7 (lsh_twowave_check gained the
-    #    n_over_cap_buckets scale-bound witness column; daily_ingest_check
-    #    gained kept_exact's forcing count)
     "lsh_twowave_check",
-    "daily_ingest_check",
-    # 2. stale: last recorded in round 3
-    "embedding_near_dups",
-    "event_resample_ffill",
-    "event_segment_rollup",
-    "event_sliding_rollup",
-    "event_view_click_join",
-    "full_outer_fill",
-    "grouping_sets",
-    "kmeans_centers",
-    "kmeans_embedding_clusters",
-    "large_orders",
-    "merge_upsert",
-    "multimodal_features",
-    "multimodal_frames",
-    "order_count_histogram",
-    "quality_classifier",
-    "snapshot_diff",
-    "source_quota_sample",
-    "text_edit_distance",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_token_counts",
-    "weighted_sample",
-    # 3. stale: last recorded in round 4 (first 21 of 44, alphabetical)
-    "ann_recall_check",
-    "approx_aggs_check",
-    "bpe_merges",
-    "char_ngram_profile",
-    "curation_lm_score",
-    "curation_tokenize",
-    "distinct_rollup_check",
-    "embedding_matryoshka",
-    "embedding_pca2_exact",
-    "embedding_pca_variance",
-    "embedding_quantize",
-    "event_anomaly",
-    "event_distinct_rollup",
-    "event_trending",
-    "graph_degrees",
-    "graph_pagerank",
-    "graph_triangles",
-    "idle_rich_customers",
-    "incremental_agg",
-    "kmeans_check",
-    "multimodal_dedup",
+    # 2. stale: last recorded in round 4 (the final 23)
+    "part_supplier_counts",
+    "partitioned_month_revenue",
+    "returned_items",
+    "revenue_deciles",
+    "revenue_percentiles",
+    "rolling_spend",
+    "salted_join",
+    "scd2_intervals",
+    "sorted_shipdate_window",
+    "token_positions",
+    "top_supplier",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "training_split",
+    "zorder_cust_window",
+    # 3. stale: last recorded in round 5 (first 21 of 46, alphabetical)
+    "bpe_check",
+    "curation_funnel",
+    "curation_segment_dedup",
+    "curation_vocab",
+    "customer_features",
+    "customer_revenue_stats",
+    "customer_rfm",
+    "daily_ingest",
+    "dedup_exact",
+    "dedup_lsh_recall",
+    "dedup_simhash_recall",
+    "derived_age",
+    "distinct_pairs",
+    "distinct_priorities",
+    "epoch_plan",
+    "event_funnel",
+    "event_hit_rate",
+    "event_retention",
+    "forecast_revenue",
+    "graph_triangles_capped",
+    "hybrid_search",
 ]
 
 
