@@ -111,3 +111,29 @@ def test_registered_bucketed_query_plan_and_values(spark, sf_dir):
         )
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, plain.collect()))
+
+
+def test_gc_warehouse_dry_run_lists_then_delete_spares_live(tmp_path):
+    """The warehouse GC (the engine's only unbounded-growth path): dry-run
+    returns the orphaned artifacts without touching disk; a real run
+    deletes exactly them — live-tagged artifacts and non-artifact entries
+    (metastore, Spark side dirs) are never victims."""
+    from pyspark_kmeans_spark.functions.warehouse_gc import (
+        _path_tag,
+        gc_warehouse,
+    )
+
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    live_sf, dead_sf = str(tmp_path / "sf_live"), str(tmp_path / "sf_dead")
+    live = wh / f"doc_sigs_m5_s7_bucketed_sf_live_{_path_tag(live_sf)}_b64"
+    dead = wh / f"ivf_codebook_m5_s1_bucketed_sf_dead_{_path_tag(dead_sf)}_b16"
+    other = wh / "metastore_db"
+    for d in (live, dead, other):
+        d.mkdir()
+    victims = gc_warehouse([live_sf], warehouse=str(wh))
+    assert victims == [str(dead)]
+    assert dead.exists(), "dry run must not delete"
+    gc_warehouse([live_sf], dry_run=False, warehouse=str(wh))
+    assert not dead.exists()
+    assert live.exists() and other.exists()
