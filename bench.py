@@ -126,6 +126,9 @@ EXTENDED = [
     # ingestion-dedup loop's stream==batch gate
     "codebook_check",
     "streaming_ingest_check",
+    # round-8 addition: the mini-batch codebook-update gate (scratch-fit
+    # + fold + closed-form compare — the fit dominates its cost)
+    "codebook_update_check",
 ]
 
 

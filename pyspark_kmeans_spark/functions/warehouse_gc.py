@@ -25,21 +25,19 @@ pattern are never touched.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import re
 import shutil
 
-from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE
+from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, path_tag
 
 # <anything>_<8-hex path tag>_b<bucket/cell count>: the bucketed_name
-# shape shared by every artifact writer in the engine.
+# shape shared by every artifact writer in the engine.  The tag itself
+# comes from sources.bucketed.path_tag — ONE definition for writers and
+# GC, so a tag-scheme change cannot make live artifacts read as orphaned
+# (the round-8 review finding); the suffix shape is additionally pinned
+# against bucketed_name's real output in tests/test_bucketing.py.
 _ARTIFACT_RE = re.compile(r"_([0-9a-f]{8})_b\d+$")
-
-
-def _path_tag(sf_dir: str) -> str:
-    abs_dir = os.path.abspath(sf_dir.rstrip("/"))
-    return hashlib.md5(abs_dir.encode()).hexdigest()[:8]
 
 
 def gc_warehouse(
@@ -55,7 +53,7 @@ def gc_warehouse(
     Not session-aware by design: run it from an operational context, not
     concurrently with jobs that may be building artifacts for a scratch
     corpus (the same rule Delta VACUUM imposes)."""
-    keep_tags = {_path_tag(d) for d in keep_sf_dirs}
+    keep_tags = {path_tag(d) for d in keep_sf_dirs}
     victims = []
     if os.path.isdir(warehouse):
         for name in sorted(os.listdir(warehouse)):

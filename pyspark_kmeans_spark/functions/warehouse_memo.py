@@ -41,8 +41,11 @@ def memo_put(spark: SparkSession, path: str, value: Any) -> Any:
     # (ADVICE r7 #5).  One applicationId is live per process at a time
     # (getOrCreate semantics; newSession() shares the id), so keeping
     # only the current app's keys is exact, not heuristic.
+    # pop, not del: two threads of one process (a sweep harness running
+    # queries in parallel) can snapshot the same dead keys — the second
+    # delete must be a no-op, not a KeyError.
     for key in [k for k in _MEMO if k[0] != app]:
-        del _MEMO[key]
+        _MEMO.pop(key, None)
     _MEMO[(app, path)] = value
     return value
 

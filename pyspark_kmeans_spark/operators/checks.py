@@ -1199,10 +1199,15 @@ def q_codebook_update_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         os.makedirs(scratch_sf)
-        shutil.copy(
-            os.path.join(sf_dir, "embeddings.parquet"),
-            os.path.join(scratch_sf, "embeddings.parquet"),
-        )
+        # Tables come as single parquet FILES (the testdata layout) or
+        # directories (what Spark itself writes; scratch corpora in
+        # tests) — load_table reads both, so the copy must too.
+        src = os.path.join(sf_dir, "embeddings.parquet")
+        dst = os.path.join(scratch_sf, "embeddings.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
         pre_cents, pre_counts = ensure_codebook_stats(
             spark, scratch_sf, n_cells=16, seed=1
         )
@@ -1254,15 +1259,27 @@ def q_codebook_update_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             # cell-set divergence changes it); cast matches the oracle's
             # INTEGER literal
             F.count(F.lit(1)).cast("int").alias("n_cells"),
+            # NULL-safe: zip_with null-pads a truncated array and a NULL
+            # element yields a NULL diff, both of which a bare `d > 1e-6`
+            # filter would silently DROP — so missing/NULL positions and
+            # whole-side NULLs count as mismatches too (review finding:
+            # a corrupt artifact must not hash green).
             F.sum(
-                F.size(
-                    F.filter(
-                        F.zip_with(
-                            "exp_centroid",
-                            "centroid",
-                            lambda a, b: F.abs(a - b),
-                        ),
-                        lambda d: d > 1e-6,
+                F.when(
+                    F.col("exp_centroid").isNull()
+                    | F.col("centroid").isNull()
+                    | (F.size("exp_centroid") != F.size("centroid")),
+                    F.lit(1),
+                ).otherwise(
+                    F.size(
+                        F.filter(
+                            F.zip_with(
+                                "exp_centroid",
+                                "centroid",
+                                lambda a, b: F.abs(a - b),
+                            ),
+                            lambda d: d.isNull() | (d > 1e-6),
+                        )
                     )
                 )
             ).cast("bigint").alias("n_centroid_mismatch"),

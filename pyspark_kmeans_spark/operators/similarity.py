@@ -442,6 +442,25 @@ def ensure_codebook_table(
     collect() measured 155 ms/call at sf0.1 — VERDICT r6 item 5), and a
     fresh session costs one O(n_cells) parquet read.
     """
+    return _ensure_codebook_rows(
+        spark, sf_dir, n_cells=n_cells, seed=seed, batch_mod=batch_mod,
+        id_col=id_col,
+    )[0]
+
+
+def _ensure_codebook_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_cells: int,
+    seed: int,
+    batch_mod: int,
+    id_col: str,
+) -> tuple[list[list[float]], list[int] | None]:
+    """Shared ensure body: (centroids, per-cell populations) — counts are
+    None for a pre-round-7 artifact without the `n` column.  Both public
+    faces (ensure_codebook_table, ensure_codebook_stats) delegate here so
+    neither reaches into the memo tuple by position."""
     import os
 
     from pyspark_kmeans_spark.functions.warehouse_memo import memo_get, memo_put
@@ -474,7 +493,7 @@ def ensure_codebook_table(
 
     cached = memo_get(spark, path)
     if cached is not None:
-        stamp, centroids_hit, _counts_hit = cached
+        stamp, centroids_hit, counts_hit = cached
         # Cross-process refresh visibility: another application's
         # refresh/update rewrites the artifact in place; memo_invalidate
         # only reaches THIS process, so a memo hit re-validates against
@@ -483,8 +502,11 @@ def ensure_codebook_table(
         # memo time) never matches.
         if stamp is not None and stamp == _stamp():
             # fresh copies: callers must not be able to mutate the memo
-            return [list(c) for c in centroids_hit]
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return (
+                [list(c) for c in centroids_hit],
+                list(counts_hit) if counts_hit is not None else None,
+            )
+    if not os.path.exists(marker):
         corpus = load_table(spark, sf_dir, "embeddings").filter(
             F.col(id_col) % batch_mod != 0
         )
@@ -522,7 +544,10 @@ def ensure_codebook_table(
         path,
         (stamp_before, [list(r["centroid"]) for r in stored], counts),
     )
-    return [list(r["centroid"]) for r in stored]
+    return (
+        [list(r["centroid"]) for r in stored],
+        list(counts) if counts is not None else None,
+    )
 
 
 def ensure_codebook_stats(
@@ -543,32 +568,21 @@ def ensure_codebook_stats(
     fit time, folded forward by update_codebook_table's mini-batch
     counts, so they always describe the mass the CURRENT centroids were
     trained on.  Same memo/staleness semantics as ensure_codebook_table
-    (this delegates to it); raises for a pre-round-7 artifact without the
-    `n` column — run refresh_codebook_table once to upgrade (the fit is
-    seeded, so the refit reproduces the same centroids)."""
-    import os
-
-    from pyspark_kmeans_spark.functions.warehouse_memo import memo_get
-    from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, bucketed_name
-
-    centroids = ensure_codebook_table(
+    (both are thin faces of _ensure_codebook_rows); raises for a
+    pre-round-7 artifact without the `n` column — run
+    refresh_codebook_table once to upgrade (the fit is seeded, so the
+    refit reproduces the same centroids)."""
+    centroids, counts = _ensure_codebook_rows(
         spark, sf_dir, n_cells=n_cells, seed=seed, batch_mod=batch_mod,
         id_col=id_col,
     )
-    name = bucketed_name(
-        f"ivf_codebook_m{batch_mod}_s{seed}", sf_dir, n_buckets=n_cells
-    )
-    path = os.path.join(_WAREHOUSE, name)
-    # ensure_codebook_table always leaves the memo populated (hit or
-    # fresh read), so the counts are the ones paired with the centroids
-    # just returned.
-    counts = memo_get(spark, path)[2]
     if counts is None:
         raise ValueError(
-            f"codebook at {path} predates per-cell populations; run "
-            "refresh_codebook_table once to upgrade the artifact"
+            f"codebook for {sf_dir} (n_cells={n_cells}, seed={seed}) "
+            "predates per-cell populations; run refresh_codebook_table "
+            "once to upgrade the artifact"
         )
-    return centroids, list(counts)
+    return centroids, counts
 
 
 def refresh_codebook_table(

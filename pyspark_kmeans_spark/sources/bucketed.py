@@ -48,18 +48,27 @@ _BUCKET_SPECS = {
 }
 
 
+def path_tag(sf_dir: str) -> str:
+    """8-hex md5 of the absolute source dir — the liveness key every
+    artifact name embeds.  Shared by bucketed_name (all writers) AND
+    functions/warehouse_gc.py (which decides deletion by matching this
+    tag): the two MUST stay one definition, or a tag-scheme change would
+    make the GC see every live artifact as orphaned."""
+    import hashlib
+
+    abs_dir = os.path.abspath(sf_dir.rstrip("/"))
+    return hashlib.md5(abs_dir.encode()).hexdigest()[:8]
+
+
 def bucketed_name(table: str, sf_dir: str, n_buckets: int = N_BUCKETS) -> str:
     """Cache key for the materialized copy.  Both the FULL absolute path
     (two sf_dirs sharing a basename must not reuse each other's copy) and
     the bucket count (an existing 8-bucket table must not satisfy a
     16-bucket request — the join would silently regain its Exchange) are
     part of the name."""
-    import hashlib
-
     abs_dir = os.path.abspath(sf_dir.rstrip("/"))
     leaf = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(abs_dir))
-    path_tag = hashlib.md5(abs_dir.encode()).hexdigest()[:8]
-    return f"{table}_bucketed_{leaf}_{path_tag}_b{n_buckets}"
+    return f"{table}_bucketed_{leaf}_{path_tag(sf_dir)}_b{n_buckets}"
 
 
 def ensure_bucketed_tables(

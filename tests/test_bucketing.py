@@ -118,16 +118,18 @@ def test_gc_warehouse_dry_run_lists_then_delete_spares_live(tmp_path):
     returns the orphaned artifacts without touching disk; a real run
     deletes exactly them — live-tagged artifacts and non-artifact entries
     (metastore, Spark side dirs) are never victims."""
-    from pyspark_kmeans_spark.functions.warehouse_gc import (
-        _path_tag,
-        gc_warehouse,
-    )
+    from pyspark_kmeans_spark.functions.warehouse_gc import gc_warehouse
+    from pyspark_kmeans_spark.sources.bucketed import bucketed_name
 
     wh = tmp_path / "wh"
     wh.mkdir()
     live_sf, dead_sf = str(tmp_path / "sf_live"), str(tmp_path / "sf_dead")
-    live = wh / f"doc_sigs_m5_s7_bucketed_sf_live_{_path_tag(live_sf)}_b64"
-    dead = wh / f"ivf_codebook_m5_s1_bucketed_sf_dead_{_path_tag(dead_sf)}_b16"
+    # Names come from the REAL writer-side generator, so this test ties
+    # the GC's pattern to bucketed_name's actual output — a naming-scheme
+    # change that desynchronizes them fails here instead of deleting
+    # every live artifact in production.
+    live = wh / bucketed_name("doc_sigs_m5_s7", live_sf, n_buckets=64)
+    dead = wh / bucketed_name("ivf_codebook_m5_s1", dead_sf, n_buckets=16)
     other = wh / "metastore_db"
     for d in (live, dead, other):
         d.mkdir()
