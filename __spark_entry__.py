@@ -76,8 +76,9 @@ def _registries() -> list:
 # columns changed this round, then the final 23 rows last recorded in
 # round 4 (exactly the rotation VERDICT r7 item 1 demands — this closes
 # the first full cycle: after round 8 every oracle row's latest record is
-# round 5 or newer), then the alphabetically-first 21 of the 46 rows last
-# recorded in round 5 to start the second cycle.
+# round 5 or newer), then the alphabetically-first 18 of the 46 rows last
+# recorded in round 5 to start the second cycle (three fill slots went to
+# the changed graph rows instead).
 _SWEEP_FIRST = [
     # 0. added in round 8 — never driver-recorded
     "codebook_update_check",
@@ -85,12 +86,17 @@ _SWEEP_FIRST = [
     #    compaction-contract columns; codebook_check gained the relative
     #    drift gate column; dedup_keep_best/keep_best_lsh_check run the
     #    max_by keeper rewrite; lsh_twowave_check's witness now derives
-    #    from the shared LSH constants)
+    #    from the shared LSH constants; the graph family now reads the
+    #    persisted pair table — graph_triangles_capped is already in the
+    #    round-5 block below)
     "streaming_ingest_check",
     "codebook_check",
     "dedup_keep_best",
     "keep_best_lsh_check",
     "lsh_twowave_check",
+    "graph_pagerank",
+    "graph_degrees",
+    "graph_triangles",
     # 2. stale: last recorded in round 4 (the final 23)
     "part_supplier_counts",
     "partitioned_month_revenue",
@@ -115,7 +121,8 @@ _SWEEP_FIRST = [
     "tpch_q21",
     "training_split",
     "zorder_cust_window",
-    # 3. stale: last recorded in round 5 (first 21 of 46, alphabetical)
+    # 3. stale: last recorded in round 5 (first 18 of 46, alphabetical,
+    #    plus graph_triangles_capped which is also round-8-changed)
     "bpe_check",
     "curation_funnel",
     "curation_segment_dedup",
@@ -133,10 +140,7 @@ _SWEEP_FIRST = [
     "epoch_plan",
     "event_funnel",
     "event_hit_rate",
-    "event_retention",
-    "forecast_revenue",
     "graph_triangles_capped",
-    "hybrid_search",
 ]
 
 

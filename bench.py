@@ -158,12 +158,14 @@ def main() -> None:
         ensure_digest_table,
         ensure_lang_stats_table,
     )
+    from pyspark_kmeans_spark.operators.graph import ensure_pairs_table
     from pyspark_kmeans_spark.operators.similarity import ensure_codebook_table
 
     ensure_signature_table(spark, sf_dir)
     ensure_digest_table(spark, sf_dir)
     ensure_lang_stats_table(spark, sf_dir)
     ensure_codebook_table(spark, sf_dir)
+    ensure_pairs_table(spark, sf_dir)
     spark.catalog.clearCache()
 
     # This host shows real CPU steal (BASELINE.md records 106/490/642 s for

@@ -113,3 +113,44 @@ def test_pagerank_deterministic_across_partitionings(spark):
         )
     )
     assert a == b
+
+
+def test_pairs_table_equals_inline_mining_and_never_remines(
+    spark, sf_dir, monkeypatch
+):
+    """The round-8 write-once edge-list artifact: ensure_pairs_table's
+    parquet round-trip must equal the inline jaccard_pairs frame
+    row-for-row, and once the artifact exists the registered graph
+    queries must run ZERO pair-mining jobs (the ensure_codebook_table
+    no-refit contract applied to the graph family)."""
+    from pyspark_kmeans_spark.operators import graph as graph_mod
+    from pyspark_kmeans_spark.operators.dedup import jaccard_pairs
+    from pyspark_kmeans_spark.operators.graph import (
+        ensure_pairs_table,
+        q_graph_degrees,
+        q_graph_pagerank,
+        q_graph_triangles_capped,
+    )
+    from pyspark_kmeans_spark.sources.tables import load_table
+
+    stored = {
+        (r["doc_a"], r["doc_b"])
+        for r in ensure_pairs_table(spark, sf_dir).collect()
+    }
+    inline = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=0.9
+        ).select("doc_a", "doc_b").collect()
+    }
+    assert stored == inline and stored
+
+    def _no_mining(*a, **k):
+        raise AssertionError(
+            "graph query re-ran pair mining despite the persisted table"
+        )
+
+    monkeypatch.setattr(graph_mod, "jaccard_pairs", _no_mining)
+    assert q_graph_degrees(spark, sf_dir).count() > 0
+    assert q_graph_pagerank(spark, sf_dir).count() > 0
+    assert q_graph_triangles_capped(spark, sf_dir).count() > 0
