@@ -25,8 +25,10 @@ Design (Spark-first, deterministic, oracle-checkable):
    applied identically in the oracle.
  - The plan is linear in the iteration count (each round references the
    previous rank frame once); no checkpoint/action is triggered at
-   DataFrame-construction time, so plan-only consumers (explain, the
-   registry-wide plan audit) stay job-free.
+   DataFrame-construction time beyond the one-time pair-table build the
+   ensure_* contract prices as an ingest cost (construction is job-free
+   once the artifact exists — the same first-touch semantics as
+   dedup_incremental_lsh's signature table).
 
 At 100 TB the edge list is the LSH pair graph instead (same schema — swap
 `jaccard_pairs` for `minhash_lsh_pairs`, exactly as `dedup_clusters_lsh`
