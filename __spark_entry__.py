@@ -76,9 +76,12 @@ def _registries() -> list:
 # columns changed this round, then the final 23 rows last recorded in
 # round 4 (exactly the rotation VERDICT r7 item 1 demands — this closes
 # the first full cycle: after round 8 every oracle row's latest record is
-# round 5 or newer), then the alphabetically-first 18 of the 46 rows last
-# recorded in round 5 to start the second cycle (three fill slots went to
-# the changed graph rows instead).
+# round 5 or newer), then the alphabetically-first 17 of the 46 rows last
+# recorded in round 5 plus graph_triangles_capped (also round-8-changed)
+# to start the second cycle.  Round 9 resumes the round-5 block at
+# event_retention (event_retention, forecast_revenue, hybrid_search and
+# everything after remain unrotated — three fill slots went to the
+# changed graph rows this round).
 _SWEEP_FIRST = [
     # 0. added in round 8 — never driver-recorded
     "codebook_update_check",
@@ -121,8 +124,9 @@ _SWEEP_FIRST = [
     "tpch_q21",
     "training_split",
     "zorder_cust_window",
-    # 3. stale: last recorded in round 5 (first 18 of 46, alphabetical,
-    #    plus graph_triangles_capped which is also round-8-changed)
+    # 3. stale: last recorded in round 5 (first 17 of 46, alphabetical —
+    #    round 9 resumes at event_retention) plus graph_triangles_capped,
+    #    which is also round-8-changed
     "bpe_check",
     "curation_funnel",
     "curation_segment_dedup",

@@ -1653,7 +1653,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_lsh": q_dedup_incremental_lsh,
 }
 
-_JACCARD_PAIRS_SQL = """
+def jaccard_pairs_sql(threshold: float) -> str:
+    """The DuckDB replay of `jaccard_pairs` with the threshold
+    INTERPOLATED — one source of truth for every consumer (the dedup
+    oracles here at the dedup queries' own 0.9, the graph oracles at
+    graph.GRAPH_PAIR_THRESHOLD), so a threshold change on either side
+    cannot silently desync Spark results from the oracle (round-8 review
+    finding)."""
+    return f"""
     WITH toks AS (
         SELECT doc_id, lang,
                list_distinct(regexp_split_to_array(trim(text), '[ \\t\\n]+')) AS t
@@ -1664,8 +1671,11 @@ _JACCARD_PAIRS_SQL = """
                / len(list_distinct(list_concat(a.t, b.t))) AS jaccard
     FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.t, b.t))) >= 0.9
+              / len(list_distinct(list_concat(a.t, b.t))) >= {threshold}
 """
+
+
+_JACCARD_PAIRS_SQL = jaccard_pairs_sql(0.9)
 
 ORACLES: dict[str, str] = {
     "dedup_exact": """

@@ -85,13 +85,18 @@ def ensure_pairs_table(
     tests/test_graph.py, and every graph oracle still replays the mining
     in SQL from the raw table."""
     import os
+    import re
 
     from pyspark_kmeans_spark.functions.warehouse_memo import memo_get, memo_put
     from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, bucketed_name
 
-    name = bucketed_name(
-        f"neardup_pairs_t{int(threshold * 100)}", sf_dir, n_buckets=1
-    )
+    # Lossless threshold encoding (round-8 review finding: int(t*100)
+    # truncates float error, so 0.56 and 0.57 collided on one cache path
+    # and the write-once contract would have served mismatched edges
+    # forever).  repr round-trips every float exactly; sanitize for the
+    # path.
+    t_tag = re.sub(r"[^0-9a-zA-Z]", "_", repr(threshold))
+    name = bucketed_name(f"neardup_pairs_t{t_tag}", sf_dir, n_buckets=1)
     path = os.path.join(_WAREHOUSE, name)
     # No content stamp on this memo (the signature-table contract, not
     # the codebook's): the pair table has no refresh/update path —
@@ -173,8 +178,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_sql(damping: float, iterations: int) -> str:
     """Unrolled power iteration: one CTE per round — plain ANSI SQL (a
     recursive CTE with per-round aggregation is not portable), generated
-    from the same damping/iteration constants the Spark side uses."""
-    from pyspark_kmeans_spark.operators.dedup import _JACCARD_PAIRS_SQL
+    from the same damping/iteration/threshold constants the Spark side
+    uses."""
+    from pyspark_kmeans_spark.operators.dedup import jaccard_pairs_sql
+
+    pairs_sql = jaccard_pairs_sql(GRAPH_PAIR_THRESHOLD)
 
     rounds = []
     for i in range(1, iterations + 1):
@@ -196,7 +204,7 @@ def _pagerank_sql(damping: float, iterations: int) -> str:
             LEFT JOIN m{i} ON d.doc_id = m{i}.doc_id
         )""")
     return f"""
-        WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+        WITH pairs AS ({pairs_sql}),
         e AS (
             SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION ALL
@@ -331,9 +339,9 @@ def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _graph_sql(body: str) -> str:
-    from pyspark_kmeans_spark.operators.dedup import _JACCARD_PAIRS_SQL
+    from pyspark_kmeans_spark.operators.dedup import jaccard_pairs_sql
 
-    return f"WITH pairs AS ({_JACCARD_PAIRS_SQL}){body}"
+    return f"WITH pairs AS ({jaccard_pairs_sql(GRAPH_PAIR_THRESHOLD)}){body}"
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -120,17 +120,24 @@ def test_pairs_table_equals_inline_mining_and_never_remines(
 ):
     """The round-8 write-once edge-list artifact: ensure_pairs_table's
     parquet round-trip must equal the inline jaccard_pairs frame
-    row-for-row, and once the artifact exists the registered graph
+    row-for-row, and once the artifact exists ALL FOUR registered graph
     queries must run ZERO pair-mining jobs (the ensure_codebook_table
-    no-refit contract applied to the graph family)."""
+    no-refit contract applied to the graph family) — including through
+    the cross-session DISK reuse branch, not just the session memo."""
+    import os
+
+    from pyspark_kmeans_spark.functions.warehouse_memo import memo_invalidate
     from pyspark_kmeans_spark.operators import graph as graph_mod
     from pyspark_kmeans_spark.operators.dedup import jaccard_pairs
     from pyspark_kmeans_spark.operators.graph import (
+        GRAPH_PAIR_THRESHOLD,
         ensure_pairs_table,
         q_graph_degrees,
         q_graph_pagerank,
+        q_graph_triangles,
         q_graph_triangles_capped,
     )
+    from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, bucketed_name
     from pyspark_kmeans_spark.sources.tables import load_table
 
     stored = {
@@ -140,7 +147,8 @@ def test_pairs_table_equals_inline_mining_and_never_remines(
     inline = {
         (r["doc_a"], r["doc_b"])
         for r in jaccard_pairs(
-            load_table(spark, sf_dir, "documents"), threshold=0.9
+            load_table(spark, sf_dir, "documents"),
+            threshold=GRAPH_PAIR_THRESHOLD,
         ).select("doc_a", "doc_b").collect()
     }
     assert stored == inline and stored
@@ -151,6 +159,18 @@ def test_pairs_table_equals_inline_mining_and_never_remines(
         )
 
     monkeypatch.setattr(graph_mod, "jaccard_pairs", _no_mining)
+    # Drop the session memo so the queries exercise the _SUCCESS/disk
+    # reuse branch (what a FRESH session hits) under the mining ban —
+    # a memo-only pass would hide a broken cross-session path.
+    import re as _re
+
+    t_tag = _re.sub(r"[^0-9a-zA-Z]", "_", repr(GRAPH_PAIR_THRESHOLD))
+    path = os.path.join(
+        _WAREHOUSE, bucketed_name(f"neardup_pairs_t{t_tag}", sf_dir, n_buckets=1)
+    )
+    memo_invalidate(spark, path)
     assert q_graph_degrees(spark, sf_dir).count() > 0
+    memo_invalidate(spark, path)
     assert q_graph_pagerank(spark, sf_dir).count() > 0
+    assert q_graph_triangles(spark, sf_dir).count() > 0
     assert q_graph_triangles_capped(spark, sf_dir).count() > 0

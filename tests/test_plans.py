@@ -8,11 +8,13 @@ zero Spark jobs at DataFrame-construction time, but the persisted-artifact
 and eager-verify families are documented exceptions —
 
 - `ensure_*` write-once warehouse artifacts (signature / digest /
-  lang-stats / codebook tables: dedup.ensure_signature_table,
+  lang-stats / codebook / near-dup-pair tables: dedup.ensure_signature_table,
   ingest.ensure_digest_table / ensure_lang_stats_table,
-  similarity.ensure_codebook_table) pay a corpus-sized build job on the
-  FIRST call per (sf_dir, params) and a bounded read (the codebook adds an
-  O(n_cells) collect) on every later call — including plan-only ones.
+  similarity.ensure_codebook_table, graph.ensure_pairs_table — the last
+  added in round 8, whose first-touch build is the full pair-mining pass)
+  pay a corpus-sized build job on the FIRST call per (sf_dir, params) and
+  a bounded read (the codebook adds an O(n_cells) collect) on every later
+  call — including plan-only ones.
 - the two-wave LSH kept paths (dedup.lsh_near_dedup_kept,
   incremental_kept_against) eagerly persist+count their candidate frames
   at construction, by design (the wave-2 input depends on wave-1 results).
