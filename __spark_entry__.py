@@ -76,15 +76,18 @@ def _registries() -> list:
 # columns changed this round, then the final 23 rows last recorded in
 # round 4 (exactly the rotation VERDICT r7 item 1 demands — this closes
 # the first full cycle: after round 8 every oracle row's latest record is
-# round 5 or newer), then the alphabetically-first 17 of the 46 rows last
+# round 5 or newer), then the alphabetically-first 15 of the 46 rows last
 # recorded in round 5 plus graph_triangles_capped (also round-8-changed)
 # to start the second cycle.  Round 9 resumes the round-5 block at
-# event_retention (event_retention, forecast_revenue, hybrid_search and
-# everything after remain unrotated — three fill slots went to the
-# changed graph rows this round).
+# event_funnel (event_funnel, event_hit_rate, event_retention,
+# forecast_revenue, hybrid_search and everything after remain unrotated —
+# five fill slots went to the changed graph rows and the two
+# incremental-SemDeDup additions this round).
 _SWEEP_FIRST = [
     # 0. added in round 8 — never driver-recorded
     "codebook_update_check",
+    "dedup_semantic_incremental",
+    "incremental_semdedup_check",
     # 1. changed in round 8 (streaming_ingest_check gained the three
     #    compaction-contract columns; codebook_check gained the relative
     #    drift gate column; dedup_keep_best/keep_best_lsh_check run the
@@ -124,8 +127,8 @@ _SWEEP_FIRST = [
     "tpch_q21",
     "training_split",
     "zorder_cust_window",
-    # 3. stale: last recorded in round 5 (first 17 of 46, alphabetical —
-    #    round 9 resumes at event_retention) plus graph_triangles_capped,
+    # 3. stale: last recorded in round 5 (first 15 of 46, alphabetical —
+    #    round 9 resumes at event_funnel) plus graph_triangles_capped,
     #    which is also round-8-changed
     "bpe_check",
     "curation_funnel",
@@ -142,8 +145,6 @@ _SWEEP_FIRST = [
     "distinct_pairs",
     "distinct_priorities",
     "epoch_plan",
-    "event_funnel",
-    "event_hit_rate",
     "graph_triangles_capped",
 ]
 

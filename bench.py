@@ -126,9 +126,12 @@ EXTENDED = [
     # ingestion-dedup loop's stream==batch gate
     "codebook_check",
     "streaming_ingest_check",
-    # round-8 addition: the mini-batch codebook-update gate (scratch-fit
-    # + fold + closed-form compare — the fit dominates its cost)
+    # round-8 additions: the mini-batch codebook-update gate (scratch-fit
+    # + fold + closed-form compare — the fit dominates its cost) and the
+    # incremental-SemDeDup pair (registered query + its greedy-rule twin)
     "codebook_update_check",
+    "dedup_semantic_incremental",
+    "incremental_semdedup_check",
 ]
 
 

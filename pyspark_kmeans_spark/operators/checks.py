@@ -1296,6 +1296,95 @@ def q_codebook_update_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(art, ignore_errors=True)
 
 
+def q_incremental_semdedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of `dedup_semantic_incremental` (rows-only:
+    the persisted codebook's cells are engine-specific).  Given the
+    codebook's OWN routing, the incremental kept set is fully determined
+    by the greedy rule — a batch vector is dropped iff cosine ≥ threshold
+    to a same-cell CORPUS member (corpus precedence) or to a SMALLER-ID
+    same-cell batch member — so the twin re-derives the expected drop set
+    with an independent aggregate shape (ONE unioned candidate frame +
+    per-probe max, vs the registered query's two distinct anti-join
+    branches; the q_semdedup_check pattern) and counts disagreements.
+    `n_batch` anchors the split (the oracle recomputes it); a zero
+    `n_kept_mismatch` is the driver-hashed greedy-rule equality.
+
+    Plan: the same bounded cell equi-joins the registered query runs
+    (|batch_cell|x|corpus_cell| per cell — the SemDeDup n_cells knob),
+    one extra per-probe aggregate; cosine via the module's single-sourced
+    rounded contract so rule and audit cannot diverge on ulps."""
+    from pyspark_kmeans_spark.functions.persist import (
+        registered_persist,
+        release_persisted,
+    )
+    from pyspark_kmeans_spark.operators.similarity import (
+        IVF_BATCH_MOD,
+        SEMDEDUP_THRESHOLD,
+        _cosine,
+        ensure_codebook_table,
+        ivf_assign,
+        q_dedup_semantic_incremental,
+        with_unit_vectors,
+    )
+
+    release_persisted()
+    kept = registered_persist(
+        q_dedup_semantic_incremental(spark, sf_dir).select(
+            "vec_id", F.lit(1).alias("_k")
+        )
+    )
+    kept.count()
+    emb = _t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % IVF_BATCH_MOD == 0)
+    corpus = emb.filter(F.col("vec_id") % IVF_BATCH_MOD != 0)
+    centroids = ensure_codebook_table(spark, sf_dir, n_cells=16, seed=1)
+
+    def _sided(df: DataFrame, alias: str) -> DataFrame:
+        cells = ivf_assign(df, centroids).select(
+            F.col("vec_id").alias(alias), "cell"
+        )
+        return (
+            with_unit_vectors(df)
+            .select(F.col("vec_id").alias(alias), "vec", "norm")
+            .join(cells, on=alias)
+        )
+
+    probe = _sided(batch, "_idb").select(
+        "_idb", "cell", F.col("vec").alias("pvec"), F.col("norm").alias("pnorm")
+    )
+    hit = (_cosine() >= F.lit(SEMDEDUP_THRESHOLD)).cast("int").alias("_hit")
+    scored_corpus = probe.join(_sided(corpus, "_idc"), on="cell").select(
+        "_idb", hit
+    )
+    scored_batch = (
+        probe.join(_sided(batch, "_ida"), on="cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select("_idb", hit)
+    )
+    expected_drop = (
+        scored_corpus.unionByName(scored_batch)
+        .groupBy("_idb")
+        .agg(F.max("_hit").alias("_drop"))
+        .filter(F.col("_drop") == 1)
+        .select(F.col("_idb").alias("vec_id"), "_drop")
+    )
+    audited = (
+        batch.select("vec_id")
+        .join(kept, on="vec_id", how="left")
+        .join(expected_drop, on="vec_id", how="left")
+    )
+    return audited.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(
+            F.when(
+                (F.coalesce(F.col("_k"), F.lit(0)) == 1)
+                == F.col("_drop").isNull(),
+                0,
+            ).otherwise(1)
+        ).alias("n_kept_mismatch"),
+    )
+
+
 QUALITY_ACC_FLOOR = 0.9  # tests pin ≥0.95 at sf0.001; driver floor has margin
 
 
@@ -1347,6 +1436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_ingest_check": q_daily_ingest_check,
     "codebook_check": q_codebook_check,
     "codebook_update_check": q_codebook_update_check,
+    "incremental_semdedup_check": q_incremental_semdedup_check,
     "streaming_ingest_check": q_streaming_ingest_check,
     "keep_best_lsh_check": q_keep_best_lsh_check,
 }
@@ -1639,3 +1729,20 @@ def _codebook_update_check_oracle() -> str:
 
 
 ORACLES["codebook_update_check"] = _codebook_update_check_oracle()
+
+
+def _incremental_semdedup_check_oracle() -> str:
+    """n_kept_mismatch = 0 is exact (same routing, same rounded cosine
+    contract, independent aggregate shape — no scale bound: both sides
+    see the identical candidate sets)."""
+    from pyspark_kmeans_spark.operators.similarity import IVF_BATCH_MOD
+
+    return f"""
+        SELECT COUNT(*) AS n_batch,
+               CAST(0 AS BIGINT) AS n_kept_mismatch
+        FROM embeddings
+        WHERE vec_id % {IVF_BATCH_MOD} = 0
+    """
+
+
+ORACLES["incremental_semdedup_check"] = _incremental_semdedup_check_oracle()

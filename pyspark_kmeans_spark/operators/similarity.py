@@ -816,6 +816,86 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb.coalesce(8), SEMDEDUP_THRESHOLD)
 
 
+def incremental_semantic_kept(
+    corpus: DataFrame,
+    batch: DataFrame,
+    centroids: list[list[float]],
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch-only SemDeDup against an accepted corpus (round 8) — the
+    SEMANTIC member of the incremental ingest trio, completing the loop
+    the daily flagship already runs for exact digests
+    (`ingest.ensure_digest_table`) and MinHash-LSH
+    (`dedup.incremental_kept_against`): only the BATCH is scored, the
+    corpus appears solely as same-cell candidates, and nothing refits.
+
+    Routing is one map-side pass per side against the broadcast literal
+    codebook (the persisted `ensure_codebook_table` artifact — the same
+    routing `ann_ivf_assign` trusts); only same-cell pairs are scored
+    (the SemDeDup bound: semantic duplicates land in the same cell, so
+    the candidate volume is |batch_cell|x|corpus_cell| per cell, tuned by
+    n_cells — never corpus²).  A batch vector is dropped iff
+
+     - cosine ≥ threshold to ANY corpus member of its cell (CORPUS
+       PRECEDENCE — an accepted document always wins, regardless of id:
+       the incremental_kept_against contract), or
+     - cosine ≥ threshold to a SMALLER-ID batch member of its cell (the
+       same one-hop greedy lowest-id rule as `semantic_dedup`).
+
+    Cosine uses the module's single-sourced rounded contract (_cosine),
+    so this, semantic_dedup, and the driver-hash twin can never diverge
+    on ulps.  Returns the kept batch ids."""
+    def _sided(df: DataFrame, prefix: str) -> DataFrame:
+        cells = ivf_assign(df, centroids, id_col=id_col).select(
+            F.col(id_col).alias(f"_{prefix}"), "cell"
+        )
+        return (
+            with_unit_vectors(df)
+            .select(F.col(id_col).alias(f"_{prefix}"), "vec", "norm")
+            .join(cells, on=f"_{prefix}")
+        )
+
+    probe = _sided(batch, "idb").select(
+        "_idb",
+        "cell",
+        F.col("vec").alias("pvec"),
+        F.col("norm").alias("pnorm"),
+    )
+    corpus_side = _sided(corpus, "idc")
+    drop_vs_corpus = (
+        probe.join(corpus_side, on="cell")
+        .filter(_cosine() >= F.lit(threshold))
+        .select(F.col("_idb").alias(id_col))
+    )
+    batch_side = _sided(batch, "ida")
+    drop_vs_batch = (
+        probe.join(batch_side, on="cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(_cosine() >= F.lit(threshold))
+        .select(F.col("_idb").alias(id_col))
+    )
+    dropped = drop_vs_corpus.unionByName(drop_vs_batch).distinct()
+    return batch.select(id_col).join(dropped, on=id_col, how="left_anti")
+
+
+def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup over the 20% batch split against the 80%
+    corpus, routed by the PERSISTED codebook (zero iterative fits per
+    run — the ann_ivf_assign contract).  rows-only: the codebook cells
+    are engine-specific; the greedy rule given the routing is
+    driver-hashed by `incremental_semdedup_check`."""
+    release_persisted()
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % IVF_BATCH_MOD == 0)
+    corpus = emb.filter(F.col("vec_id") % IVF_BATCH_MOD != 0)
+    centroids = ensure_codebook_table(spark, sf_dir, n_cells=16, seed=1)
+    return incremental_semantic_kept(
+        corpus, batch, centroids, threshold=SEMDEDUP_THRESHOLD
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.35,
@@ -1105,6 +1185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_assign": q_ann_ivf_assign,
     "embedding_near_dups": q_embedding_near_dups,
     "dedup_semantic": q_dedup_semantic,
+    "dedup_semantic_incremental": q_dedup_semantic_incremental,
 }
 
 _COS_SQL = (

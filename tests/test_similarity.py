@@ -543,6 +543,52 @@ def test_relative_drift_gate_catches_what_absolute_gate_misses(
     )
 
 
+def test_incremental_semantic_kept_corpus_precedence_and_greedy(spark):
+    """The incremental SemDeDup rule, planted: a batch vector near a
+    CORPUS vector is dropped even though its id is SMALLER than the
+    corpus doc's (corpus precedence is positional, not id-based); within
+    the batch the greedy lowest-id one-hop rule applies; vectors in a
+    cell with no near neighbor survive."""
+    from pyspark.sql import functions as F
+
+    from pyspark_kmeans_spark.operators.similarity import (
+        incremental_semantic_kept,
+    )
+
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    corpus = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    batch = spark.createDataFrame(
+        [
+            # ~= the corpus vector: dropped by corpus precedence (id 1 < 100)
+            (1, [0.999, 0.01, 0.0, 0.0]),
+            # alone with id 3 in cell 1: kept (no corpus member there)
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            # near batch id 2 (smaller id): dropped by the greedy rule
+            (3, [0.0, 0.999, 0.02, 0.0]),
+            # cell 0 but cosine 0.8 < 0.95 to everything: kept
+            (4, [0.8, 0.0, 0.6, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kept = {
+        r["vec_id"]
+        for r in incremental_semantic_kept(
+            corpus, batch, centroids, threshold=0.95
+        ).collect()
+    }
+    assert kept == {2, 4}
+    # An empty corpus degrades to pure within-batch greedy SemDeDup.
+    kept2 = {
+        r["vec_id"]
+        for r in incremental_semantic_kept(
+            corpus.filter(F.lit(False)), batch, centroids, threshold=0.95
+        ).collect()
+    }
+    assert kept2 == {1, 2, 4}
+
+
 def test_codebook_update_check_green_and_reclaims_scratch(spark):
     """The registered driver row for the mini-batch update (VERDICT r7
     missing #2): zero closed-form mismatches on the honest corpus, and
