@@ -1311,8 +1311,9 @@ def q_incremental_semdedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the same bounded cell equi-joins the registered query runs
     (|batch_cell|x|corpus_cell| per cell — the SemDeDup n_cells knob),
-    one extra per-probe aggregate; cosine via the module's single-sourced
-    rounded contract so rule and audit cannot diverge on ulps."""
+    one extra per-probe aggregate; cosine via the unit-space spelling of
+    the rounded contract (_cosine_unit — the registered query's own) so
+    rule and audit cannot diverge on ulps."""
     from pyspark_kmeans_spark.functions.persist import (
         registered_persist,
         release_persisted,
@@ -1320,11 +1321,10 @@ def q_incremental_semdedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_kmeans_spark.operators.similarity import (
         IVF_BATCH_MOD,
         SEMDEDUP_THRESHOLD,
-        _cosine,
+        _cosine_unit,
         ensure_codebook_table,
         ivf_assign,
         q_dedup_semantic_incremental,
-        with_unit_vectors,
     )
 
     release_persisted()
@@ -1340,24 +1340,22 @@ def q_incremental_semdedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = ensure_codebook_table(spark, sf_dir, n_cells=16, seed=1)
 
     def _sided(df: DataFrame, alias: str) -> DataFrame:
-        cells = ivf_assign(df, centroids).select(
-            F.col("vec_id").alias(alias), "cell"
-        )
-        return (
-            with_unit_vectors(df)
-            .select(F.col("vec_id").alias(alias), "vec", "norm")
-            .join(cells, on=alias)
+        return ivf_assign(df, centroids, emit_unit=True).select(
+            F.col("vec_id").alias(alias), "cell", "unit_vec"
         )
 
     probe = _sided(batch, "_idb").select(
-        "_idb", "cell", F.col("vec").alias("pvec"), F.col("norm").alias("pnorm")
+        "_idb", "cell", F.col("unit_vec").alias("punit")
     )
-    hit = (_cosine() >= F.lit(SEMDEDUP_THRESHOLD)).cast("int").alias("_hit")
-    scored_corpus = probe.join(_sided(corpus, "_idc"), on="cell").select(
-        "_idb", hit
-    )
+    hit = (_cosine_unit() >= F.lit(SEMDEDUP_THRESHOLD)).cast("int").alias("_hit")
+    # Batch side broadcast, as in the registered query (the bounded side
+    # by the ingest contract — corpus stays map-side).
+    scored_corpus = _sided(corpus, "_idc").join(
+        F.broadcast(probe), on="cell"
+    ).select("_idb", hit)
     scored_batch = (
-        probe.join(_sided(batch, "_ida"), on="cell")
+        _sided(batch, "_ida")
+        .join(F.broadcast(probe), on="cell")
         .filter(F.col("_ida") < F.col("_idb"))
         .select("_idb", hit)
     )

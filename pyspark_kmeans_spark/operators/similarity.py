@@ -68,6 +68,17 @@ def _cosine() -> F.Column:
     return F.round(_dot("pvec", "vec") / (F.col("pnorm") * F.col("norm")), 6)
 
 
+def _cosine_unit() -> F.Column:
+    """The UNIT-SPACE spelling of the rounded-cosine contract: dot of the
+    (punit, unit_vec) pre-normalized columns ivf_assign(emit_unit=True)
+    emits — no norms, no division, one array fold.  Used by the
+    incremental-SemDeDup path and its driver-hash twin (both the SAME
+    spelling, so they cannot diverge on ulps); kept separate from
+    _cosine because pre- vs post-division arithmetic can differ in the
+    last ulp and each consumer pair must be internally consistent."""
+    return F.round(_dot("punit", "unit_vec"), 6)
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """(probe_id, neighbor_id, cosine) → top-k per probe with stable rank.
 
@@ -844,40 +855,53 @@ def incremental_semantic_kept(
      - cosine ≥ threshold to a SMALLER-ID batch member of its cell (the
        same one-hop greedy lowest-id rule as `semantic_dedup`).
 
-    Cosine uses the module's single-sourced rounded contract (_cosine),
-    so this, semantic_dedup, and the driver-hash twin can never diverge
-    on ulps.  Returns the kept batch ids."""
-    def _sided(df: DataFrame, prefix: str) -> DataFrame:
-        cells = ivf_assign(df, centroids, id_col=id_col).select(
-            F.col(id_col).alias(f"_{prefix}"), "cell"
+    Cosine uses the unit-space spelling of the rounded contract
+    (_cosine_unit — identical in this path and the driver-hash twin, so
+    they cannot diverge on ulps).  Routing and normalization come out of
+    ONE projection per side (ivf_assign(emit_unit=True) — no
+    unit-vector/cell join, one scan per side; the first spelling paid
+    two scans plus an id-join per side and tripled the stage count).
+    Returns the kept batch ids."""
+    def _sided(df: DataFrame, alias: str) -> DataFrame:
+        # Persist + force the routed frame: the ivf_assign projection (a
+        # 16-struct argmin per row) would otherwise be COLLAPSED into the
+        # cell join by Catalyst and re-evaluated once per candidate PAIR
+        # — measured 12.6 s vs 1.0 s for the routing pass itself at
+        # sf0.1.  One bounded cached frame per side (id, cell, unit_vec),
+        # the minhash_lsh_pairs token-frame pattern.
+        routed = registered_persist(
+            ivf_assign(df, centroids, id_col=id_col, emit_unit=True).select(
+                F.col(id_col).alias(alias), "cell", "unit_vec"
+            )
         )
-        return (
-            with_unit_vectors(df)
-            .select(F.col(id_col).alias(f"_{prefix}"), "vec", "norm")
-            .join(cells, on=f"_{prefix}")
-        )
+        routed.count()
+        return routed
 
-    probe = _sided(batch, "idb").select(
-        "_idb",
-        "cell",
-        F.col("vec").alias("pvec"),
-        F.col("norm").alias("pnorm"),
+    routed_batch = _sided(batch, "_idb")
+    probe = routed_batch.select(
+        "_idb", "cell", F.col("unit_vec").alias("punit")
     )
-    corpus_side = _sided(corpus, "idc")
+    # Broadcast the BATCH side everywhere: the batch is the bounded side
+    # by the ingest contract (a daily slice vs the accumulated corpus),
+    # so both candidate joins run map-side over the corpus scan — no
+    # corpus shuffle, the incremental_kept_against shape.  The dropped
+    # set (≤ batch) broadcasts into the anti-join for the same reason.
     drop_vs_corpus = (
-        probe.join(corpus_side, on="cell")
-        .filter(_cosine() >= F.lit(threshold))
+        _sided(corpus, "_idc").join(F.broadcast(probe), on="cell")
+        .filter(_cosine_unit() >= F.lit(threshold))
         .select(F.col("_idb").alias(id_col))
     )
-    batch_side = _sided(batch, "ida")
     drop_vs_batch = (
-        probe.join(batch_side, on="cell")
+        routed_batch.withColumnRenamed("_idb", "_ida")
+        .join(F.broadcast(probe), on="cell")
         .filter(F.col("_ida") < F.col("_idb"))
-        .filter(_cosine() >= F.lit(threshold))
+        .filter(_cosine_unit() >= F.lit(threshold))
         .select(F.col("_idb").alias(id_col))
     )
     dropped = drop_vs_corpus.unionByName(drop_vs_batch).distinct()
-    return batch.select(id_col).join(dropped, on=id_col, how="left_anti")
+    return batch.select(id_col).join(
+        F.broadcast(dropped), on=id_col, how="left_anti"
+    )
 
 
 def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
