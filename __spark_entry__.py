@@ -79,15 +79,20 @@ def _registries() -> list:
 # round 5 or newer), then the alphabetically-first 15 of the 46 rows last
 # recorded in round 5 plus graph_triangles_capped (also round-8-changed)
 # to start the second cycle.  Round 9 resumes the round-5 block at
-# event_funnel (event_funnel, event_hit_rate, event_retention,
-# forecast_revenue, hybrid_search and everything after remain unrotated —
-# five fill slots went to the changed graph rows and the two
-# incremental-SemDeDup additions this round).
+# distinct_priorities (distinct_priorities, epoch_plan, event_funnel,
+# event_hit_rate, event_retention, forecast_revenue, hybrid_search and
+# everything after remain unrotated — fill slots went to the changed
+# graph rows and the four round-8 additions: the incremental-SemDeDup
+# pair, split_leakage_safe, curation_token_budget; dedup_keep_best is
+# already in the changed band and covers the QUALITY_SCORE_SQL oracle
+# refactor).
 _SWEEP_FIRST = [
     # 0. added in round 8 — never driver-recorded
     "codebook_update_check",
     "dedup_semantic_incremental",
     "incremental_semdedup_check",
+    "split_leakage_safe",
+    "curation_token_budget",
     # 1. changed in round 8 (streaming_ingest_check gained the three
     #    compaction-contract columns; codebook_check gained the relative
     #    drift gate column; dedup_keep_best/keep_best_lsh_check run the
@@ -143,8 +148,6 @@ _SWEEP_FIRST = [
     "dedup_simhash_recall",
     "derived_age",
     "distinct_pairs",
-    "distinct_priorities",
-    "epoch_plan",
     "graph_triangles_capped",
 ]
 

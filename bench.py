@@ -132,6 +132,11 @@ EXTENDED = [
     "codebook_update_check",
     "dedup_semantic_incremental",
     "incremental_semdedup_check",
+    # round-8 additions: leakage-safe split (components + split over the
+    # persisted pair artifact) and histogram-threshold token-budget
+    # selection
+    "split_leakage_safe",
+    "curation_token_budget",
 ]
 
 

@@ -816,6 +816,75 @@ def q_training_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Near-dup-cluster-aware train/val/test split report.
+
+    q_training_split's md5 rule assigns each doc independently — so two
+    near-duplicate documents routinely land on opposite sides of the
+    train/eval boundary, and the eval set silently overlaps the training
+    corpus (the classic benchmark-leakage failure; the published
+    dedup-the-test-set guidance exists precisely because of it).  This
+    operator lifts the SAME membership rule from the doc to its near-dup
+    CLUSTER: split = md5-first-hex-digit of the cluster REPRESENTATIVE
+    (component min doc_id; a doc in no near-dup pair represents itself),
+    so a cluster can never straddle splits — membership is still a pure
+    function of the key set, reproducible on any engine or partitioning.
+
+    Plan at scale: connected components run over the pair frame only
+    (docs that appear in some near-dup pair — a small fraction of the
+    corpus); the labels join back onto the full corpus with shuffle_hash
+    (pair-derived lineage has no usable static size estimate and label
+    sets can be huge at 100 TB — never statically broadcast, the
+    near_dedup_kept rationale); everything after is one
+    partial-aggregatable groupBy.  `n_docs_moved` counts docs whose
+    naive per-doc split differs from their cluster split — the leakage
+    repairs, recomputed independently by the oracle's recursive-CTE
+    components."""
+
+    def _split_of(key: F.Column) -> F.Column:
+        digit = F.substring(F.md5(key.cast("string")), 1, 1)
+        return (
+            F.when(digit == "0", F.lit("test"))
+            .when(digit == "1", F.lit("val"))
+            .otherwise(F.lit("train"))
+        )
+
+    from pyspark_kmeans_spark.operators.dedup import near_dup_clusters
+
+    labels = near_dup_clusters(pairs)
+    rep = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    assigned = (
+        docs.select("doc_id")
+        .join(labels.hint("shuffle_hash"), on="doc_id", how="left")
+        .select(
+            rep.alias("rep"),
+            _split_of(rep).alias("split"),
+            _split_of(F.col("doc_id")).alias("naive_split"),
+        )
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("rep").alias("n_groups"),
+        F.sum((F.col("naive_split") != F.col("split")).cast("int"))
+        .cast("long")
+        .alias("n_docs_moved"),
+    )
+
+
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split over the persisted near-dup pair artifact
+    (graph.ensure_pairs_table — mined once per (sf_dir, threshold), the
+    write-once edge-list contract; the oracle replays the mining in SQL)."""
+    from pyspark_kmeans_spark.operators.graph import (
+        GRAPH_PAIR_THRESHOLD,
+        ensure_pairs_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ensure_pairs_table(spark, sf_dir, threshold=GRAPH_PAIR_THRESHOLD)
+    return leakage_safe_split(docs, pairs)
+
+
 def q_event_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending report: top-3 event types per hour by count (ties broken
     by type name) — the grouped-top-k over a windowed rollup that powers
@@ -846,6 +915,7 @@ def q_event_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "training_split": q_training_split,
+    "split_leakage_safe": q_split_leakage_safe,
     "event_trending": q_event_trending,
     "event_anomaly": q_event_anomaly,
     "event_distinct_rollup": q_event_distinct_rollup,
@@ -872,7 +942,59 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_agg": q_json_agg,
 }
 
+def _split_case_sql(key: str) -> str:
+    """DuckDB spelling of the md5-first-hex-digit split rule, shared by the
+    training_split and split_leakage_safe oracles (single source so the
+    Spark rule and both oracles cannot diverge)."""
+    return (
+        f"CASE substring(md5(CAST({key} AS VARCHAR)), 1, 1) "
+        "WHEN '0' THEN 'test' WHEN '1' THEN 'val' ELSE 'train' END"
+    )
+
+
+def _split_leakage_safe_sql() -> str:
+    """Oracle: recursive-CTE components over the SAME pair mining the
+    Spark side's persisted artifact was built from (jaccard_pairs_sql
+    interpolated from the shared GRAPH_PAIR_THRESHOLD constant, the
+    graph-oracle contract), then the shared split rule on the component
+    representative."""
+    from pyspark_kmeans_spark.operators.dedup import jaccard_pairs_sql
+    from pyspark_kmeans_spark.operators.graph import GRAPH_PAIR_THRESHOLD
+
+    return f"""
+        WITH RECURSIVE pairs AS ({jaccard_pairs_sql(GRAPH_PAIR_THRESHOLD)}),
+        e AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach(doc_id, r) AS (
+            SELECT DISTINCT a, a FROM e
+            UNION
+            SELECT e.a, reach.r FROM e JOIN reach ON reach.doc_id = e.b
+        ),
+        lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+        m AS (
+            SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS rep
+            FROM documents d LEFT JOIN lab l USING (doc_id)
+        ),
+        s AS (
+            SELECT rep,
+                   {_split_case_sql("rep")} AS split,
+                   {_split_case_sql("doc_id")} AS naive_split
+            FROM m
+        )
+        SELECT split,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT rep) AS n_groups,
+               CAST(SUM(CASE WHEN naive_split != split THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_moved
+        FROM s GROUP BY split
+    """
+
+
 ORACLES: dict[str, str] = {
+    "split_leakage_safe": _split_leakage_safe_sql(),
     "training_split": """
         SELECT lang,
                CASE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)

@@ -38,6 +38,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark_kmeans_spark.operators.text import QUALITY_SCORE_SQL
 from pyspark_kmeans_spark.sources.tables import load_table
 
 
@@ -905,7 +906,125 @@ def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_plan(docs, weights, group_col="lang")
 
 
+TOKEN_BUDGET_FRACTION = 0.5
+
+
+def token_budget_selection(
+    docs: DataFrame, *, fraction: float = TOKEN_BUDGET_FRACTION
+) -> DataFrame:
+    """Quality-greedy corpus selection under a global token budget,
+    WITHOUT a global sort.
+
+    Semantics (the oracle's single window spells them directly): order
+    docs by (quality_score DESC, doc_id ASC); keep a doc iff the token
+    sum of all docs strictly before it is under budget = floor(fraction ×
+    total corpus tokens) — so the doc straddling the boundary is kept and
+    everything after is dropped.  This is the "select the best N tokens"
+    primitive of every data-constrained pretraining recipe.
+
+    A literal cumulative-sum window over the corpus is a single-task
+    sort at 100 TB.  Instead the selection decomposes over the SCORE
+    HISTOGRAM: quality_score is rounded to 6 decimals in [0,1]
+    (with_quality's contract), so there are at most 10^6+1 score classes
+    REGARDLESS of corpus size.  One groupBy builds per-class token sums;
+    the cumulative window runs over that bounded class frame (tiny);
+    whole classes above the boundary are kept by a broadcast semi-join
+    (map-side — the corpus never shuffles); only the SINGLE boundary
+    class needs a per-doc cumulative window, partitioned to that class's
+    docs ordered by doc_id (bounded by the largest score-tie class — the
+    one residual single-task stage, on one class instead of the corpus).
+
+    NULL scores (empty text) bucket under a -1.0 sentinel so they sort
+    after every real class on both engines (oracle: DESC NULLS LAST) and
+    join null-safely."""
+    from pyspark_kmeans_spark.functions.persist import registered_persist
+    from pyspark_kmeans_spark.operators.text import with_quality
+
+    scored = registered_persist(
+        with_quality(docs)
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("quality_score"), F.lit(-1.0)).alias("_skey"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    budget = scored.agg(
+        F.floor(F.lit(fraction) * F.sum("n_tokens"))
+        .cast("long")
+        .alias("budget_tokens")
+    )
+    class_w = Window.orderBy(F.desc("_skey")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    classes = (
+        scored.groupBy("_skey")
+        .agg(F.sum("n_tokens").alias("_ctok"))
+        .withColumn(
+            "_before",
+            F.coalesce(F.sum("_ctok").over(class_w), F.lit(0).cast("long")),
+        )
+        .crossJoin(F.broadcast(budget))
+    )
+    kept_whole = scored.join(
+        F.broadcast(
+            classes.filter(
+                F.col("_before") + F.col("_ctok") <= F.col("budget_tokens")
+            ).select("_skey")
+        ),
+        on="_skey",
+    ).select("lang", "n_tokens")
+    doc_w = (
+        Window.partitionBy("_skey")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = classes.filter(
+        (F.col("_before") < F.col("budget_tokens"))
+        & (F.col("_before") + F.col("_ctok") > F.col("budget_tokens"))
+    ).select("_skey", "_before", "budget_tokens")
+    kept_boundary = (
+        scored.join(F.broadcast(boundary), on="_skey")
+        .withColumn(
+            "_inb",
+            F.coalesce(F.sum("n_tokens").over(doc_w), F.lit(0).cast("long")),
+        )
+        .filter(F.col("_before") + F.col("_inb") < F.col("budget_tokens"))
+        .select("lang", "n_tokens")
+    )
+    kept = kept_whole.unionByName(kept_boundary)
+    totals = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    kept_agg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("kept_tokens"),
+    )
+    return (
+        totals.join(kept_agg, on="lang", how="left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            "total_tokens",
+            F.coalesce("kept_tokens", F.lit(0).cast("long")).alias(
+                "kept_tokens"
+            ),
+        )
+        .crossJoin(F.broadcast(budget))
+    )
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_kmeans_spark.functions.persist import release_persisted
+
+    release_persisted()
+    return token_budget_selection(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "curation_token_budget": q_token_budget,
     "curation_funnel": q_quality_funnel,
     "mixture_weights": q_mixture_weights,
     "epoch_plan": q_epoch_plan,
@@ -943,6 +1062,50 @@ _SQL_PII_ANY = " OR ".join(
 )
 
 ORACLES: dict[str, str] = {
+    # The oracle spells the SEMANTICS directly — one global cumulative
+    # window in (score DESC, doc_id ASC) order, kept iff the strictly-
+    # preceding token sum is under budget; the Spark side's histogram
+    # decomposition must reproduce it exactly.  Score via the shared
+    # QUALITY_SCORE_SQL fragment, fraction interpolated from the shared
+    # constant; the -1.0 sentinel matches the Spark side's null-safe
+    # class key.
+    "curation_token_budget": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   COALESCE({QUALITY_SCORE_SQL}, -1.0) AS skey,
+                   CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n]+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        b AS (
+            SELECT CAST(FLOOR({TOKEN_BUDGET_FRACTION}
+                              * CAST(SUM(n_tokens) AS DOUBLE)) AS BIGINT)
+                   AS budget_tokens
+            FROM t
+        ),
+        o AS (
+            SELECT t.*,
+                   COALESCE(CAST(SUM(n_tokens) OVER (
+                       ORDER BY skey DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS BIGINT), 0) AS cum_before
+            FROM t
+        ),
+        k AS (
+            SELECT o.*,
+                   CASE WHEN cum_before < (SELECT budget_tokens FROM b)
+                        THEN 1 ELSE 0 END AS kept
+            FROM o
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(kept) AS BIGINT) AS n_kept,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS kept_tokens,
+               (SELECT budget_tokens FROM b) AS budget_tokens
+        FROM k GROUP BY lang
+    """,
     "curation_segment_dedup": f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS t FROM documents

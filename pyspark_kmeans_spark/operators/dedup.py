@@ -37,7 +37,11 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from pyspark_kmeans_spark.functions.persist import registered_persist, release_persisted
-from pyspark_kmeans_spark.operators.text import WS_RE, with_fingerprint
+from pyspark_kmeans_spark.operators.text import (
+    QUALITY_SCORE_SQL,
+    WS_RE,
+    with_fingerprint,
+)
 from pyspark_kmeans_spark.sources.tables import load_table
 
 # Mersenne prime 2^31-1: universal-hash modulus.  The modulus must be of the
@@ -1746,13 +1750,7 @@ ORACLES: dict[str, str] = {
         ),
         lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
         q AS (
-            SELECT doc_id,
-                   ROUND(
-                       LEAST(CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n]+')) AS DOUBLE) / 100, 1.0) * 0.4
-                       + (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n]')) AS DOUBLE) / length(text) * 4, 1.0)) * 0.3
-                       + LEAST(CAST(len(regexp_extract_all(text, '(^| )(the|and|of|to|a|in|is)( |$)')) AS DOUBLE)
-                             / len(regexp_split_to_array(trim(text), '[ \\t\\n]+')) * 5, 1.0) * 0.3,
-                   6) AS quality_score
+            SELECT doc_id, {QUALITY_SCORE_SQL} AS quality_score
             FROM documents
         ),
         keepers AS (

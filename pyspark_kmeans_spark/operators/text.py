@@ -47,6 +47,21 @@ def _count(pattern: str, col: str = "text") -> F.Column:
     return F.regexp_count(F.col(col), F.lit(pattern))
 
 
+# DuckDB spelling of with_quality's composite score, as one expression over
+# a `text` column — the SINGLE SOURCE every oracle that re-derives the
+# quality score interpolates (dedup_keep_best, curation_token_budget), so a
+# scoring change can never leave an oracle silently pinning the old formula.
+# Must stay arithmetically identical to with_quality() above (pinned by the
+# text_quality hash row, whose oracle spells the same formula through named
+# intermediates).
+QUALITY_SCORE_SQL = """ROUND(
+    LEAST(CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n]+')) AS DOUBLE) / 100, 1.0) * 0.4
+    + (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n]')) AS DOUBLE) / length(text) * 4, 1.0)) * 0.3
+    + LEAST(CAST(len(regexp_extract_all(text, '(^| )(the|and|of|to|a|in|is)( |$)')) AS DOUBLE)
+          / len(regexp_split_to_array(trim(text), '[ \\t\\n]+')) * 5, 1.0) * 0.3,
+6)"""
+
+
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count."""
     return df.withColumn(

@@ -261,3 +261,54 @@ def test_salted_join_rejects_outer_semantics(spark):
     for how in ("full", "right", "left_semi", "left_anti"):
         with pytest.raises(ValueError, match="inner/left"):
             salted_join(a, b, "k", how=how)
+
+
+def test_leakage_safe_split_planted(spark):
+    """Planted near-dup graph whose components straddle the NAIVE md5
+    split: the cluster-aware split must move every member onto the
+    representative's side, and the report must equal an independent
+    python replay of the rule (components by union, md5 rule per rep)."""
+    import hashlib
+
+    from pyspark_kmeans_spark.operators.analytics import leakage_safe_split
+
+    def naive(key: int) -> str:
+        d = hashlib.md5(str(key).encode()).hexdigest()[0]
+        return {"0": "test", "1": "val"}.get(d, "train")
+
+    # Find two ids with DIFFERENT naive splits to guarantee at least one
+    # moved doc, plus a second component entirely inside one split.
+    ids = list(range(1, 61))
+    a = next(i for i in ids if naive(i) != "train")
+    b = next(i for i in ids if naive(i) == "train" and i != a)
+    c, d_ = (
+        [i for i in ids if naive(i) == "train" and i not in (a, b)][:2]
+    )
+    pair_list = [(min(a, b), max(a, b)), (min(c, d_), max(c, d_))]
+
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pairs = spark.createDataFrame(pair_list, "doc_a long, doc_b long")
+    got = {
+        r["split"]: (r["n_docs"], r["n_groups"], r["n_docs_moved"])
+        for r in leakage_safe_split(docs, pairs).collect()
+    }
+
+    rep = {i: i for i in ids}
+    for x, y in pair_list:
+        lo = min(rep[x], rep[y])
+        for k, v in list(rep.items()):
+            if v in (rep[x], rep[y]):
+                rep[k] = lo
+    want: dict[str, list[int]] = {}
+    for i in ids:
+        s = naive(rep[i])
+        n_docs, groups, moved = want.setdefault(s, [0, set(), 0])
+        want[s][0] += 1
+        want[s][1].add(rep[i])
+        want[s][2] += int(naive(i) != s)
+    assert got == {
+        s: (n, len(g), m) for s, (n, g, m) in want.items()
+    }
+    # The construction planted a genuine repair: component {a,b} members
+    # had different naive splits, so at least one doc moved.
+    assert sum(m for _, _, m in got.values()) >= 1

@@ -366,3 +366,59 @@ def test_segment_dedup_partial_tail_segment(spark):
     row = segment_dedup(docs, seg_tokens=3).collect()[0]
     assert row["n_segments"] == 2  # "x y z" + "w v"
     assert row["n_removed"] == 0
+
+
+def test_token_budget_planted_boundary_straddle(spark):
+    """Two score classes built so the budget lands INSIDE the lower
+    class (exercising the boundary per-doc window) with the straddling
+    doc KEPT (its strictly-preceding sum is under budget even though
+    keeping it overshoots).  Expected report replayed in python from the
+    operator's own (score, tokens) inputs — the oracle's global-greedy
+    semantics, independent of the histogram decomposition under test."""
+    from pyspark_kmeans_spark.operators.curation import (
+        token_budget_selection,
+    )
+    from pyspark_kmeans_spark.operators.text import with_quality
+
+    # Class A: clean English prose (high score), 3 docs.  Class B: heavy
+    # punctuation (low score), 5 docs.  Identical text within a class →
+    # identical 6-dp scores → real tie classes.
+    a_text = "the cat and the dog walk to a park in the morning sun"
+    b_text = "x! y? z# a$ b% c^ d& e* f( g)"
+    rows = [(i, a_text, "en") for i in range(1, 4)] + [
+        (i, b_text, "xx") for i in range(4, 9)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    scored = {
+        r["doc_id"]: (r["quality_score"], r["n_tokens"])
+        for r in with_quality(docs).collect()
+    }
+    assert scored[1][0] > scored[4][0], "construction requires A > B"
+
+    order = sorted(scored, key=lambda i: (-scored[i][0], i))
+    total = sum(t for _, t in scored.values())
+    budget = int(0.5 * total)
+    cum, kept = 0, set()
+    for i in order:
+        if cum < budget:
+            kept.add(i)
+        cum += scored[i][1]
+    # The planted shape must actually straddle: kept token mass exceeds
+    # the budget (last kept doc crosses the line), and class B is split.
+    assert sum(scored[i][1] for i in kept) > budget
+    assert 0 < len([i for i in kept if i >= 4]) < 5
+
+    got = {
+        r["lang"]: r
+        for r in token_budget_selection(docs, fraction=0.5).collect()
+    }
+    for lang, ids in (("en", range(1, 4)), ("xx", range(4, 9))):
+        want_kept = [i for i in ids if i in kept]
+        assert got[lang]["n_docs"] == len(list(ids))
+        assert got[lang]["n_kept"] == len(want_kept)
+        assert got[lang]["total_tokens"] == sum(scored[i][1] for i in ids)
+        assert got[lang]["kept_tokens"] == sum(
+            scored[i][1] for i in want_kept
+        )
+        assert got[lang]["budget_tokens"] == budget

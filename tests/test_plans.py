@@ -356,6 +356,11 @@ def test_all_registered_plans_no_unbounded_cross(spark, sf_dir):
         # normalizer) — bounded by 1, never by the corpus
         # (curation.py: `crossJoin(F.broadcast(tot/zsum))`).
         "mixture_weights",
+        # curation_token_budget crosses in the 1-row global token-budget
+        # scalar twice (curation.py: `crossJoin(F.broadcast(budget))`
+        # onto the bounded score-class frame and onto the per-lang
+        # report) — bounded by 1, never by the corpus.
+        "curation_token_budget",
         # epoch_plan embeds the mixture_weights weight computation (same
         # two 1-row scalar crosses); its own join is a broadcast equi-join
         # on the group key.
