@@ -422,3 +422,29 @@ def test_token_budget_planted_boundary_straddle(spark):
             scored[i][1] for i in want_kept
         )
         assert got[lang]["budget_tokens"] == budget
+
+
+def test_token_budget_null_score_sorts_last(spark):
+    """An empty-text doc has NULL quality_score (0-length division);
+    the -1.0 sentinel must class it AFTER every real score on both the
+    histogram and oracle orderings — with a half-total budget it is
+    never kept, and totals still count it."""
+    from pyspark_kmeans_spark.operators.curation import (
+        token_budget_selection,
+    )
+
+    rows = [
+        (1, "the cat and the dog walk to a park in the morning", "en"),
+        (2, "the cat and the dog walk to a park in the morning", "en"),
+        (3, "", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = token_budget_selection(docs, fraction=0.5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_docs"] == 3
+    # Budget = floor(0.5 * 25) = 12 tokens: doc 1 (12 tokens) fills it
+    # exactly; doc 2's preceding sum is not under budget; the empty doc
+    # (1 whitespace token, NULL score -> sentinel class) sorts last.
+    assert r["n_kept"] == 1 and r["kept_tokens"] == 12
+    assert r["total_tokens"] == 25 and r["budget_tokens"] == 12
