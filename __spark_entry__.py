@@ -76,7 +76,7 @@ def _registries() -> list:
 # columns changed this round, then the final 23 rows last recorded in
 # round 4 (exactly the rotation VERDICT r7 item 1 demands — this closes
 # the first full cycle: after round 8 every oracle row's latest record is
-# round 5 or newer), then the alphabetically-first 15 of the 46 rows last
+# round 5 or newer), then the alphabetically-first 13 of the 46 rows last
 # recorded in round 5 plus graph_triangles_capped (also round-8-changed)
 # to start the second cycle.  Round 9 resumes the round-5 block at
 # distinct_priorities (distinct_priorities, epoch_plan, event_funnel,
@@ -132,9 +132,9 @@ _SWEEP_FIRST = [
     "tpch_q21",
     "training_split",
     "zorder_cust_window",
-    # 3. stale: last recorded in round 5 (first 15 of 46, alphabetical —
-    #    round 9 resumes at event_funnel) plus graph_triangles_capped,
-    #    which is also round-8-changed
+    # 3. stale: last recorded in round 5 (first 13 of 46, alphabetical —
+    #    round 9 resumes at distinct_priorities) plus
+    #    graph_triangles_capped, which is also round-8-changed
     "bpe_check",
     "curation_funnel",
     "curation_segment_dedup",

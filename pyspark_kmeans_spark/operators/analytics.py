@@ -995,12 +995,9 @@ def _split_leakage_safe_sql() -> str:
 
 ORACLES: dict[str, str] = {
     "split_leakage_safe": _split_leakage_safe_sql(),
-    "training_split": """
+    "training_split": f"""
         SELECT lang,
-               CASE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                    WHEN '0' THEN 'test'
-                    WHEN '1' THEN 'val'
-                    ELSE 'train' END AS split,
+               {_split_case_sql("doc_id")} AS split,
                COUNT(*) AS n_docs
         FROM documents
         GROUP BY 1, 2
