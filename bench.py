@@ -137,6 +137,7 @@ EXTENDED = [
     # selection
     "split_leakage_safe",
     "curation_token_budget",
+    "curation_length_batching",
 ]
 
 

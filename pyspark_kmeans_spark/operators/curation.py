@@ -1016,6 +1016,79 @@ def token_budget_selection(
     )
 
 
+BATCH_LENGTH_BUCKET = 64  # tokens per length-bucket step
+BATCH_SIZE = 16  # docs per training batch
+BATCH_SHARDS = 8  # deterministic parallel shards per bucket
+
+
+def length_bucket_batching(
+    docs: DataFrame,
+    *,
+    bucket_width: int = BATCH_LENGTH_BUCKET,
+    batch_size: int = BATCH_SIZE,
+    n_shards: int = BATCH_SHARDS,
+) -> DataFrame:
+    """Length-bucketed training-batch formation with a padding-waste
+    report — the batching-efficiency primitive: a batch padded to its
+    longest member wastes (max - len) tokens per doc, and grouping
+    similar-length docs first is how pipelines cut that waste.
+
+    Batches are formed deterministically WITHOUT a global sort: docs
+    land in (length bucket = n_tokens div bucket_width, shard = doc_id
+    mod n_shards), and the row_number window that assigns batch slots
+    partitions by (bucket, shard) — parallel across buckets AND shards,
+    each window task bounded by |bucket|/n_shards (the production knob:
+    more shards, smaller tasks; batches never cross shards, which is
+    exactly how per-worker batch formation behaves in a real loader).
+    Report per bucket: docs, batches, real vs padded token mass, and the
+    waste ratio.  Membership is a pure function of (doc_id, n_tokens),
+    so the plan is engine/partitioning-stable and the oracle replays it
+    verbatim."""
+    from pyspark_kmeans_spark.operators.text import with_token_counts
+
+    t = with_token_counts(docs).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    x = t.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("n_tokens") / F.lit(bucket_width))
+        .cast("long")
+        .alias("bucket"),
+        (F.col("doc_id") % F.lit(n_shards)).alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("doc_id")
+    batches = (
+        x.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "batch",
+            F.floor((F.col("_rn") - 1) / F.lit(batch_size)).cast("long"),
+        )
+        .groupBy("bucket", "shard", "batch")
+        .agg(
+            F.count(F.lit(1)).alias("_bd"),
+            F.max("n_tokens").alias("_mt"),
+            F.sum("n_tokens").alias("_st"),
+        )
+    )
+    return batches.groupBy("bucket").agg(
+        F.sum("_bd").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("_st").alias("total_tokens"),
+        F.sum(F.col("_mt") * F.col("_bd")).alias("padded_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("_st").cast("double")
+            / F.sum(F.col("_mt") * F.col("_bd")).cast("double"),
+            6,
+        ).alias("waste_ratio"),
+    )
+
+
+def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_bucket_batching(load_table(spark, sf_dir, "documents"))
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_kmeans_spark.functions.persist import release_persisted
 
@@ -1025,6 +1098,7 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_token_budget": q_token_budget,
+    "curation_length_batching": q_length_batching,
     "curation_funnel": q_quality_funnel,
     "mixture_weights": q_mixture_weights,
     "epoch_plan": q_epoch_plan,
@@ -1062,6 +1136,47 @@ _SQL_PII_ANY = " OR ".join(
 )
 
 ORACLES: dict[str, str] = {
+    # Batch formation replayed verbatim: same (bucket, shard) keys, same
+    # row_number slotting, same padded-to-batch-max accounting.  All
+    # three knobs interpolated from the shared constants.
+    "curation_length_batching": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n]+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        x AS (
+            SELECT doc_id, n_tokens,
+                   CAST(FLOOR(CAST(n_tokens AS DOUBLE)
+                              / {BATCH_LENGTH_BUCKET}) AS BIGINT) AS bucket,
+                   doc_id % {BATCH_SHARDS} AS shard
+            FROM t
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY bucket, shard ORDER BY doc_id
+            ) AS rn
+            FROM x
+        ),
+        b AS (
+            SELECT bucket, shard,
+                   CAST(FLOOR(CAST(rn - 1 AS DOUBLE)
+                              / {BATCH_SIZE}) AS BIGINT) AS batch,
+                   COUNT(*) AS bd,
+                   MAX(n_tokens) AS mt,
+                   SUM(n_tokens) AS st
+            FROM r GROUP BY 1, 2, 3
+        )
+        SELECT bucket,
+               CAST(SUM(bd) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_batches,
+               CAST(SUM(st) AS BIGINT) AS total_tokens,
+               CAST(SUM(mt * bd) AS BIGINT) AS padded_tokens,
+               ROUND(1.0 - CAST(SUM(st) AS DOUBLE)
+                           / CAST(SUM(mt * bd) AS DOUBLE), 6) AS waste_ratio
+        FROM b GROUP BY bucket
+    """,
     # The oracle spells the SEMANTICS directly — one global cumulative
     # window in (score DESC, doc_id ASC) order, kept iff the strictly-
     # preceding token sum is under budget; the Spark side's histogram

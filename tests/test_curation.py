@@ -448,3 +448,38 @@ def test_token_budget_null_score_sorts_last(spark):
     # (1 whitespace token, NULL score -> sentinel class) sorts last.
     assert r["n_kept"] == 1 and r["kept_tokens"] == 12
     assert r["total_tokens"] == 25 and r["budget_tokens"] == 12
+
+
+def test_length_batching_planted_padding_math(spark):
+    """Hand-computed batch formation: bucket_width 4, batch_size 2,
+    single shard — docs of 1-2 tokens bucket 0, 5-6 tokens bucket 1;
+    batches pad to their own max, and the report's padded/waste math
+    must match the by-hand numbers exactly."""
+    from pyspark_kmeans_spark.operators.curation import (
+        length_bucket_batching,
+    )
+
+    rows = [
+        (0, "a"),                 # 1 token,  bucket 0
+        (8, "a b"),               # 2 tokens, bucket 0
+        (16, "a b"),              # 2 tokens, bucket 0
+        (24, "a b c d e"),        # 5 tokens, bucket 1
+        (32, "a b c d e f"),      # 6 tokens, bucket 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["bucket"]: r
+        for r in length_bucket_batching(
+            docs, bucket_width=4, batch_size=2, n_shards=1
+        ).collect()
+    }
+    # Bucket 0: batch [1,2] pads to 2 (padded 4), batch [2] padded 2.
+    b0 = got[0]
+    assert (b0["n_docs"], b0["n_batches"]) == (3, 2)
+    assert (b0["total_tokens"], b0["padded_tokens"]) == (5, 6)
+    assert b0["waste_ratio"] == round(1 - 5 / 6, 6)
+    # Bucket 1: one batch [5,6] pads to 6 (padded 12).
+    b1 = got[1]
+    assert (b1["n_docs"], b1["n_batches"]) == (2, 1)
+    assert (b1["total_tokens"], b1["padded_tokens"]) == (11, 12)
+    assert b1["waste_ratio"] == round(1 - 11 / 12, 6)
