@@ -1314,52 +1314,49 @@ def q_incremental_semdedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     one extra per-probe aggregate; cosine via the unit-space spelling of
     the rounded contract (_cosine_unit — the registered query's own) so
     rule and audit cannot diverge on ulps."""
-    from pyspark_kmeans_spark.functions.persist import (
-        registered_persist,
-        release_persisted,
-    )
+    from pyspark_kmeans_spark.functions.persist import release_persisted
     from pyspark_kmeans_spark.operators.similarity import (
         IVF_BATCH_MOD,
         SEMDEDUP_THRESHOLD,
         _cosine_unit,
         ensure_codebook_table,
-        ivf_assign,
         q_dedup_semantic_incremental,
+        routed_side,
     )
 
     release_persisted()
-    kept = registered_persist(
-        q_dedup_semantic_incremental(spark, sf_dir).select(
-            "vec_id", F.lit(1).alias("_k")
+    # Materialize the kept ID SET eagerly (bounded by the batch — the
+    # same ingest-contract bound the registered query's broadcast(probe)
+    # already relies on), then release the registered query's persisted
+    # routed frames BEFORE the twin builds its own: otherwise two routed
+    # copies of the corpus sit cached side by side for the whole check.
+    kept_rows = [
+        (r["vec_id"],)
+        for r in q_dedup_semantic_incremental(spark, sf_dir).collect()
+    ]
+    release_persisted()
+    kept = F.broadcast(
+        spark.createDataFrame(kept_rows, "vec_id long").withColumn(
+            "_k", F.lit(1)
         )
     )
-    kept.count()
     emb = _t(spark, sf_dir, "embeddings")
     batch = emb.filter(F.col("vec_id") % IVF_BATCH_MOD == 0)
     corpus = emb.filter(F.col("vec_id") % IVF_BATCH_MOD != 0)
     centroids = ensure_codebook_table(spark, sf_dir, n_cells=16, seed=1)
 
-    def _sided(df: DataFrame, alias: str) -> DataFrame:
-        # Persist + force, exactly as incremental_semantic_kept._sided:
-        # without it Catalyst collapses the 16-struct routing argmin into
-        # the cell join and re-evaluates it once per candidate PAIR
-        # (measured 12.6 s vs 1.0 s for the routing pass at sf0.1).
-        routed = registered_persist(
-            ivf_assign(df, centroids, emit_unit=True).select(
-                F.col("vec_id").alias(alias), "cell", "unit_vec"
-            )
-        )
-        routed.count()
-        return routed
-
-    routed_batch = _sided(batch, "_idb")
+    # routed_side is the registered query's OWN side preparation
+    # (similarity.routed_side — persisted+forced so the routing argmin
+    # is evaluated once per row, single-sourced so rule and audit cannot
+    # route differently).
+    routed_batch = routed_side(batch, centroids, alias="_idb")
     probe = routed_batch.select(
         "_idb", "cell", F.col("unit_vec").alias("punit")
     )
     hit = (_cosine_unit() >= F.lit(SEMDEDUP_THRESHOLD)).cast("int").alias("_hit")
     # Batch side broadcast, as in the registered query (the bounded side
     # by the ingest contract — corpus stays map-side).
-    scored_corpus = _sided(corpus, "_idc").join(
+    scored_corpus = routed_side(corpus, centroids, alias="_idc").join(
         F.broadcast(probe), on="cell"
     ).select("_idb", hit)
     scored_batch = (

@@ -827,6 +827,32 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb.coalesce(8), SEMDEDUP_THRESHOLD)
 
 
+def routed_side(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    alias: str,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One persisted, FORCED (alias, cell, unit_vec) routing projection —
+    the shared side-preparation of `incremental_semantic_kept` and its
+    driver-hash twin (`checks.q_incremental_semdedup_check`), single-
+    sourced so rule and audit can never route differently.
+
+    Persist + count are load-bearing: the ivf_assign projection (a
+    16-struct argmin per row) would otherwise be COLLAPSED into the cell
+    join by Catalyst and re-evaluated once per candidate PAIR — measured
+    12.6 s vs 1.0 s for the routing pass itself at sf0.1.  One bounded
+    cached frame per side, the minhash_lsh_pairs token-frame pattern."""
+    routed = registered_persist(
+        ivf_assign(df, centroids, id_col=id_col, emit_unit=True).select(
+            F.col(id_col).alias(alias), "cell", "unit_vec"
+        )
+    )
+    routed.count()
+    return routed
+
+
 def incremental_semantic_kept(
     corpus: DataFrame,
     batch: DataFrame,
@@ -862,22 +888,7 @@ def incremental_semantic_kept(
     unit-vector/cell join, one scan per side; the first spelling paid
     two scans plus an id-join per side and tripled the stage count).
     Returns the kept batch ids."""
-    def _sided(df: DataFrame, alias: str) -> DataFrame:
-        # Persist + force the routed frame: the ivf_assign projection (a
-        # 16-struct argmin per row) would otherwise be COLLAPSED into the
-        # cell join by Catalyst and re-evaluated once per candidate PAIR
-        # — measured 12.6 s vs 1.0 s for the routing pass itself at
-        # sf0.1.  One bounded cached frame per side (id, cell, unit_vec),
-        # the minhash_lsh_pairs token-frame pattern.
-        routed = registered_persist(
-            ivf_assign(df, centroids, id_col=id_col, emit_unit=True).select(
-                F.col(id_col).alias(alias), "cell", "unit_vec"
-            )
-        )
-        routed.count()
-        return routed
-
-    routed_batch = _sided(batch, "_idb")
+    routed_batch = routed_side(batch, centroids, alias="_idb", id_col=id_col)
     probe = routed_batch.select(
         "_idb", "cell", F.col("unit_vec").alias("punit")
     )
@@ -887,7 +898,8 @@ def incremental_semantic_kept(
     # corpus shuffle, the incremental_kept_against shape.  The dropped
     # set (≤ batch) broadcasts into the anti-join for the same reason.
     drop_vs_corpus = (
-        _sided(corpus, "_idc").join(F.broadcast(probe), on="cell")
+        routed_side(corpus, centroids, alias="_idc", id_col=id_col)
+        .join(F.broadcast(probe), on="cell")
         .filter(_cosine_unit() >= F.lit(threshold))
         .select(F.col("_idb").alias(id_col))
     )

@@ -483,3 +483,35 @@ def test_length_batching_planted_padding_math(spark):
     assert (b1["n_docs"], b1["n_batches"]) == (2, 1)
     assert (b1["total_tokens"], b1["padded_tokens"]) == (11, 12)
     assert b1["waste_ratio"] == round(1 - 11 / 12, 6)
+
+
+def test_length_batching_two_shards_never_cross(spark):
+    """Multi-shard pin (review finding: the n_shards=1 test cannot catch
+    a dropped shard term): even ids carry 1 token, odd ids 3 tokens, so
+    with shard = doc_id % 2 each shard is length-homogeneous — 4 batches,
+    zero padding waste.  Shard-blind slotting by doc_id would interleave
+    the lengths into 3 batches padded to 18 (waste 1/3); a hash-based or
+    dropped shard term lands elsewhere too.  All docs share one length
+    bucket, so only the shard rule separates the outcomes."""
+    from pyspark_kmeans_spark.operators.curation import (
+        length_bucket_batching,
+    )
+
+    rows = [
+        (0, "a"),
+        (1, "a b c"),
+        (2, "a"),
+        (3, "a b c"),
+        (4, "a"),
+        (5, "a b c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = length_bucket_batching(
+        docs, bucket_width=4, batch_size=2, n_shards=2
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    # shard 0: [0,2] pad 2, [4] pad 1; shard 1: [1,3] pad 6, [5] pad 3.
+    assert (r["n_docs"], r["n_batches"]) == (6, 4)
+    assert (r["total_tokens"], r["padded_tokens"]) == (12, 12)
+    assert r["waste_ratio"] == 0.0
