@@ -138,6 +138,7 @@ EXTENDED = [
     "split_leakage_safe",
     "curation_token_budget",
     "curation_length_batching",
+    "curation_fuzzy_contamination",
 ]
 
 

@@ -1016,6 +1016,91 @@ def token_budget_selection(
     )
 
 
+FUZZY_CONTAM_THRESHOLD = 0.8
+
+
+def fuzzy_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    threshold: float = FUZZY_CONTAM_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Doc-level NEAR-VERBATIM benchmark contamination: per corpus doc,
+    the maximum whole-document token-set Jaccard against any benchmark
+    doc, and whether it crosses `threshold` — the paraphrase-robust
+    complement to `contamination` (verbatim n-gram overlap misses a
+    lightly edited benchmark copy whose 8-grams all differ; its token
+    SET barely moves).
+
+    Plan at scale: the benchmark side is MB-scale by contract, so its
+    exploded (token, bench_id, |bench set|) frame broadcasts and the
+    corpus joins map-side — candidate (doc, bench) pairs exist only
+    where at least one token is shared, the per-pair intersection count
+    is one partial-aggregatable groupBy, and per-token fan-out is
+    bounded by the bench-doc count, never the corpus.  Docs sharing no
+    token with any bench doc surface with max_jaccard 0.0 (left join +
+    coalesce), matching the oracle's max over ALL pairs.  Jaccard is
+    rounded to 6 dp BEFORE every comparison on both engines."""
+
+    def _toks(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(alias),
+            F.array_distinct(
+                F.split(F.trim(F.col(text_col)), "[ \\t\\n]+")
+            ).alias("_t"),
+        )
+
+    ct = _toks(corpus, "doc_id").select(
+        "doc_id", F.size("_t").alias("_na"), F.explode("_t").alias("_tok")
+    )
+    bench_tokens = F.broadcast(
+        _toks(benchmark, "_bench_id").select(
+            "_bench_id", F.size("_t").alias("_nb"), F.explode("_t").alias("_tok")
+        )
+    )
+    jac = F.round(
+        F.col("_inter").cast("double")
+        / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+        6,
+    )
+    per_doc = (
+        ct.join(bench_tokens, on="_tok")
+        .groupBy("doc_id", "_bench_id", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+        .select("doc_id", jac.alias("_jac"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("_jac").alias("max_jaccard"),
+            F.sum((F.col("_jac") >= F.lit(threshold)).cast("int"))
+            .cast("long")
+            .alias("n_bench_hits"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+            F.coalesce("n_bench_hits", F.lit(0).cast("long")).alias(
+                "n_bench_hits"
+            ),
+        )
+        .withColumn(
+            "is_contaminated", F.col("max_jaccard") >= F.lit(threshold)
+        )
+    )
+
+
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_contamination(
+        docs.filter(f"NOT ({_BENCH_PRED})"), docs.filter(_BENCH_PRED)
+    )
+
+
 BATCH_LENGTH_BUCKET = 64  # tokens per length-bucket step
 BATCH_SIZE = 16  # docs per training batch
 BATCH_SHARDS = 8  # deterministic parallel shards per bucket
@@ -1099,6 +1184,7 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_token_budget": q_token_budget,
     "curation_length_batching": q_length_batching,
+    "curation_fuzzy_contamination": q_fuzzy_contamination,
     "curation_funnel": q_quality_funnel,
     "mixture_weights": q_mixture_weights,
     "epoch_plan": q_epoch_plan,
@@ -1136,6 +1222,38 @@ _SQL_PII_ANY = " OR ".join(
 )
 
 ORACLES: dict[str, str] = {
+    # The oracle affords the full corpus×bench cross (bench is 1/50 of
+    # the corpus at oracle SF) — list_intersect Jaccard over distinct
+    # token sets, rounded to 6 dp before every comparison, exactly as
+    # the Spark side; a doc sharing no token with any bench doc gets
+    # MAX(jac) = 0.0, the Spark left-join/coalesce case.
+    "curation_fuzzy_contamination": f"""
+        WITH ct AS (
+            SELECT doc_id,
+                   list_distinct(regexp_split_to_array(trim(text),
+                                 '[ \\t\\n]+')) AS t
+            FROM documents WHERE NOT ({_BENCH_PRED})
+        ),
+        bt AS (
+            SELECT doc_id AS bench_id,
+                   list_distinct(regexp_split_to_array(trim(text),
+                                 '[ \\t\\n]+')) AS t
+            FROM documents WHERE {_BENCH_PRED}
+        ),
+        p AS (
+            SELECT ct.doc_id,
+                   ROUND(CAST(len(list_intersect(ct.t, bt.t)) AS DOUBLE)
+                         / (len(ct.t) + len(bt.t)
+                            - len(list_intersect(ct.t, bt.t))), 6) AS jac
+            FROM ct, bt
+        )
+        SELECT doc_id,
+               MAX(jac) AS max_jaccard,
+               CAST(SUM(CASE WHEN jac >= {FUZZY_CONTAM_THRESHOLD}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_bench_hits,
+               MAX(jac) >= {FUZZY_CONTAM_THRESHOLD} AS is_contaminated
+        FROM p GROUP BY doc_id
+    """,
     # Batch formation replayed verbatim: same (bucket, shard) keys, same
     # row_number slotting, same padded-to-batch-max accounting.  All
     # three knobs interpolated from the shared constants.

@@ -515,3 +515,34 @@ def test_length_batching_two_shards_never_cross(spark):
     assert (r["n_docs"], r["n_batches"]) == (6, 4)
     assert (r["total_tokens"], r["padded_tokens"]) == (12, 12)
     assert r["waste_ratio"] == 0.0
+
+
+def test_fuzzy_contamination_planted(spark):
+    """A lightly edited benchmark copy (one token swapped out of ten)
+    must flag at the 0.8 doc-level Jaccard threshold; a partial-overlap
+    doc scores its exact hand-computed Jaccard without flagging; a
+    zero-overlap doc surfaces with 0.0 (the left-join case) rather than
+    disappearing."""
+    from pyspark_kmeans_spark.operators.curation import fuzzy_contamination
+
+    bench = _docs(
+        spark,
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+    )
+    corpus = _docs(
+        spark,
+        [
+            # 9 of 10 tokens shared, union 11 -> 9/11 = 0.818182 >= 0.8
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota lam"),
+            (1, "one two three"),  # zero overlap
+            # 3 shared, union 13 -> 0.230769
+            (2, "alpha beta gamma nu xi omicron"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["max_jaccard"], r["n_bench_hits"], r["is_contaminated"])
+        for r in fuzzy_contamination(corpus, bench, threshold=0.8).collect()
+    }
+    assert got[0] == (round(9 / 11, 6), 1, True)
+    assert got[1] == (0.0, 0, False)
+    assert got[2] == (round(3 / 13, 6), 0, False)
