@@ -139,6 +139,7 @@ EXTENDED = [
     "curation_token_budget",
     "curation_length_batching",
     "curation_fuzzy_contamination",
+    "curation_score_percentiles",
 ]
 
 

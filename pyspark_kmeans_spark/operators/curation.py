@@ -1174,6 +1174,64 @@ def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_bucket_batching(load_table(spark, sf_dir, "documents"))
 
 
+def score_percentiles(
+    docs: DataFrame, *, group_col: str = "source"
+) -> DataFrame:
+    """Per-source quality-score calibration: each doc's percentile rank
+    of its quality score WITHIN its source — the normalization step that
+    makes one global quality threshold meaningful across sources with
+    different score distributions (a 0.5 score can be top-decile in one
+    crawl and median in another; thresholding raw scores silently skews
+    the mixture).
+
+    Percentile = PERCENT_RANK semantics: strictly-lower-scored docs in
+    the source / (n_source - 1), ties sharing a value, 0.0 for a
+    single-doc source.  Computed WITHOUT a per-source global sort via
+    the same histogram-CDF decomposition as `token_budget_selection`:
+    the 6-dp score codomain bounds each source's class frame at 10^6+1
+    rows regardless of corpus size, the strictly-below cumsum runs on
+    that bounded frame (parallel across sources), and docs join their
+    class's percentile back on (source, class).  The oracle is the
+    INDEPENDENT spelling — DuckDB's PERCENT_RANK window — so a mistake
+    in the CDF decomposition cannot be mirrored.  NULL scores (empty
+    text) class under the -1.0 sentinel, ranking below every real
+    score on both engines."""
+    from pyspark_kmeans_spark.operators.text import with_quality
+
+    scored = with_quality(docs).select(
+        "doc_id",
+        group_col,
+        F.coalesce(F.col("quality_score"), F.lit(-1.0)).alias("_skey"),
+    )
+    classes = scored.groupBy(group_col, "_skey").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    below_w = Window.partitionBy(group_col).orderBy(F.asc("_skey")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    totals = scored.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    cdf = (
+        classes.withColumn(
+            "_below",
+            F.coalesce(F.sum("_c").over(below_w), F.lit(0).cast("long")),
+        )
+        # totals is bounded by the SOURCE count (an O(100) dimension),
+        # so the broadcast is safe at any corpus size.
+        .join(F.broadcast(totals), on=group_col)
+    )
+    pct = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+        F.round(F.col("_below").cast("double") / (F.col("_n") - 1), 6)
+    )
+    return scored.join(
+        cdf.select(group_col, "_skey", pct.alias("score_pct")),
+        on=[group_col, "_skey"],
+    ).select("doc_id", group_col, "score_pct")
+
+
+def q_score_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return score_percentiles(load_table(spark, sf_dir, "documents"))
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_kmeans_spark.functions.persist import release_persisted
 
@@ -1185,6 +1243,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_token_budget": q_token_budget,
     "curation_length_batching": q_length_batching,
     "curation_fuzzy_contamination": q_fuzzy_contamination,
+    "curation_score_percentiles": q_score_percentiles,
     "curation_funnel": q_quality_funnel,
     "mixture_weights": q_mixture_weights,
     "epoch_plan": q_epoch_plan,
@@ -1222,6 +1281,21 @@ _SQL_PII_ANY = " OR ".join(
 )
 
 ORACLES: dict[str, str] = {
+    # The INDEPENDENT spelling: DuckDB's PERCENT_RANK window vs the Spark
+    # side's histogram-CDF decomposition — a CDF bug cannot be mirrored.
+    # Same -1.0 NULL sentinel, same 6-dp rounding.
+    "curation_score_percentiles": f"""
+        WITH q AS (
+            SELECT doc_id, source,
+                   COALESCE({QUALITY_SCORE_SQL}, -1.0) AS s
+            FROM documents
+        )
+        SELECT doc_id, source,
+               ROUND(PERCENT_RANK() OVER (
+                   PARTITION BY source ORDER BY s
+               ), 6) AS score_pct
+        FROM q
+    """,
     # The oracle affords the full corpus×bench cross (bench is 1/50 of
     # the corpus at oracle SF) — list_intersect Jaccard over distinct
     # token sets, rounded to 6 dp before every comparison, exactly as

@@ -546,3 +546,38 @@ def test_fuzzy_contamination_planted(spark):
     assert got[0] == (round(9 / 11, 6), 1, True)
     assert got[1] == (0.0, 0, False)
     assert got[2] == (round(3 / 13, 6), 0, False)
+
+
+def test_score_percentiles_ties_singleton_null(spark):
+    """PERCENT_RANK semantics replayed in python from the operator's own
+    scores: ties share strictly-below/(n-1), a single-doc source pins
+    0.0 (not NULL from 0/0), and an empty-text doc (NULL score -> -1.0
+    sentinel) ranks strictly below every real score in its source."""
+    from pyspark_kmeans_spark.operators.curation import score_percentiles
+    from pyspark_kmeans_spark.operators.text import with_quality
+
+    good = "the cat and the dog walk to a park in the morning"
+    rows = [
+        (0, good, "a"),
+        (1, good, "a"),            # tie with doc 0
+        (2, "zz!! ??##", "a"),     # low score
+        (3, "", "a"),              # NULL score -> sentinel, lowest
+        (4, good, "b"),            # singleton source
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    score = {
+        r["doc_id"]: (
+            -1.0 if r["quality_score"] is None else r["quality_score"]
+        )
+        for r in with_quality(docs).collect()
+    }
+    got = {
+        r["doc_id"]: r["score_pct"]
+        for r in score_percentiles(docs).collect()
+    }
+    a_ids = [0, 1, 2, 3]
+    for i in a_ids:
+        below = sum(1 for j in a_ids if score[j] < score[i])
+        assert got[i] == round(below / (len(a_ids) - 1), 6), i
+    assert got[0] == got[1] and got[0] > got[2] > got[3] == 0.0
+    assert got[4] == 0.0
