@@ -140,6 +140,7 @@ EXTENDED = [
     "curation_length_batching",
     "curation_fuzzy_contamination",
     "curation_score_percentiles",
+    "curation_decontaminated",
 ]
 
 

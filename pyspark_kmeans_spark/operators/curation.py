@@ -1101,6 +1101,43 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAM_FRAC_LIMIT = 0.2  # verbatim 8-gram overlap fraction that drops a doc
+
+
+def q_decontaminated_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination WITH REMOVAL — the decision step the two
+    report operators feed: a corpus doc is dropped iff its verbatim
+    8-gram overlap fraction ≥ CONTAM_FRAC_LIMIT (`contamination`) OR its
+    doc-level token-set Jaccard to any bench doc ≥ FUZZY_CONTAM_THRESHOLD
+    (`fuzzy_contamination`); everything else is kept.  Both filters run
+    over the broadcast bench side (map-side, no corpus shuffle); the
+    dropped set is pair-derived with no usable static size estimate and
+    can be corpus-scale under heavy contamination, so the final anti-join
+    is shuffle_hash-pinned, never statically broadcast (the
+    near_dedup_kept rationale).  Returns kept doc ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminated_kept(
+        docs.filter(f"NOT ({_BENCH_PRED})"), docs.filter(_BENCH_PRED)
+    )
+
+
+def decontaminated_kept(corpus: DataFrame, bench: DataFrame) -> DataFrame:
+    verbatim_drop = (
+        contamination(corpus, bench)
+        .filter(F.col("contam_frac") >= F.lit(CONTAM_FRAC_LIMIT))
+        .select("doc_id")
+    )
+    fuzzy_drop = (
+        fuzzy_contamination(corpus, bench)
+        .filter("is_contaminated")
+        .select("doc_id")
+    )
+    dropped = verbatim_drop.unionByName(fuzzy_drop).distinct()
+    return corpus.select("doc_id").join(
+        dropped.hint("shuffle_hash"), on="doc_id", how="left_anti"
+    )
+
+
 BATCH_LENGTH_BUCKET = 64  # tokens per length-bucket step
 BATCH_SIZE = 16  # docs per training batch
 BATCH_SHARDS = 8  # deterministic parallel shards per bucket
@@ -1244,6 +1281,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_length_batching": q_length_batching,
     "curation_fuzzy_contamination": q_fuzzy_contamination,
     "curation_score_percentiles": q_score_percentiles,
+    "curation_decontaminated": q_decontaminated_kept,
     "curation_funnel": q_quality_funnel,
     "mixture_weights": q_mixture_weights,
     "epoch_plan": q_epoch_plan,
@@ -1281,6 +1319,50 @@ _SQL_PII_ANY = " OR ".join(
 )
 
 ORACLES: dict[str, str] = {
+    # The decontamination DECISION: both flag CTEs replay their report
+    # oracles (verbatim shingle fraction with the same HAVING threshold;
+    # full-cross fuzzy Jaccard max), kept = corpus minus either drop set.
+    # All three thresholds interpolated from the shared constants.
+    "curation_decontaminated": f"""
+        WITH {_SH_CTE.format(n=8, m=7)},
+        bench AS (
+            SELECT DISTINCT shingle FROM sh WHERE {_BENCH_PRED}
+        ),
+        corpus_sh AS (SELECT * FROM sh WHERE NOT ({_BENCH_PRED})),
+        verbatim_drop AS (
+            SELECT corpus_sh.doc_id
+            FROM corpus_sh LEFT JOIN bench USING (shingle)
+            GROUP BY corpus_sh.doc_id
+            HAVING round(count(bench.shingle)::DOUBLE / count(*), 6)
+                   >= {CONTAM_FRAC_LIMIT}
+        ),
+        ct AS (
+            SELECT doc_id,
+                   list_distinct(regexp_split_to_array(trim(text),
+                                 '[ \\t\\n]+')) AS t
+            FROM documents WHERE NOT ({_BENCH_PRED})
+        ),
+        bt AS (
+            SELECT doc_id AS bench_id,
+                   list_distinct(regexp_split_to_array(trim(text),
+                                 '[ \\t\\n]+')) AS t
+            FROM documents WHERE {_BENCH_PRED}
+        ),
+        fuzzy_drop AS (
+            SELECT ct.doc_id
+            FROM ct, bt
+            GROUP BY ct.doc_id
+            HAVING MAX(ROUND(
+                CAST(len(list_intersect(ct.t, bt.t)) AS DOUBLE)
+                / (len(ct.t) + len(bt.t)
+                   - len(list_intersect(ct.t, bt.t))), 6))
+                >= {FUZZY_CONTAM_THRESHOLD}
+        )
+        SELECT doc_id FROM documents
+        WHERE NOT ({_BENCH_PRED})
+          AND doc_id NOT IN (SELECT doc_id FROM verbatim_drop)
+          AND doc_id NOT IN (SELECT doc_id FROM fuzzy_drop)
+    """,
     # The INDEPENDENT spelling: DuckDB's PERCENT_RANK window vs the Spark
     # side's histogram-CDF decomposition — a CDF bug cannot be mirrored.
     # Same -1.0 NULL sentinel, same 6-dp rounding.

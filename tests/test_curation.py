@@ -581,3 +581,30 @@ def test_score_percentiles_ties_singleton_null(spark):
         assert got[i] == round(below / (len(a_ids) - 1), 6), i
     assert got[0] == got[1] and got[0] > got[2] > got[3] == 0.0
     assert got[4] == 0.0
+
+
+def test_decontaminated_kept_or_decision(spark):
+    """The two drop reasons fire INDEPENDENTLY: a verbatim prefix copy
+    drops on shingle fraction alone (its token-set Jaccard is under
+    0.8), a token-shuffled copy drops on fuzzy Jaccard alone (zero
+    shared 8-grams — the paraphrase case the verbatim filter misses),
+    a clean doc survives."""
+    from pyspark_kmeans_spark.operators.curation import decontaminated_kept
+
+    bench_tokens = [f"tok{i}" for i in range(20)]
+    bench = _docs(spark, [(100, " ".join(bench_tokens))])
+    corpus = _docs(
+        spark,
+        [
+            # First 12 bench tokens verbatim: every shingle contaminated
+            # (frac 1.0 >= 0.2) but Jaccard 12/20 = 0.6 < 0.8.
+            (0, " ".join(bench_tokens[:12])),
+            # All 20 tokens REVERSED: no 8-gram survives (frac 0.0) but
+            # token-set Jaccard 1.0 >= 0.8.
+            (1, " ".join(reversed(bench_tokens))),
+            # Clean.
+            (2, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+        ],
+    )
+    kept = {r["doc_id"] for r in decontaminated_kept(corpus, bench).collect()}
+    assert kept == {2}
