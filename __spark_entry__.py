@@ -138,7 +138,7 @@ _SWEEP_FIRST = [
     "tpch_q21",
     "training_split",
     "zorder_cust_window",
-    # 3. stale: last recorded in round 5 (first 11 of 46, alphabetical —
+    # 3. stale: last recorded in round 5 (first 9 of 46, alphabetical —
     #    round 9 resumes at dedup_lsh_recall) plus
     #    graph_triangles_capped, which is also round-8-changed
     "bpe_check",

@@ -1044,11 +1044,13 @@ def fuzzy_contamination(
     coalesce), matching the oracle's max over ALL pairs.  Jaccard is
     rounded to 6 dp BEFORE every comparison on both engines."""
 
+    from pyspark_kmeans_spark.operators.text import WS_RE
+
     def _toks(df: DataFrame, alias: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(alias),
             F.array_distinct(
-                F.split(F.trim(F.col(text_col)), "[ \\t\\n]+")
+                F.split(F.trim(F.col(text_col)), WS_RE)
             ).alias("_t"),
         )
 
@@ -1233,12 +1235,19 @@ def score_percentiles(
     in the CDF decomposition cannot be mirrored.  NULL scores (empty
     text) class under the -1.0 sentinel, ranking below every real
     score on both engines."""
+    from pyspark_kmeans_spark.functions.persist import registered_persist
     from pyspark_kmeans_spark.operators.text import with_quality
 
-    scored = with_quality(docs).select(
-        "doc_id",
-        group_col,
-        F.coalesce(F.col("quality_score"), F.lit(-1.0)).alias("_skey"),
+    # Persisted like token_budget_selection's scored frame: with_quality's
+    # regexp aggregates dominate the query, and `scored` feeds both the
+    # class groupBy and the final join — without the persist each scan
+    # would re-run the scorer over the full corpus.
+    scored = registered_persist(
+        with_quality(docs).select(
+            "doc_id",
+            group_col,
+            F.coalesce(F.col("quality_score"), F.lit(-1.0)).alias("_skey"),
+        )
     )
     classes = scored.groupBy(group_col, "_skey").agg(
         F.count(F.lit(1)).alias("_c")
@@ -1246,26 +1255,39 @@ def score_percentiles(
     below_w = Window.partitionBy(group_col).orderBy(F.asc("_skey")).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    totals = scored.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    cdf = (
-        classes.withColumn(
-            "_below",
-            F.coalesce(F.sum("_c").over(below_w), F.lit(0).cast("long")),
-        )
-        # totals is bounded by the SOURCE count (an O(100) dimension),
-        # so the broadcast is safe at any corpus size.
-        .join(F.broadcast(totals), on=group_col)
-    )
+    # Per-group totals fold from the bounded class frame (sum of class
+    # counts), never from a second corpus scan; the window partitions by
+    # group, so _n rides along without any join.
+    total_w = Window.partitionBy(group_col)
+    cdf = classes.withColumn(
+        "_below",
+        F.coalesce(F.sum("_c").over(below_w), F.lit(0).cast("long")),
+    ).withColumn("_n", F.sum("_c").over(total_w))
     pct = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
         F.round(F.col("_below").cast("double") / (F.col("_n") - 1), 6)
     )
-    return scored.join(
-        cdf.select(group_col, "_skey", pct.alias("score_pct")),
-        on=[group_col, "_skey"],
-    ).select("doc_id", group_col, "score_pct")
+    # eqNullSafe on the group key: a NULL source must rank in its own
+    # partition exactly as the oracle's PARTITION BY does, not silently
+    # drop out of a null-unsafe equi-join.
+    cdf_side = cdf.select(
+        F.col(group_col).alias("_g"), "_skey", pct.alias("score_pct")
+    )
+    return (
+        scored.join(
+            cdf_side,
+            on=(
+                F.col(group_col).eqNullSafe(F.col("_g"))
+                & (scored["_skey"] == cdf_side["_skey"])
+            ),
+        )
+        .select("doc_id", group_col, "score_pct")
+    )
 
 
 def q_score_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_kmeans_spark.functions.persist import release_persisted
+
+    release_persisted()
     return score_percentiles(load_table(spark, sf_dir, "documents"))
 
 
@@ -1307,6 +1329,31 @@ _SH_CTE = """
     )
 """
 
+# Fuzzy doc-level token sets + the rounded Jaccard expression, shared by
+# the fuzzy-contamination and decontamination oracles (the _SH_CTE
+# convention: one spelling, so a tokenization or rounding edit cannot
+# land in one oracle and miss the other).  A NULL text yields t = NULL
+# and every jac NULL — the consumers coalesce/HAVING that to "nothing
+# shared", matching the Spark side's no-token-rows path.
+_FUZZY_CTE = f"""
+    ct AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(trim(text),
+                             '[ \\t\\n]+')) AS t
+        FROM documents WHERE NOT ({_BENCH_PRED})
+    ),
+    bt AS (
+        SELECT doc_id AS bench_id,
+               list_distinct(regexp_split_to_array(trim(text),
+                             '[ \\t\\n]+')) AS t
+        FROM documents WHERE {_BENCH_PRED}
+    )
+"""
+
+_FUZZY_JAC_SQL = """ROUND(
+    CAST(len(list_intersect(ct.t, bt.t)) AS DOUBLE)
+    / (len(ct.t) + len(bt.t) - len(list_intersect(ct.t, bt.t))), 6)"""
+
 # Oracle fragments interpolated from the SAME constants the Spark side
 # reads (editing FUNNEL_STOPWORDS / PII_PATTERNS keeps oracle parity —
 # round-4 advice: these two were hardcoded while the thresholds were not).
@@ -1336,27 +1383,12 @@ ORACLES: dict[str, str] = {
             HAVING round(count(bench.shingle)::DOUBLE / count(*), 6)
                    >= {CONTAM_FRAC_LIMIT}
         ),
-        ct AS (
-            SELECT doc_id,
-                   list_distinct(regexp_split_to_array(trim(text),
-                                 '[ \\t\\n]+')) AS t
-            FROM documents WHERE NOT ({_BENCH_PRED})
-        ),
-        bt AS (
-            SELECT doc_id AS bench_id,
-                   list_distinct(regexp_split_to_array(trim(text),
-                                 '[ \\t\\n]+')) AS t
-            FROM documents WHERE {_BENCH_PRED}
-        ),
+        {_FUZZY_CTE},
         fuzzy_drop AS (
             SELECT ct.doc_id
             FROM ct, bt
             GROUP BY ct.doc_id
-            HAVING MAX(ROUND(
-                CAST(len(list_intersect(ct.t, bt.t)) AS DOUBLE)
-                / (len(ct.t) + len(bt.t)
-                   - len(list_intersect(ct.t, bt.t))), 6))
-                >= {FUZZY_CONTAM_THRESHOLD}
+            HAVING MAX({_FUZZY_JAC_SQL}) >= {FUZZY_CONTAM_THRESHOLD}
         )
         SELECT doc_id FROM documents
         WHERE NOT ({_BENCH_PRED})
@@ -1379,35 +1411,22 @@ ORACLES: dict[str, str] = {
         FROM q
     """,
     # The oracle affords the full corpus×bench cross (bench is 1/50 of
-    # the corpus at oracle SF) — list_intersect Jaccard over distinct
-    # token sets, rounded to 6 dp before every comparison, exactly as
-    # the Spark side; a doc sharing no token with any bench doc gets
-    # MAX(jac) = 0.0, the Spark left-join/coalesce case.
+    # the corpus at oracle SF) — the shared _FUZZY_CTE/_FUZZY_JAC_SQL
+    # spelling; a doc sharing no token with any bench doc (or with NULL
+    # text, whose jac is NULL against every bench doc) gets max 0.0 via
+    # the COALESCE, matching the Spark left-join/coalesce path.
     "curation_fuzzy_contamination": f"""
-        WITH ct AS (
-            SELECT doc_id,
-                   list_distinct(regexp_split_to_array(trim(text),
-                                 '[ \\t\\n]+')) AS t
-            FROM documents WHERE NOT ({_BENCH_PRED})
-        ),
-        bt AS (
-            SELECT doc_id AS bench_id,
-                   list_distinct(regexp_split_to_array(trim(text),
-                                 '[ \\t\\n]+')) AS t
-            FROM documents WHERE {_BENCH_PRED}
-        ),
+        WITH {_FUZZY_CTE},
         p AS (
-            SELECT ct.doc_id,
-                   ROUND(CAST(len(list_intersect(ct.t, bt.t)) AS DOUBLE)
-                         / (len(ct.t) + len(bt.t)
-                            - len(list_intersect(ct.t, bt.t))), 6) AS jac
+            SELECT ct.doc_id, {_FUZZY_JAC_SQL} AS jac
             FROM ct, bt
         )
         SELECT doc_id,
-               MAX(jac) AS max_jaccard,
+               COALESCE(MAX(jac), 0.0) AS max_jaccard,
                CAST(SUM(CASE WHEN jac >= {FUZZY_CONTAM_THRESHOLD}
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_bench_hits,
-               MAX(jac) >= {FUZZY_CONTAM_THRESHOLD} AS is_contaminated
+               COALESCE(MAX(jac), 0.0) >= {FUZZY_CONTAM_THRESHOLD}
+                   AS is_contaminated
         FROM p GROUP BY doc_id
     """,
     # Batch formation replayed verbatim: same (bucket, shard) keys, same

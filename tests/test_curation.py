@@ -537,6 +537,7 @@ def test_fuzzy_contamination_planted(spark):
             (1, "one two three"),  # zero overlap
             # 3 shared, union 13 -> 0.230769
             (2, "alpha beta gamma nu xi omicron"),
+            (3, None),  # NULL text: defined as nothing shared -> 0.0
         ],
     )
     got = {
@@ -546,6 +547,7 @@ def test_fuzzy_contamination_planted(spark):
     assert got[0] == (round(9 / 11, 6), 1, True)
     assert got[1] == (0.0, 0, False)
     assert got[2] == (round(3 / 13, 6), 0, False)
+    assert got[3] == (0.0, 0, False)
 
 
 def test_score_percentiles_ties_singleton_null(spark):
