@@ -76,18 +76,18 @@ def _registries() -> list:
 # columns changed this round, then the final 23 rows last recorded in
 # round 4 (exactly the rotation VERDICT r7 item 1 demands — this closes
 # the first full cycle: after round 8 every oracle row's latest record is
-# round 5 or newer), then the alphabetically-first 9 of the 46 rows last
+# round 5 or newer), then the alphabetically-first 8 of the 46 rows last
 # recorded in round 5 plus graph_triangles_capped (also round-8-changed)
 # to start the second cycle.  Round 9 resumes the round-5 block at
-# dedup_lsh_recall (dedup_lsh_recall, dedup_simhash_recall,
+# dedup_exact (dedup_exact, dedup_lsh_recall, dedup_simhash_recall,
 # derived_age, distinct_pairs, distinct_priorities, epoch_plan and
 # everything after remain unrotated — fill slots went to the changed
-# graph rows and the eight round-8 additions: the incremental-SemDeDup
+# graph rows and the nine round-8 additions: the incremental-SemDeDup
 # pair, split_leakage_safe, curation_token_budget,
 # curation_length_batching, curation_fuzzy_contamination,
-# curation_score_percentiles, curation_decontaminated; dedup_keep_best
-# is already in the changed band and covers the QUALITY_SCORE_SQL
-# oracle refactor).
+# curation_score_percentiles, curation_decontaminated,
+# curation_top_boilerplate; dedup_keep_best is already in the changed
+# band and covers the QUALITY_SCORE_SQL oracle refactor).
 _SWEEP_FIRST = [
     # 0. added in round 8 — never driver-recorded
     "codebook_update_check",
@@ -99,6 +99,7 @@ _SWEEP_FIRST = [
     "curation_fuzzy_contamination",
     "curation_score_percentiles",
     "curation_decontaminated",
+    "curation_top_boilerplate",
     # 1. changed in round 8 (streaming_ingest_check gained the three
     #    compaction-contract columns; codebook_check gained the relative
     #    drift gate column; dedup_keep_best/keep_best_lsh_check run the
@@ -138,8 +139,8 @@ _SWEEP_FIRST = [
     "tpch_q21",
     "training_split",
     "zorder_cust_window",
-    # 3. stale: last recorded in round 5 (first 9 of 46, alphabetical —
-    #    round 9 resumes at dedup_lsh_recall) plus
+    # 3. stale: last recorded in round 5 (first 8 of 46, alphabetical —
+    #    round 9 resumes at dedup_exact) plus
     #    graph_triangles_capped, which is also round-8-changed
     "bpe_check",
     "curation_funnel",
@@ -149,7 +150,6 @@ _SWEEP_FIRST = [
     "customer_revenue_stats",
     "customer_rfm",
     "daily_ingest",
-    "dedup_exact",
     "graph_triangles_capped",
 ]
 

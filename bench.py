@@ -141,6 +141,7 @@ EXTENDED = [
     "curation_fuzzy_contamination",
     "curation_score_percentiles",
     "curation_decontaminated",
+    "curation_top_boilerplate",
 ]
 
 

@@ -1103,6 +1103,41 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOP_BOILERPLATE_K = 100  # shingles reported by the boilerplate miner
+
+
+def top_boilerplate_shingles(
+    docs: DataFrame, *, n: int = 8, k: int = TOP_BOILERPLATE_K
+) -> DataFrame:
+    """The corpus's top-k most-repeated n-gram shingles with occurrence
+    and document frequencies — the MINING step behind boilerplate filter
+    lists (`duplicate_ngram_stats` scores docs against the corpus;
+    operators teams then want the actual offending shingles: cookie
+    banners, license headers, nav chrome).  One word-count-shaped
+    groupBy over the shingle stream (map-side partial agg), then
+    TakeOrderedAndProject for the top-k with a total order (count desc,
+    doc frequency desc, shingle asc) so the cut is deterministic under
+    ties.  Only shingles appearing in MORE THAN ONE document qualify —
+    a within-doc repeat is `with_repetition`'s signal, not boilerplate."""
+    sh = _shingled(docs, n, "doc_id", "text")
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(
+            F.desc("n_occurrences"), F.desc("n_docs"), F.asc("shingle")
+        )
+        .limit(k)
+    )
+
+
+def q_top_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_boilerplate_shingles(load_table(spark, sf_dir, "documents"))
+
+
 CONTAM_FRAC_LIMIT = 0.2  # verbatim 8-gram overlap fraction that drops a doc
 
 
@@ -1304,6 +1339,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_fuzzy_contamination": q_fuzzy_contamination,
     "curation_score_percentiles": q_score_percentiles,
     "curation_decontaminated": q_decontaminated_kept,
+    "curation_top_boilerplate": q_top_boilerplate,
     "curation_funnel": q_quality_funnel,
     "mixture_weights": q_mixture_weights,
     "epoch_plan": q_epoch_plan,
@@ -1366,6 +1402,19 @@ _SQL_PII_ANY = " OR ".join(
 )
 
 ORACLES: dict[str, str] = {
+    # Top-k with a TOTAL order (count desc, doc-freq desc, shingle asc)
+    # so the limit cut is deterministic under ties on both engines; the
+    # >1-doc HAVING mirrors the Spark filter.
+    "curation_top_boilerplate": f"""
+        WITH {_SH_CTE.format(n=8, m=7)}
+        SELECT shingle,
+               COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM sh GROUP BY shingle
+        HAVING COUNT(DISTINCT doc_id) > 1
+        ORDER BY n_occurrences DESC, n_docs DESC, shingle ASC
+        LIMIT {TOP_BOILERPLATE_K}
+    """,
     # The decontamination DECISION: both flag CTEs replay their report
     # oracles (verbatim shingle fraction with the same HAVING threshold;
     # full-cross fuzzy Jaccard max), kept = corpus minus either drop set.

@@ -610,3 +610,27 @@ def test_decontaminated_kept_or_decision(spark):
     )
     kept = {r["doc_id"] for r in decontaminated_kept(corpus, bench).collect()}
     assert kept == {2}
+
+
+def test_top_boilerplate_planted(spark):
+    """Only the cross-document shingle surfaces: the 8-gram shared by
+    docs 0 and 1 (and repeated inside doc 0) reports (occurrences 3,
+    docs 2); doc 2's within-doc-only repeat and every mixed sliding
+    shingle are excluded by the >1-doc rule."""
+    from pyspark_kmeans_spark.operators.curation import (
+        top_boilerplate_shingles,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (0, W8 + " " + W8),  # "a..h" at positions 1 and 9
+            (1, W8),
+            (2, "p q r s t u v w p q r s t u v w"),  # within-doc only
+        ],
+    )
+    got = [
+        (r["shingle"], r["n_occurrences"], r["n_docs"])
+        for r in top_boilerplate_shingles(docs).collect()
+    ]
+    assert got == [(W8, 3, 2)]
