@@ -1124,7 +1124,7 @@ def top_boilerplate_shingles(
         sh.groupBy("shingle")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.count_distinct("doc_id").alias("n_docs"),
         )
         .filter(F.col("n_docs") > 1)
         .orderBy(
@@ -1304,15 +1304,20 @@ def score_percentiles(
     # eqNullSafe on the group key: a NULL source must rank in its own
     # partition exactly as the oracle's PARTITION BY does, not silently
     # drop out of a null-unsafe equi-join.
+    # Both join keys aliased on the cdf side: unambiguous column lineage
+    # (no reliance on self-join disambiguation, no trivially-true-equals
+    # WARN from a same-lineage predicate).
     cdf_side = cdf.select(
-        F.col(group_col).alias("_g"), "_skey", pct.alias("score_pct")
+        F.col(group_col).alias("_g"),
+        F.col("_skey").alias("_sk"),
+        pct.alias("score_pct"),
     )
     return (
         scored.join(
             cdf_side,
             on=(
                 F.col(group_col).eqNullSafe(F.col("_g"))
-                & (scored["_skey"] == cdf_side["_skey"])
+                & (F.col("_skey") == F.col("_sk"))
             ),
         )
         .select("doc_id", group_col, "score_pct")

@@ -585,6 +585,26 @@ def test_score_percentiles_ties_singleton_null(spark):
     assert got[4] == 0.0
 
 
+def test_score_percentiles_null_source_group(spark):
+    """A NULL source must rank in its OWN partition exactly like the
+    oracle's PARTITION BY (the eqNullSafe join fix) — not silently drop
+    out of a null-unsafe equi-join."""
+    from pyspark_kmeans_spark.operators.curation import score_percentiles
+
+    good = "the cat and the dog walk to a park in the morning"
+    rows = [
+        (0, good, None),
+        (1, "zz!! ??##", None),
+        (2, good, "a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = score_percentiles(docs).collect()
+    assert len(out) == 3, "NULL-source docs must not drop from the output"
+    got = {r["doc_id"]: (r["source"], r["score_pct"]) for r in out}
+    assert got[0] == (None, 1.0) and got[1] == (None, 0.0)
+    assert got[2] == ("a", 0.0)
+
+
 def test_decontaminated_kept_or_decision(spark):
     """The two drop reasons fire INDEPENDENTLY: a verbatim prefix copy
     drops on shingle fraction alone (its token-set Jaccard is under
