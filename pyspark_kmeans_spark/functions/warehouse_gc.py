@@ -31,13 +31,16 @@ import shutil
 
 from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, path_tag
 
-# <anything>_<8-hex path tag>_b<bucket/cell count>: the bucketed_name
-# shape shared by every artifact writer in the engine.  The tag itself
-# comes from sources.bucketed.path_tag — ONE definition for writers and
-# GC, so a tag-scheme change cannot make live artifacts read as orphaned
-# (the round-8 review finding); the suffix shape is additionally pinned
-# against bucketed_name's real output in tests/test_bucketing.py.
-_ARTIFACT_RE = re.compile(r"_([0-9a-f]{8})_b\d+$")
+# <table>_bucketed_<leaf>_<8-hex path tag>_b<bucket/cell count>: the
+# bucketed_name shape shared by every artifact writer in the engine.  The
+# tag itself comes from sources.bucketed.path_tag — ONE definition for
+# writers and GC, so a tag-scheme change cannot make live artifacts read
+# as orphaned (the round-8 review finding).  The literal `_bucketed_`
+# infix is REQUIRED (ADVICE r8 #3): bucketed_name always emits it, and
+# without it a foreign warehouse directory that merely ends in
+# `_<8hex>_b<n>` would be rmtree'd on dry_run=False.  The full shape is
+# pinned against bucketed_name's real output in tests/test_bucketing.py.
+_ARTIFACT_RE = re.compile(r"_bucketed_.*_([0-9a-f]{8})_b\d+$")
 
 
 def gc_warehouse(

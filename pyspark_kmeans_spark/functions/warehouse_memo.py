@@ -22,15 +22,22 @@ session sees the refitted values.
 
 from __future__ import annotations
 
+import threading
 from typing import Any
 
 from pyspark.sql import SparkSession
 
 _MEMO: dict[tuple[str, str], Any] = {}
+# All _MEMO mutations and iteration hold this lock (ADVICE r8 #2): the
+# eviction sweep in memo_put iterates the dict, and a concurrent insert
+# from another thread (a sweep harness running queries in parallel) would
+# raise "dictionary changed size during iteration" mid-comprehension.
+_MEMO_LOCK = threading.Lock()
 
 
 def memo_get(spark: SparkSession, path: str) -> Any | None:
-    return _MEMO.get((spark.sparkContext.applicationId, path))
+    with _MEMO_LOCK:
+        return _MEMO.get((spark.sparkContext.applicationId, path))
 
 
 def memo_put(spark: SparkSession, path: str, value: Any) -> Any:
@@ -41,14 +48,13 @@ def memo_put(spark: SparkSession, path: str, value: Any) -> Any:
     # (ADVICE r7 #5).  One applicationId is live per process at a time
     # (getOrCreate semantics; newSession() shares the id), so keeping
     # only the current app's keys is exact, not heuristic.
-    # pop, not del: two threads of one process (a sweep harness running
-    # queries in parallel) can snapshot the same dead keys — the second
-    # delete must be a no-op, not a KeyError.
-    for key in [k for k in _MEMO if k[0] != app]:
-        _MEMO.pop(key, None)
-    _MEMO[(app, path)] = value
+    with _MEMO_LOCK:
+        for key in [k for k in _MEMO if k[0] != app]:
+            del _MEMO[key]
+        _MEMO[(app, path)] = value
     return value
 
 
 def memo_invalidate(spark: SparkSession, path: str) -> None:
-    _MEMO.pop((spark.sparkContext.applicationId, path), None)
+    with _MEMO_LOCK:
+        _MEMO.pop((spark.sparkContext.applicationId, path), None)

@@ -1001,8 +1001,17 @@ def token_budget_selection(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_tokens").alias("kept_tokens"),
     )
+    # eqNullSafe on the report group key (ADVICE r8 #1): the oracle GROUPs
+    # BY the nullable lang column, so a kept NULL-lang doc must land in its
+    # own report row — a null-unsafe equi-join would zero its n_kept and
+    # desync from the oracle.  Same rule score_percentiles already applies.
+    kept_side = kept_agg.select(
+        F.col("lang").alias("_kl"), "n_kept", "kept_tokens"
+    )
     return (
-        totals.join(kept_agg, on="lang", how="left")
+        totals.join(
+            kept_side, on=F.col("lang").eqNullSafe(F.col("_kl")), how="left"
+        )
         .select(
             "lang",
             "n_docs",

@@ -139,3 +139,27 @@ def test_gc_warehouse_dry_run_lists_then_delete_spares_live(tmp_path):
     gc_warehouse([live_sf], dry_run=False, warehouse=str(wh))
     assert not dead.exists()
     assert live.exists() and other.exists()
+
+
+def test_gc_pattern_requires_bucketed_infix(tmp_path):
+    """ADVICE r8 #3: a foreign directory that merely ends in
+    `_<8hex>_b<n>` (the loose suffix) but lacks the engine's literal
+    `_bucketed_` infix must never be a GC victim — every engine artifact
+    name comes from bucketed_name, which always emits the infix."""
+    from pyspark_kmeans_spark.functions.warehouse_gc import (
+        _ARTIFACT_RE,
+        gc_warehouse,
+    )
+    from pyspark_kmeans_spark.sources.bucketed import bucketed_name
+
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    foreign = wh / "userdata_deadbeef_b8"  # loose suffix, no infix
+    engine_dead = wh / bucketed_name("digest", str(tmp_path / "gone"), 1)
+    for d in (foreign, engine_dead):
+        d.mkdir()
+    assert _ARTIFACT_RE.search(foreign.name) is None
+    assert _ARTIFACT_RE.search(engine_dead.name) is not None
+    victims = gc_warehouse([], dry_run=False, warehouse=str(wh))
+    assert victims == [str(engine_dead)]
+    assert foreign.exists() and not engine_dead.exists()

@@ -450,6 +450,28 @@ def test_token_budget_null_score_sorts_last(spark):
     assert r["total_tokens"] == 25 and r["budget_tokens"] == 12
 
 
+def test_token_budget_null_lang_report_row(spark):
+    """ADVICE r8 #1: the lang report join must be null-safe — a KEPT doc
+    whose lang is NULL gets its own report row with the true kept counts,
+    not a row zeroed by a null-unsafe equi-join (the oracle GROUPs BY the
+    nullable lang column, so NULL groups with NULL there)."""
+    from pyspark_kmeans_spark.operators.curation import (
+        token_budget_selection,
+    )
+
+    text = "the cat and the dog walk to a park in the morning sun"
+    rows = [(1, text, "en"), (2, text, None), (3, text, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # fraction=1.0: budget == total tokens, every doc's strictly-preceding
+    # sum is under budget, so ALL docs are kept — including the NULL-lang
+    # pair, whose report row is the one the unsafe join would zero.
+    got = {r["lang"]: r for r in token_budget_selection(docs, fraction=1.0).collect()}
+    assert set(got) == {"en", None}
+    assert got[None]["n_docs"] == 2 and got[None]["n_kept"] == 2
+    assert got[None]["kept_tokens"] == got[None]["total_tokens"]
+    assert got["en"]["n_kept"] == 1
+
+
 def test_length_batching_planted_padding_math(spark):
     """Hand-computed batch formation: bucket_width 4, batch_size 2,
     single shard — docs of 1-2 tokens bucket 0, 5-6 tokens bucket 1;
