@@ -72,85 +72,62 @@ def _registries() -> list:
 # decides what gets validated each round).  Rebuilt every round: lead with
 # oracles the driver has NEVER hash-checked (new queries), then queries
 # whose code changed this round, then the entries least-recently recorded.
-# Round 8: the new codebook_update_check, the five rows whose code or
-# columns changed this round, then the final 23 rows last recorded in
-# round 4 (exactly the rotation VERDICT r7 item 1 demands — this closes
-# the first full cycle: after round 8 every oracle row's latest record is
-# round 5 or newer), then the alphabetically-first 8 of the 46 rows last
-# recorded in round 5 plus graph_triangles_capped (also round-8-changed)
-# to start the second cycle.  Round 9 resumes the round-5 block at
-# dedup_exact (dedup_exact, dedup_lsh_recall, dedup_simhash_recall,
-# derived_age, distinct_pairs, distinct_priorities, epoch_plan and
-# everything after remain unrotated — fill slots went to the changed
-# graph rows and the nine round-8 additions: the incremental-SemDeDup
-# pair, split_leakage_safe, curation_token_budget,
-# curation_length_batching, curation_fuzzy_contamination,
-# curation_score_percentiles, curation_decontaminated,
-# curation_top_boilerplate; dedup_keep_best is already in the changed
-# band and covers the QUALITY_SCORE_SQL oracle refactor).
+# Round 9: the three new rows (incremental pair-table maintenance gate;
+# the full-trio daily-ingest flagship and its interaction twin), then
+# curation_token_budget (null-safe lang report join + the two-level
+# boundary-class fold — code changed, re-record), then ALL 37 remaining
+# round-5-stale rows (alphabetical from dedup_exact, exactly where the
+# round-8 rotation note said round 9 resumes — this closes the second
+# cycle: after round 9 every oracle row's latest record is round 6 or
+# newer).  41 of the 50 slots; the remainder falls through to
+# registration order.  dedup_exact is both stale AND changed this round
+# (aggregate keeper rewrite).
 _SWEEP_FIRST = [
-    # 0. added in round 8 — never driver-recorded
-    "codebook_update_check",
-    "dedup_semantic_incremental",
-    "incremental_semdedup_check",
-    "split_leakage_safe",
+    # 0. added in round 9 — never driver-recorded
+    "pairs_update_check",
+    "daily_ingest_semantic",
+    "daily_ingest_semantic_check",
+    # 1. changed in round 9
     "curation_token_budget",
-    "curation_length_batching",
-    "curation_fuzzy_contamination",
-    "curation_score_percentiles",
-    "curation_decontaminated",
-    "curation_top_boilerplate",
-    # 1. changed in round 8 (streaming_ingest_check gained the three
-    #    compaction-contract columns; codebook_check gained the relative
-    #    drift gate column; dedup_keep_best/keep_best_lsh_check run the
-    #    max_by keeper rewrite; lsh_twowave_check's witness now derives
-    #    from the shared LSH constants; the graph family now reads the
-    #    persisted pair table — graph_triangles_capped is already in the
-    #    round-5 block below)
-    "streaming_ingest_check",
-    "codebook_check",
-    "dedup_keep_best",
-    "keep_best_lsh_check",
-    "lsh_twowave_check",
-    "graph_pagerank",
-    "graph_degrees",
-    "graph_triangles",
-    # 2. stale: last recorded in round 4 (the final 23)
-    "part_supplier_counts",
-    "partitioned_month_revenue",
-    "returned_items",
-    "revenue_deciles",
-    "revenue_percentiles",
-    "rolling_spend",
-    "salted_join",
-    "scd2_intervals",
-    "sorted_shipdate_window",
-    "token_positions",
-    "top_supplier",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "training_split",
-    "zorder_cust_window",
-    # 3. stale: last recorded in round 5 (first 8 of 46, alphabetical —
-    #    round 9 resumes at dedup_exact) plus
-    #    graph_triangles_capped, which is also round-8-changed
-    "bpe_check",
-    "curation_funnel",
-    "curation_segment_dedup",
-    "curation_vocab",
-    "customer_features",
-    "customer_revenue_stats",
-    "customer_rfm",
-    "daily_ingest",
-    "graph_triangles_capped",
+    # 2. stale: last recorded in round 5 (all 37 remaining, alphabetical;
+    #    dedup_exact also carries the round-9 min_by keeper rewrite)
+    "dedup_exact",
+    "dedup_lsh_recall",
+    "dedup_simhash_recall",
+    "derived_age",
+    "distinct_pairs",
+    "distinct_priorities",
+    "epoch_plan",
+    "event_funnel",
+    "event_hit_rate",
+    "event_retention",
+    "forecast_revenue",
+    "hybrid_search",
+    "left_join_fill",
+    "log_features",
+    "mixture_weights",
+    "nation_trade_volume",
+    "order_revenue",
+    "pricing_summary",
+    "promo_revenue_share",
+    "quality_check",
+    "region_volume",
+    "row_number",
+    "running_sum",
+    "scalar_functions",
+    "scan_projection",
+    "semdedup_check",
+    "semi_anti_join",
+    "set_ops",
+    "supplier_nation",
+    "text_chunks",
+    "text_tfidf",
+    "top_customers",
+    "top_orders",
+    "training_order",
+    "training_pipeline",
+    "unpivot",
+    "window_suite",
 ]
 
 

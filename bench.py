@@ -23,7 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark_kmeans_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
+# v1 headline set (rounds 4-8): the cross-round comparison basis.  The
+# BASELINE.md operative tables and every BENCH_r{4..8}.json total sum
+# over exactly these 29 — the compact line reports their subtotal as
+# `value_v1` so the series stays comparable after v2 additions.
+HEADLINE_V1 = [
     "customer_features",
     "pricing_summary",
     "top_orders",
@@ -54,6 +58,23 @@ HEADLINE = [
     "source_quota_sample",
     "training_order",
 ]
+
+# v2 additions (round 9, VERDICT r8 stretch #8): the round-8 curation
+# surface + the leakage-safe split, promoted from the extended section so
+# the newest operators get median-of-3 round-over-round tracking.  The
+# headline `value` is the 35-query v2 total; `value_v1` preserves the
+# 29-query basis — versioned in BASELINE.md, never silently rebased.
+HEADLINE_V2_ADDITIONS = [
+    "split_leakage_safe",
+    "curation_token_budget",
+    "curation_length_batching",
+    "curation_fuzzy_contamination",
+    "curation_score_percentiles",
+    "curation_decontaminated",
+    "curation_top_boilerplate",
+]
+
+HEADLINE = HEADLINE_V1 + HEADLINE_V2_ADDITIONS
 
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
@@ -132,16 +153,14 @@ EXTENDED = [
     "codebook_update_check",
     "dedup_semantic_incremental",
     "incremental_semdedup_check",
-    # round-8 additions: leakage-safe split (components + split over the
-    # persisted pair artifact) and histogram-threshold token-budget
-    # selection
-    "split_leakage_safe",
-    "curation_token_budget",
-    "curation_length_batching",
-    "curation_fuzzy_contamination",
-    "curation_score_percentiles",
-    "curation_decontaminated",
-    "curation_top_boilerplate",
+    # (the round-8 curation/split additions moved to HEADLINE_V2_ADDITIONS
+    # in round 9 — VERDICT r8 stretch #8)
+    # round-9 additions: the incremental pair-table maintenance gate
+    # (scratch-corpus fold vs full re-mine) and the full-trio daily
+    # ingest (digest → LSH → semantic) with its interaction twin
+    "pairs_update_check",
+    "daily_ingest_semantic",
+    "daily_ingest_semantic_check",
 ]
 
 
@@ -221,6 +240,7 @@ def main() -> None:
     load_end = loadavg()
     order = sorted(medians, key=medians.get, reverse=True)
     total = round(sum(medians.values()), 3)
+    total_v1 = round(sum(medians[n] for n in HEADLINE_V1 if n in medians), 3)
     # Full per-query detail: printed FIRST (so any stdout tail capture
     # keeps the compact line below whole) AND written to a repo-side JSON,
     # because the driver's tail window is bounded: rounds 4, 6 AND 8 each
@@ -230,6 +250,7 @@ def main() -> None:
     detail = {
         "metric": "headline_queries_detail",
         "value": total,
+        "value_v1": total_v1,
         "unit": "sec",
         "queries": {n: medians[n] for n in order},
         "best": {n: bests[n] for n in order},
@@ -264,6 +285,7 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
+                "value_v1": total_v1,
                 "unit": "sec",
                 "queries": {n: medians[n] for n in slowest5_h},
                 "extended": {n: extended[n] for n in slowest5},

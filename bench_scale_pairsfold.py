@@ -1,0 +1,181 @@
+"""Fold-vs-remine harness for incremental pair-table maintenance (round 9).
+
+The production claim behind `graph.append_pairs_table`: folding a daily
+batch into the persisted near-dup edge artifact costs batch-proportional
+work, while the alternative — re-mining the full edge list on the union
+corpus — pays the corpus-sized prefix-filter join every day.  This
+harness fixes the batch (the sf documents rows with doc_id % 50 == 0,
+~2%) and grows ONLY the corpus k× (disjoint salted replicas,
+bench_scale.write_blowup), then times at each k:
+
+  - `fold`: append_pairs_table(batch) against the pre-built corpus
+    state (pair table + prefix state + freq — first-touch builds are the
+    ingest job's cost by the ensure_* contract and are excluded).
+  - `remine`: jaccard_pairs over corpus ∪ batch (what a system without
+    the artifact re-runs per batch), forced with a noop sink.
+
+Each repeat of `fold` must see a CLEAN artifact (a second fold would
+append duplicate edges), so the pair/state artifacts are restored from a
+pristine copy between repeats; the restore is outside the timed window.
+
+Prints one JSON line:
+  {"metric": "pairsfold_scaling", "sizes": {k: corpus_rows},
+   "seconds": {"fold": {k: s}, "remine": {k: s}},
+   "exponent": {"fold": slope, "remine": slope}}
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from pyspark_kmeans_spark.functions.persist import release_persisted
+from pyspark_kmeans_spark.operators.dedup import jaccard_pairs
+from pyspark_kmeans_spark.operators.graph import (
+    GRAPH_PAIR_THRESHOLD,
+    _graph_state_paths,
+    append_pairs_table,
+    ensure_graph_state,
+    ensure_pairs_table,
+)
+from pyspark_kmeans_spark.session import get_spark
+from pyspark_kmeans_spark.sources.tables import load_table
+
+from bench_scale import write_blowup
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ks = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALE_KS", "1,4,16").split(",")
+    ]
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    spark = get_spark(
+        app_name="bench_scale_pairsfold",
+        extra_conf={"spark.driver.maxResultSize": "4g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    # Fixed batch: ~2% of the base table, id-shifted out of every
+    # replica's id space, text salted with the replica-0 suffix so its
+    # near-dup structure against replica 0 is the original table's.
+    salt_r0 = F.array_join(
+        F.transform(
+            F.split(F.trim(F.col("text")), "\\s+"),
+            lambda t: F.concat(t, F.lit("_r0")),
+        ),
+        " ",
+    )
+    batch = (
+        base.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            (F.col("doc_id") + 900_000_000).alias("doc_id"),
+            "lang",
+            salt_r0.alias("text"),
+        )
+        .persist()
+    )
+    batch_rows = batch.count()
+
+    sizes: dict[int, int] = {}
+    seconds: dict[str, dict[int, float]] = {"fold": {}, "remine": {}}
+    for k in ks:
+        docs_path = f"/tmp/pairsfold_docs_k{k}.parquet"
+        if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+            write_blowup(base, k, docs_path)
+        corpus = spark.read.parquet(docs_path)
+        sizes[k] = corpus.count()
+        scratch_sf = f"/tmp/pairsfold_sf_k{k}"
+        os.makedirs(scratch_sf, exist_ok=True)
+        dst = os.path.join(scratch_sf, "documents.parquet")
+        if not os.path.exists(dst):
+            os.symlink(docs_path, dst)
+        # First-touch artifact builds (ingest cost, untimed).
+        ensure_pairs_table(spark, scratch_sf)
+        ensure_graph_state(spark, scratch_sf)
+        arts = _graph_state_paths(scratch_sf, GRAPH_PAIR_THRESHOLD)
+        pristine = [a + ".pristine" for a in arts]
+        for a, p in zip(arts, pristine):
+            if not os.path.exists(p):
+                shutil.copytree(a, p)
+        best_fold = None
+        for _ in range(repeats):
+            # Restore pristine artifacts (untimed) so each fold appends
+            # onto the same pre-batch state.
+            from pyspark_kmeans_spark.functions.warehouse_memo import (
+                memo_invalidate,
+            )
+
+            for a, p in zip(arts, pristine):
+                shutil.rmtree(a, ignore_errors=True)
+                shutil.copytree(p, a)
+                spark.catalog.refreshByPath(a)
+                memo_invalidate(spark, a)
+            release_persisted()
+            t0 = time.time()
+            folded = append_pairs_table(spark, scratch_sf, batch)
+            folded.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best_fold = dt if best_fold is None else min(best_fold, dt)
+        seconds["fold"][k] = round(best_fold, 2)
+        best_rem = None
+        for _ in range(repeats):
+            release_persisted()
+            t0 = time.time()
+            jaccard_pairs(
+                corpus.unionByName(batch), threshold=GRAPH_PAIR_THRESHOLD
+            ).select("doc_a", "doc_b").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.time() - t0
+            best_rem = dt if best_rem is None else min(best_rem, dt)
+        seconds["remine"][k] = round(best_rem, 2)
+        print(
+            f"[k={k}] fold={seconds['fold'][k]}s remine={seconds['remine'][k]}s",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    exponent = {}
+    for name in seconds:
+        xs = [math.log(k) for k in ks]
+        ys = [math.log(max(seconds[name][k], 0.05)) for k in ks]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        den = sum((x - mx) ** 2 for x in xs) or 1.0
+        exponent[name] = round(
+            sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / den, 2
+        )
+
+    with open("/proc/loadavg") as f:
+        load = [round(float(x), 2) for x in f.read().split()[:3]]
+    print(
+        json.dumps(
+            {
+                "metric": "pairsfold_scaling",
+                "sf": sf_dir,
+                "batch_rows": batch_rows,
+                "sizes": sizes,
+                "seconds": seconds,
+                "exponent": exponent,
+                "loadavg": load,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1389,6 +1389,236 @@ def q_incremental_semdedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_ingest_semantic_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of `daily_ingest_semantic` (rows-only: xxhash
+    LSH + k-means-routed semantic stage).  The trio's interaction —
+    precedence is the chain order, each stage consuming only the previous
+    stage's survivors — becomes driver-hashed counts over the
+    single-sourced `ingest.trio_stage_marks` frame:
+
+    - `n_batch` / `n_kept_digest` anchor the split and the exact stage
+      (the oracle replays md5 dedup in SQL).
+    - `n_chain_violation` = 0: no doc is marked surviving stage N without
+      surviving stage N-1 — the precedence order itself.
+    - `n_lsh_chain_mismatch` = 0: the CHAINED stage-2 kept set equals
+      kept(digest) ∩ kept(LSH over the FULL batch).  This equality is a
+      theorem about the interaction, not a tautology: a digest-dropped
+      doc always has an identical-text twin (a corpus member, or the
+      lower-id digest keeper) whose token set — hence MinHash signature
+      and Jaccard — is identical, so every LSH loss it caused is caused
+      by its twin too.  Conditional on no over-cap bucket
+      (`n_over_cap_buckets` — the lsh_twowave_check scale witness).
+    - `n_semantic_mismatch` = 0: the chained stage-3 marks equal an
+      INDEPENDENT re-derivation of the greedy rule on the same stage-2
+      survivors (one unioned candidate frame + per-probe max — the
+      incremental_semdedup_check aggregate shape, vs the flagship's two
+      anti-join branches).
+
+    Plan: batch-sized joins + one full-batch LSH probe + one bounded
+    cell-join audit — the daily_ingest_check class of gate query."""
+    from pyspark_kmeans_spark.functions.persist import (
+        registered_persist,
+        release_persisted,
+    )
+    from pyspark_kmeans_spark.operators.dedup import (
+        ensure_signature_table,
+        incremental_kept_against,
+    )
+    from pyspark_kmeans_spark.operators.ingest import (
+        DAILY_BATCH_MOD,
+        trio_stage_marks,
+    )
+    from pyspark_kmeans_spark.operators.similarity import (
+        SEMDEDUP_THRESHOLD,
+        _cosine_unit,
+        ensure_codebook_table,
+        routed_side,
+    )
+
+    release_persisted()
+    # Materialize the marks EAGERLY as a local frame (batch-bounded by
+    # the ingest contract — the incremental_semdedup_check collect
+    # pattern) and release the trio chain's persists before building the
+    # audit.  This also CUTS the audit's plan lineage at the marks: the
+    # trio chain is the deepest plan in the engine (digest → two-wave
+    # LSH → routed semantic → three joins), and stacking the full-batch
+    # LSH probe + the semantic re-derivation + the witness cross on top
+    # of it produced a plan tree whose AQE explain string alone
+    # overflowed a default-size driver heap (found by the round-9
+    # driver-sim verify — the tuned test session masked it).
+    marks_src = trio_stage_marks(spark, sf_dir)
+    marks_rows = marks_src.collect()
+    release_persisted()
+    marks = registered_persist(
+        spark.createDataFrame(marks_rows, marks_src.schema)
+    )
+    marks.count()
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % DAILY_BATCH_MOD == 0)
+    # Full-batch LSH kept set — the interaction theorem's other side.
+    lsh_full = incremental_kept_against(
+        ensure_signature_table(spark, sf_dir), batch, threshold=0.9
+    ).select("doc_id", F.lit(1).alias("_kf"))
+    # Independent semantic re-derivation on the stage-2 survivors.
+    emb = _t(spark, sf_dir, "embeddings")
+    b2_emb = emb.join(
+        marks.filter(F.col("_k2") == 1).select(
+            F.col("doc_id").alias("vec_id")
+        ),
+        on="vec_id",
+        how="left_semi",
+    )
+    centroids = ensure_codebook_table(spark, sf_dir, n_cells=16, seed=1)
+    routed_b2 = routed_side(b2_emb, centroids, alias="_idb")
+    probe = routed_b2.select("_idb", "cell", F.col("unit_vec").alias("punit"))
+    cand = (
+        routed_side(
+            emb.filter(F.col("vec_id") % DAILY_BATCH_MOD != 0),
+            centroids,
+            alias="_ida",
+        )
+        .withColumn("_is_corpus", F.lit(1))
+        .unionByName(
+            routed_b2.withColumnRenamed("_idb", "_ida").withColumn(
+                "_is_corpus", F.lit(0)
+            )
+        )
+    )
+    exp_drop = (
+        cand.join(F.broadcast(probe), on="cell")
+        .filter((F.col("_is_corpus") == 1) | (F.col("_ida") < F.col("_idb")))
+        .withColumn(
+            "_hit", (_cosine_unit() >= F.lit(SEMDEDUP_THRESHOLD)).cast("int")
+        )
+        .groupBy("_idb")
+        .agg(F.max("_hit").alias("_mx"))
+        .filter(F.col("_mx") == 1)
+        .select(F.col("_idb").alias("doc_id"), F.lit(1).alias("_xd"))
+    )
+    audited = marks.join(lsh_full, on="doc_id", how="left").join(
+        F.broadcast(exp_drop), on="doc_id", how="left"
+    )
+    k = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    return audited.crossJoin(F.broadcast(_over_cap_witness(docs))).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+        F.sum(k("_k1")).cast("bigint").alias("n_kept_digest"),
+        F.sum(
+            F.when(
+                ((k("_k2") == 1) & F.col("_k1").isNull())
+                | ((k("_k3") == 1) & F.col("_k2").isNull()),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_chain_violation"),
+        F.sum(
+            F.when(
+                k("_k2") != F.least(k("_k1"), k("_kf")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_lsh_chain_mismatch"),
+        # Agreement on a stage-2 survivor means kept (_k3=1) XOR
+        # expected-drop (_xd=1) — so EQUALITY of the two marks is the
+        # disagreement being counted.
+        F.sum(
+            F.when(
+                (k("_k2") == 1) & (k("_k3") == k("_xd")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_semantic_mismatch"),
+        F.max("n_over_cap_buckets").cast("bigint").alias("n_over_cap_buckets"),
+    )
+
+
+# The check's batch split — shared with the other incremental families
+# (dedup.INCREMENTAL_BATCH_MOD): 20% batch, 80% corpus.
+PAIRS_UPDATE_BATCH_MOD = 5
+
+
+def q_pairs_update_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hash gate for incremental pair-table maintenance
+    (`graph.append_pairs_table`, VERDICT r8 missing #4): artifact-after-
+    fold must equal a full re-mine on the union corpus row-for-row.
+
+    Runs the whole lifecycle against a SCRATCH corpus (the
+    codebook_update_check pattern — applicationId-keyed scratch sf_dir,
+    finally-cleanup of the scratch tree and every scratch-keyed warehouse
+    artifact): write the 80% split as the scratch corpus, first-touch
+    builds its pair table + prefix state, fold the 20% batch via the
+    REGISTERED `append_pairs_table`, then full-outer-join the folded
+    artifact against an inline full re-mine of the UNION corpus
+    (`jaccard_pairs` over the raw table — the independent spelling: it
+    orders tokens by union frequencies, the fold by the persisted corpus
+    frequencies, so an ordering-dependence bug in the prefix lemma
+    application cannot be mirrored).  Union == the full documents table,
+    so the oracle re-mines in SQL and the row is fully hash-checked:
+    `n_missing` = edges the fold failed to find (recall defect),
+    `n_extra` = edges the fold invented or duplicated (precision/append
+    defect) — both must be 0; `n_batch`/`n_pairs` anchor the split and
+    the artifact size.
+
+    Plan: the fold is the batch-linear path under test; the re-mine and
+    the audit join are check-only costs (the codebook_update_check
+    class: the gate pays for its own independent expectation)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark_kmeans_spark.functions.persist import release_persisted
+    from pyspark_kmeans_spark.operators.dedup import jaccard_pairs
+    from pyspark_kmeans_spark.operators.graph import (
+        GRAPH_PAIR_THRESHOLD,
+        _graph_state_paths,
+        append_pairs_table,
+    )
+
+    release_persisted()
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"pairs_update_check_{sf_tag}_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    scratch_sf = os.path.join(root, "sf")
+    arts = _graph_state_paths(scratch_sf, GRAPH_PAIR_THRESHOLD)
+    try:
+        os.makedirs(scratch_sf)
+        docs = _t(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % PAIRS_UPDATE_BATCH_MOD != 0)
+        batch = docs.filter(F.col("doc_id") % PAIRS_UPDATE_BATCH_MOD == 0)
+        corpus.write.mode("overwrite").parquet(
+            os.path.join(scratch_sf, "documents.parquet")
+        )
+        n_batch = batch.count()
+        folded = append_pairs_table(spark, scratch_sf, batch)
+        expected = jaccard_pairs(docs, threshold=GRAPH_PAIR_THRESHOLD).select(
+            "doc_a", "doc_b", F.lit(1).alias("_e")
+        )
+        audit = folded.withColumn("_f", F.lit(1)).join(
+            expected, on=["doc_a", "doc_b"], how="full_outer"
+        )
+        result = audit.agg(
+            F.lit(n_batch).cast("bigint").alias("n_batch"),
+            F.sum(F.coalesce("_f", F.lit(0))).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("_f").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing"),
+            F.sum(F.when(F.col("_e").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_extra"),
+        )
+        # Materialize eagerly: the returned plan must not depend on the
+        # scratch files the finally below deletes.
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        for a in arts:
+            shutil.rmtree(a, ignore_errors=True)
+
+
 QUALITY_ACC_FLOOR = 0.9  # tests pin ≥0.95 at sf0.001; driver floor has margin
 
 
@@ -1443,6 +1673,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_semdedup_check": q_incremental_semdedup_check,
     "streaming_ingest_check": q_streaming_ingest_check,
     "keep_best_lsh_check": q_keep_best_lsh_check,
+    "pairs_update_check": q_pairs_update_check,
+    "daily_ingest_semantic_check": q_daily_ingest_semantic_check,
 }
 
 
@@ -1750,3 +1982,55 @@ def _incremental_semdedup_check_oracle() -> str:
 
 
 ORACLES["incremental_semdedup_check"] = _incremental_semdedup_check_oracle()
+
+
+def _pairs_update_check_oracle() -> str:
+    """Fully hash-checked: the union corpus (80% scratch + 20% batch) IS
+    the raw documents table, so the oracle re-mines the expected edge
+    count in SQL at the graph threshold; the two zeros are exact (both
+    engines enumerate the same exact-Jaccard pair set — no scale bound)."""
+    from pyspark_kmeans_spark.operators.dedup import jaccard_pairs_sql
+    from pyspark_kmeans_spark.operators.graph import GRAPH_PAIR_THRESHOLD
+
+    return f"""
+        SELECT (SELECT COUNT(*) FROM documents
+                WHERE doc_id % {PAIRS_UPDATE_BATCH_MOD} = 0) AS n_batch,
+               (SELECT COUNT(*)
+                FROM ({jaccard_pairs_sql(GRAPH_PAIR_THRESHOLD)})) AS n_pairs,
+               CAST(0 AS BIGINT) AS n_missing,
+               CAST(0 AS BIGINT) AS n_extra
+    """
+
+
+ORACLES["pairs_update_check"] = _pairs_update_check_oracle()
+
+
+def _daily_ingest_semantic_check_oracle() -> str:
+    """n_batch and the exact-digest stage replay in SQL; the four zeros
+    are the chain-precedence, LSH-interaction (conditional on the
+    over-cap witness, which is itself one of the zeros) and semantic
+    greedy-rule equalities — see q_daily_ingest_semantic_check."""
+    from pyspark_kmeans_spark.operators.ingest import DAILY_BATCH_MOD
+
+    return f"""
+        WITH batch AS (
+            SELECT doc_id, md5(text) AS digest
+            FROM documents WHERE doc_id % {DAILY_BATCH_MOD} = 0
+        ), kept1 AS (
+            SELECT doc_id FROM batch
+            WHERE digest NOT IN (
+                SELECT md5(text) FROM documents
+                WHERE doc_id % {DAILY_BATCH_MOD} != 0
+            )
+            QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY digest)
+        )
+        SELECT (SELECT COUNT(*) FROM batch) AS n_batch,
+               (SELECT COUNT(*) FROM kept1) AS n_kept_digest,
+               CAST(0 AS BIGINT) AS n_chain_violation,
+               CAST(0 AS BIGINT) AS n_lsh_chain_mismatch,
+               CAST(0 AS BIGINT) AS n_semantic_mismatch,
+               CAST(0 AS BIGINT) AS n_over_cap_buckets
+    """
+
+
+ORACLES["daily_ingest_semantic_check"] = _daily_ingest_semantic_check_oracle()

@@ -85,22 +85,19 @@ def ensure_pairs_table(
     tests/test_graph.py, and every graph oracle still replays the mining
     in SQL from the raw table."""
     import os
-    import re
 
     from pyspark_kmeans_spark.functions.warehouse_memo import memo_get, memo_put
-    from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, bucketed_name
 
-    # Lossless threshold encoding (round-8 review finding: int(t*100)
-    # truncates float error, so 0.56 and 0.57 collided on one cache path
-    # and the write-once contract would have served mismatched edges
-    # forever).  repr round-trips every float exactly; sanitize for the
-    # path.
-    t_tag = re.sub(r"[^0-9a-zA-Z]", "_", repr(threshold))
-    name = bucketed_name(f"neardup_pairs_t{t_tag}", sf_dir, n_buckets=1)
-    path = os.path.join(_WAREHOUSE, name)
-    # No content stamp on this memo (the signature-table contract, not
-    # the codebook's): the pair table has no refresh/update path —
-    # nothing rewrites it in place; a threshold change changes the path.
+    # Path from _graph_state_paths — ONE name derivation for the build,
+    # the append fold and the check's cleanup (a divergence would orphan
+    # or double-build artifacts silently).
+    path, _, _ = _graph_state_paths(sf_dir, threshold)
+    # No content stamp on this memo: the pair table is never rewritten in
+    # place (a threshold change changes the path) — its ONE sanctioned
+    # mutation is the append-only batch fold (`append_pairs_table`), which
+    # calls memo_invalidate + refreshByPath itself, so a stale handle
+    # cannot survive a same-session fold.  Cross-session concurrent
+    # append+read is out of scope (the signature-table contract).
     cached = memo_get(spark, path)
     if cached is not None:
         return cached
@@ -110,6 +107,231 @@ def ensure_pairs_table(
             "doc_a", "doc_b"
         ).write.mode("overwrite").parquet(path)
     return memo_put(spark, path, spark.read.parquet(path))
+
+
+def _graph_state_paths(
+    sf_dir: str, threshold: float
+) -> tuple[str, str, str]:
+    """(pairs, prefix-state, token-freq) artifact paths for one
+    (sf_dir, threshold) — the graph family's warehouse name derivation,
+    single-sourced for the build (ensure_pairs_table), the fold
+    (append_pairs_table) and the check's cleanup.
+
+    Lossless threshold encoding (round-8 review finding: int(t*100)
+    truncates float error, so 0.56 and 0.57 collided on one cache path
+    and the write-once contract would have served mismatched edges
+    forever).  repr round-trips every float exactly; sanitize for the
+    path."""
+    import os
+    import re
+
+    from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, bucketed_name
+
+    t_tag = re.sub(r"[^0-9a-zA-Z]", "_", repr(threshold))
+    return tuple(
+        os.path.join(
+            _WAREHOUSE, bucketed_name(f"neardup_{kind}_t{t_tag}", sf_dir, n_buckets=1)
+        )
+        for kind in ("pairs", "state", "freq")
+    )
+
+
+def _ordered_prefix(
+    base: DataFrame, freq: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, _block, _n, _ts, _prefix) under the PERSISTED (df, token)
+    total order — the one helper both the corpus state build and every
+    batch fold go through (single-sourced: build and append cannot order
+    differently, the round-8 routing lesson).
+
+    `base` carries (id_col, _block, _toks).  Tokens the persisted freq
+    table has never seen join to df=0 — they sort before every corpus
+    token, which keeps the order a fixed FUNCTION of the persisted table:
+    the prefix lemma needs both sides of a candidate pair sorted by the
+    same total order, not an up-to-date frequency estimate (frequencies
+    affect prefix SIZE — pruning power — never exactness), so the freq
+    artifact is deliberately immutable across folds."""
+    ex = base.select(F.col(id_col), "_block", F.explode("_toks").alias("_tok"))
+    ordered = (
+        ex.join(freq, on="_tok", how="left")
+        .select(
+            id_col,
+            "_block",
+            F.coalesce(F.col("_df"), F.lit(0).cast("long")).alias("_df"),
+            "_tok",
+        )
+        .groupBy(id_col, "_block")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_tok")))
+            ).alias("_ord")
+        )
+    )
+    n = F.size("_ord")
+    prefix_len = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)) + 1
+    ts = F.transform("_ord", lambda s: s["_tok"])
+    return ordered.select(
+        F.col(id_col),
+        "_block",
+        n.alias("_n"),
+        ts.alias("_ts"),
+        F.slice(ts, F.lit(1), prefix_len).alias("_prefix"),
+    )
+
+
+def ensure_graph_state(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold: float = GRAPH_PAIR_THRESHOLD,
+) -> tuple[DataFrame, DataFrame]:
+    """(prefix-state, token-freq) write-once artifacts backing incremental
+    pair-table maintenance (VERDICT r8 missing #4): the corpus side of a
+    batch fold, precomputed once — the `ensure_signature_table` contract
+    applied to the EXACT mining path.  State rows are the prefix-filter
+    frame (`_ordered_prefix` over the corpus); freq is the (token, df)
+    table that fixes the shared total order for every later fold.  Built
+    lazily on first fold; the analytics queries never read them."""
+    import os
+
+    from pyspark_kmeans_spark.functions.warehouse_memo import memo_get, memo_put
+    from pyspark_kmeans_spark.operators.dedup import tokens_col
+
+    _, state_path, freq_path = _graph_state_paths(sf_dir, threshold)
+    cached = memo_get(spark, state_path)
+    if cached is not None:
+        return cached
+    if not os.path.exists(os.path.join(state_path, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.select(
+            "doc_id",
+            F.col("lang").alias("_block"),
+            tokens_col("text").alias("_toks"),
+        )
+        base.select(F.explode("_toks").alias("_tok")).groupBy("_tok").agg(
+            F.count(F.lit(1)).alias("_df")
+        ).write.mode("overwrite").parquet(freq_path)
+        freq = spark.read.parquet(freq_path)
+        _ordered_prefix(base, freq, threshold).write.mode(
+            "overwrite"
+        ).parquet(state_path)
+    handles = (
+        spark.read.parquet(state_path),
+        spark.read.parquet(freq_path),
+    )
+    return memo_put(spark, state_path, handles)
+
+
+def append_pairs_table(
+    spark: SparkSession,
+    sf_dir: str,
+    batch: DataFrame,
+    *,
+    threshold: float = GRAPH_PAIR_THRESHOLD,
+) -> DataFrame:
+    """Fold a document batch into the persisted near-dup edge artifact:
+    mine batch×corpus + batch×batch edges against the persisted
+    prefix-state, append them, and return the refreshed pair-table read —
+    so a daily batch pays candidate volume |batch|-proportional work
+    instead of re-mining the full edge list (at 100 TB the re-mine is the
+    dominant cost the artifact exists to avoid; this is the
+    `incremental_kept_against` shape applied to edge MAINTENANCE).
+
+    Exactness: candidates come from the prefix lemma under the SHARED
+    persisted (df, token) total order (`_ordered_prefix` — corpus state
+    rows and batch rows are ordered by the same function, which is all
+    the lemma requires; see its docstring on why stale frequencies cost
+    pruning power, never edges), then every candidate is verified with a
+    full array_intersect — so artifact-after-fold equals a full re-mine
+    on the union corpus row-for-row (`pairs_update_check` driver-hashes
+    exactly that).  Batch ids must be disjoint from the corpus ids (the
+    ingest contract all incremental families share).
+
+    Plan: only the BATCH is tokenized (one freq join, batch-linear); the
+    candidate equi-join is (prefix token, block) with the batch side
+    exploded — fan-out bounded by prefix length × matching state docs,
+    never corpus²; shuffle_hash hints on every explode-derived side (the
+    static-estimate hazard jaccard_pairs documents).  Commit order is
+    state-then-edges: with the batch already folded into the state, a
+    retry after a failed edge append regenerates the SAME pairs
+    (self-pairs filter out on id inequality, batch×batch pairs dedup on
+    the sorted orientation), so the fold is retryable without duplicate
+    edges — the reverse order would duplicate edges on retry."""
+    from pyspark_kmeans_spark.functions.warehouse_memo import memo_invalidate
+    from pyspark_kmeans_spark.operators.dedup import tokens_col
+
+    pairs_path, state_path, _ = _graph_state_paths(sf_dir, threshold)
+    # First touch builds both the pair table and the state from the
+    # current corpus (the ensure_* contract prices it as ingest cost).
+    ensure_pairs_table(spark, sf_dir, threshold=threshold)
+    state, freq = ensure_graph_state(spark, sf_dir, threshold=threshold)
+
+    base = batch.select(
+        "doc_id",
+        F.col("lang").alias("_block"),
+        tokens_col("text").alias("_toks"),
+    )
+    bpref = registered_persist(_ordered_prefix(base, freq, threshold))
+    bpref.count()  # eager: feeds state append, both candidate sides, verify
+    allp = state.unionByName(bpref)
+
+    a = allp.select(
+        F.col("doc_id").alias("_ida"),
+        "_block",
+        F.col("_n").alias("_na"),
+        F.explode("_prefix").alias("_ptok"),
+    )
+    b = bpref.select(
+        F.col("doc_id").alias("_idb"),
+        "_block",
+        F.col("_n").alias("_nb"),
+        F.explode("_prefix").alias("_ptok"),
+    )
+    # size prune is symmetric in (na, nb), so it runs before the sorted
+    # re-orientation below.
+    size_ok = (F.col("_na") >= F.lit(threshold) * F.col("_nb")) & (
+        F.col("_nb") >= F.lit(threshold) * F.col("_na")
+    )
+    candidates = (
+        a.join(b.hint("shuffle_hash"), on=["_ptok", "_block"])
+        .filter((F.col("_ida") != F.col("_idb")) & size_ok)
+        .select(
+            F.least("_ida", "_idb").alias("doc_a"),
+            F.greatest("_ida", "_idb").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    uni = allp.select("doc_id", "_ts", "_n")
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.col("_na2") + F.col("_nb2") - inter
+    new_edges = (
+        candidates.join(
+            uni.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("_ts").alias("_ta"),
+                F.col("_n").alias("_na2"),
+            ).hint("shuffle_hash"),
+            on="doc_a",
+        )
+        .join(
+            uni.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("_ts").alias("_tb"),
+                F.col("_n").alias("_nb2"),
+            ).hint("shuffle_hash"),
+            on="doc_b",
+        )
+        .filter(inter.cast("double") / union >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    bpref.select("doc_id", "_block", "_n", "_ts", "_prefix").write.mode(
+        "append"
+    ).parquet(state_path)
+    new_edges.write.mode("append").parquet(pairs_path)
+    for p in (pairs_path, state_path):
+        spark.catalog.refreshByPath(p)
+        memo_invalidate(spark, p)
+    return spark.read.parquet(pairs_path)
 
 
 def pagerank(

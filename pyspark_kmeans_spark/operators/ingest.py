@@ -282,6 +282,138 @@ def q_daily_ingest_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trio_stage_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch-doc survival marks of the full incremental ingest TRIO —
+    exact digest → MinHash-LSH → semantic, each stage consuming the
+    previous stage's survivors against its own persisted artifact
+    (digest table / signature table / k-means codebook): (doc_id, lang,
+    _n_tok, _k1, _k2, _k3) with _kN = 1 iff the doc survives stage N,
+    NULL otherwise.  Single-sourced: the registered flagship
+    (`daily_ingest_semantic`) and its driver-hash twin
+    (`checks.daily_ingest_semantic_check`) both derive from this frame
+    (the routed_side lesson — rule and audit cannot stage differently).
+
+    Precedence is the chain order: a doc dropped by an earlier stage is
+    never scored by a later one — so a digest duplicate costs md5 work
+    only, and the expensive semantic stage sees only docs that already
+    survived both text filters (the production funnel shape: each stage
+    is strictly more expensive per doc and sees strictly fewer docs).
+    Returns batch-sized frames only; the corpus appears solely as the
+    three bounded persisted artifacts."""
+    from pyspark_kmeans_spark.operators.dedup import (
+        INCREMENTAL_BATCH_MOD,
+        ensure_signature_table,
+        incremental_kept_against,
+    )
+    from pyspark_kmeans_spark.operators.similarity import (
+        IVF_BATCH_MOD,
+        SEMDEDUP_THRESHOLD,
+        ensure_codebook_table,
+        incremental_semantic_kept,
+    )
+
+    # All three artifacts cover the % != 0 corpus split — the chain is
+    # sound only while the moduli agree (the daily_ingest_lsh guard,
+    # extended to the embedding split).
+    assert DAILY_BATCH_MOD == INCREMENTAL_BATCH_MOD == IVF_BATCH_MOD, (
+        f"trio_stage_marks: split moduli diverged "
+        f"(daily={DAILY_BATCH_MOD}, lsh={INCREMENTAL_BATCH_MOD}, "
+        f"ivf={IVF_BATCH_MOD}); the persisted artifacts no longer cover "
+        "complementary splits"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = registered_persist(
+        docs.filter(F.col("doc_id") % DAILY_BATCH_MOD == 0).select(
+            "doc_id",
+            "lang",
+            "text",
+            F.md5("text").alias("digest"),
+            F.size(F.split("text", " ")).alias("_n_tok"),
+        )
+    )
+    base.count()  # feeds stage 1, the LSH semi-join and the marks join
+    # Stage 1 — exact digest vs the persisted digest table; within the
+    # batch the lowest id per digest wins (aggregate keeper, the round-9
+    # exact_dedup convention — never a window over an unbounded digest
+    # group).
+    kept1 = registered_persist(
+        base.join(
+            ensure_digest_table(spark, sf_dir), on="digest", how="left_anti"
+        )
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept1.count()
+    # Stage 2 — MinHash-LSH vs the persisted signature table, on stage-1
+    # survivors only.
+    kept2 = registered_persist(
+        incremental_kept_against(
+            ensure_signature_table(spark, sf_dir),
+            base.join(kept1, on="doc_id", how="left_semi"),
+            threshold=0.9,
+        )
+    )
+    kept2.count()
+    # Stage 3 — SemDeDup vs the corpus embeddings routed by the persisted
+    # codebook, on stage-2 survivors' embeddings.
+    centroids = ensure_codebook_table(spark, sf_dir, n_cells=16, seed=1)
+    kept3 = incremental_semantic_kept(
+        emb.filter(F.col("vec_id") % DAILY_BATCH_MOD != 0),
+        emb.join(
+            kept2.select(F.col("doc_id").alias("vec_id")),
+            on="vec_id",
+            how="left_semi",
+        ),
+        centroids,
+        threshold=SEMDEDUP_THRESHOLD,
+    ).select(F.col("vec_id").alias("doc_id"))
+    marks = base.select("doc_id", "lang", "_n_tok")
+    for k, kept in (("_k1", kept1), ("_k2", kept2), ("_k3", kept3)):
+        marks = marks.join(
+            kept.withColumn(k, F.lit(1)), on="doc_id", how="left"
+        )
+    return marks
+
+
+def q_daily_ingest_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL-TRIO daily-ingest flagship (VERDICT r8 missing #5):
+    digest + MinHash + semantic against the same batch, per-lang stage
+    attribution — each dropped doc charged to the FIRST stage that
+    rejected it, so the row pins the trio's interaction (a doc dropped
+    by digest is never LSH- or semantically-scored; precedence is the
+    chain order).  rows-only: the LSH stage is xxhash-based and the
+    semantic stage routes by the k-means codebook — neither is
+    SQL-expressible; the driver-hash twin `daily_ingest_semantic_check`
+    pins n_batch + the digest stage against SQL and the other two
+    stages against independent re-derivations."""
+    release_persisted()
+    marks = trio_stage_marks(spark, sf_dir)
+    return marks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+        F.sum(F.when(F.col("_k1").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("drop_digest"),
+        F.sum(
+            F.when((F.col("_k1") == 1) & F.col("_k2").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("drop_lsh"),
+        F.sum(
+            F.when((F.col("_k2") == 1) & F.col("_k3").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("drop_semantic"),
+        F.sum(F.coalesce("_k3", F.lit(0))).cast("bigint").alias("n_kept"),
+        F.sum(
+            F.when(F.col("_k3") == 1, F.col("_n_tok")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+
+
 def _ingest_oracle_sql() -> str:
     """Full exact recompute: corpus split, md5 dedup, literal-codebook
     argmin-L2 routing on unit vectors (the same left-to-right per-element
@@ -352,6 +484,7 @@ def _ingest_oracle_sql() -> str:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_ingest": q_daily_ingest,
     "daily_ingest_lsh": q_daily_ingest_lsh,
+    "daily_ingest_semantic": q_daily_ingest_semantic,
 }
 
 ORACLES: dict[str, str] = {

@@ -897,6 +897,11 @@ def incremental_semantic_kept(
     # so both candidate joins run map-side over the corpus scan — no
     # corpus shuffle, the incremental_kept_against shape.  The dropped
     # set (≤ batch) broadcasts into the anti-join for the same reason.
+    # CEILING: a batch too large to broadcast (≫ executor memory of unit
+    # vectors) breaks the contract — the fallback is replacing the three
+    # F.broadcast hints with shuffle_hash on (cell) / (id), paying one
+    # corpus shuffle; genuine-4x measurement (BASELINE.md round 9) shows
+    # the bound does not bind at a 4x batch.
     drop_vs_corpus = (
         routed_side(corpus, centroids, alias="_idc", id_col=id_col)
         .join(F.broadcast(probe), on="cell")

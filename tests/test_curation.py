@@ -450,6 +450,34 @@ def test_token_budget_null_score_sorts_last(spark):
     assert r["total_tokens"] == 25 and r["budget_tokens"] == 12
 
 
+def test_token_budget_constant_score_class_spans_buckets(spark):
+    """The degenerate tie-class (VERDICT r8 "What's wrong" #3): every doc
+    shares ONE score class, so the boundary class is the whole corpus and
+    the per-doc cumsum must run through the two-level contiguous-bucket
+    fold.  Ids straddle the 2^20 bucket edge, so the bucket-offset window
+    (not just the within-bucket window) is load-bearing: a zero offset on
+    the second bucket would keep too many docs and fail the by-hand kept
+    count."""
+    from pyspark_kmeans_spark.operators.curation import (
+        token_budget_selection,
+    )
+
+    text = "the cat and the dog walk to a park in the morning"  # 12 tokens
+    edge = 1 << 20
+    ids = list(range(edge - 5, edge + 5))  # buckets 0 and 1, 5 docs each
+    docs = spark.createDataFrame(
+        [(i, text, "en") for i in ids], "doc_id long, text string, lang string"
+    )
+    got = token_budget_selection(docs, fraction=0.5).collect()
+    assert len(got) == 1
+    r = got[0]
+    # budget = floor(0.5 * 120) = 60 tokens; greedy by doc_id keeps docs
+    # while the strictly-preceding sum is under 60 → ids[0..4] (the 5th
+    # doc's preceding sum is exactly 60, not under).
+    assert r["n_docs"] == 10 and r["budget_tokens"] == 60
+    assert r["n_kept"] == 5 and r["kept_tokens"] == 60
+
+
 def test_token_budget_null_lang_report_row(spark):
     """ADVICE r8 #1: the lang report join must be null-safe — a KEPT doc
     whose lang is NULL gets its own report row with the true kept counts,

@@ -49,6 +49,33 @@ def test_lsh_form_kept_subset_of_exact_form(spark, sf_dir):
         ), lang
 
 
+def test_trio_marks_chain_and_attribution(spark, sf_dir):
+    """The round-9 full-trio flagship: survival marks must be a CHAIN
+    (surviving stage N implies surviving stage N-1 — precedence is the
+    stage order) and the per-lang report must partition the batch exactly
+    (every doc charged to the first rejecting stage, or kept).  The
+    deeper interaction equalities are driver-hashed by
+    daily_ingest_semantic_check; this pins the frame invariants at test
+    scale."""
+    from pyspark_kmeans_spark.operators.ingest import (
+        q_daily_ingest_semantic,
+        trio_stage_marks,
+    )
+
+    marks = trio_stage_marks(spark, sf_dir).collect()
+    assert marks
+    for r in marks:
+        if r["_k2"] == 1:
+            assert r["_k1"] == 1, r
+        if r["_k3"] == 1:
+            assert r["_k2"] == 1, r
+    for r in q_daily_ingest_semantic(spark, sf_dir).collect():
+        assert (
+            r["drop_digest"] + r["drop_lsh"] + r["drop_semantic"] + r["n_kept"]
+            == r["n_batch"]
+        ), r
+
+
 def test_persisted_artifacts_written_once(spark, sf_dir):
     """Both ensure_* artifacts exist on disk after a run and a second run
     returns identical output (read-only path)."""

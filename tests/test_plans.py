@@ -365,6 +365,11 @@ def test_all_registered_plans_no_unbounded_cross(spark, sf_dir):
         # two 1-row scalar crosses); its own join is a broadcast equi-join
         # on the group key.
         "epoch_plan",
+        # daily_ingest_semantic_check crosses the batch-sized audit frame
+        # with the 1-row over-cap-bucket witness (checks.py:
+        # `audited.crossJoin(F.broadcast(_over_cap_witness(docs)))`) —
+        # the lsh_twowave_check pattern.
+        "daily_ingest_semantic_check",
     }
     violations = {}
     for name, fn in entrymod.queries().items():
