@@ -130,6 +130,10 @@ def main() -> None:
             dt = time.time() - t0
             best_fold = dt if best_fold is None else min(best_fold, dt)
         seconds["fold"][k] = round(best_fold, 2)
+        if os.environ.get("SPARK_GRAFT_PAIRSFOLD_VARIANTS", "") == "fold":
+            seconds["remine"].pop(k, None)
+            print(f"[k={k}] fold={seconds['fold'][k]}s", file=sys.stderr, flush=True)
+            continue
         best_rem = None
         for _ in range(repeats):
             release_persisted()
@@ -150,6 +154,8 @@ def main() -> None:
 
     exponent = {}
     for name in seconds:
+        if any(k not in seconds[name] for k in ks):
+            continue
         xs = [math.log(k) for k in ks]
         ys = [math.log(max(seconds[name][k], 0.05)) for k in ks]
         n = len(xs)

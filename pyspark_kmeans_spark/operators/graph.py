@@ -247,16 +247,29 @@ def append_pairs_table(
     exactly that).  Batch ids must be disjoint from the corpus ids (the
     ingest contract all incremental families share).
 
-    Plan: only the BATCH is tokenized (one freq join, batch-linear); the
-    candidate equi-join is (prefix token, block) with the batch side
-    exploded — fan-out bounded by prefix length × matching state docs,
-    never corpus²; shuffle_hash hints on every explode-derived side (the
-    static-estimate hazard jaccard_pairs documents).  Commit order is
-    state-then-edges: with the batch already folded into the state, a
-    retry after a failed edge append regenerates the SAME pairs
-    (self-pairs filter out on id inequality, batch×batch pairs dedup on
-    the sorted orientation), so the fold is retryable without duplicate
-    edges — the reverse order would duplicate edges on retry."""
+    Plan: only the BATCH is tokenized (one freq join, batch-linear).  The
+    corpus side never enters a shuffle at corpus scale: the state's
+    prefix explode is pruned MAP-SIDE against the broadcast batch
+    prefix-key set before the candidate join (the batch-adjacency prune
+    `incremental_kept_against` applies to band entries — a bucket that
+    shares no batch prefix token can never produce a candidate), and the
+    verify joins read token arrays only for the candidate-adjacent slice
+    (broadcast semi-join on the bounded candidate id set).  The residual
+    corpus-sized work is one map-side parquet SCAN of the state —
+    measured exponent 0.17 vs 0.71 for the per-batch re-mine
+    (BASELINE.md round 9).  shuffle_hash hints on every explode-derived
+    side (the static-estimate hazard jaccard_pairs documents).
+
+    Commit order is state-then-edges: if the edge append fails, a retry
+    re-mines against a state that already contains the batch — the same
+    pairs regenerate (self-pairs filter out on id inequality; the
+    duplicate state copy of a batch doc can duplicate verify-join rows,
+    which the final dropDuplicates collapses), so the retry cannot write
+    duplicate edges.  The reverse order would duplicate edges on every
+    retry.  Repeated retries do accumulate duplicate batch rows in the
+    STATE (inflating later folds' candidate work, never their output);
+    an operator recovering from repeated failures should restore the
+    state artifact from its last good copy."""
     from pyspark_kmeans_spark.functions.warehouse_memo import memo_invalidate
     from pyspark_kmeans_spark.operators.dedup import tokens_col
 
@@ -275,11 +288,23 @@ def append_pairs_table(
     bpref.count()  # eager: feeds state append, both candidate sides, verify
     allp = state.unionByName(bpref)
 
-    a = allp.select(
-        F.col("doc_id").alias("_ida"),
-        "_block",
-        F.col("_n").alias("_na"),
-        F.explode("_prefix").alias("_ptok"),
+    # Batch-adjacency prune: a state doc sharing NO (prefix token, block)
+    # with the batch can never form a candidate, so the corpus-scale
+    # prefix explode is filtered map-side before the shuffle.  The key
+    # set is ≤ |batch| × prefix_len rows — the bounded-daily-batch
+    # contract justifies the broadcast (incremental_kept_against's
+    # batch_buckets argument).
+    batch_keys = (
+        bpref.select(F.explode("_prefix").alias("_ptok"), "_block").distinct()
+    )
+    a = (
+        allp.select(
+            F.col("doc_id").alias("_ida"),
+            "_block",
+            F.col("_n").alias("_na"),
+            F.explode("_prefix").alias("_ptok"),
+        )
+        .join(F.broadcast(batch_keys), on=["_ptok", "_block"], how="left_semi")
     )
     b = bpref.select(
         F.col("doc_id").alias("_idb"),
@@ -292,7 +317,7 @@ def append_pairs_table(
     size_ok = (F.col("_na") >= F.lit(threshold) * F.col("_nb")) & (
         F.col("_nb") >= F.lit(threshold) * F.col("_na")
     )
-    candidates = (
+    candidates = registered_persist(
         a.join(b.hint("shuffle_hash"), on=["_ptok", "_block"])
         .filter((F.col("_ida") != F.col("_idb")) & size_ok)
         .select(
@@ -301,7 +326,16 @@ def append_pairs_table(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    uni = allp.select("doc_id", "_ts", "_n")
+    candidates.count()  # eager: feeds the id prune and both verify joins
+    # Verify only the candidate-adjacent state slice: token arrays ship
+    # for candidate ids, never the whole corpus (bounded by candidate
+    # volume — batch-adjacent by the prune above).
+    cand_ids = candidates.select(F.col("doc_a").alias("doc_id")).unionByName(
+        candidates.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    uni = allp.select("doc_id", "_ts", "_n").join(
+        F.broadcast(cand_ids), on="doc_id", how="left_semi"
+    )
     inter = F.size(F.array_intersect("_ta", "_tb"))
     union = F.col("_na2") + F.col("_nb2") - inter
     new_edges = (
@@ -323,6 +357,9 @@ def append_pairs_table(
         )
         .filter(inter.cast("double") / union >= threshold)
         .select("doc_a", "doc_b")
+        # Collapse verify-join row duplication from a retry-duplicated
+        # state copy (see the commit-order paragraph above).
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     bpref.select("doc_id", "_block", "_n", "_ts", "_prefix").write.mode(
         "append"
