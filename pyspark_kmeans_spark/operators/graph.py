@@ -222,6 +222,103 @@ def ensure_graph_state(
     return memo_put(spark, state_path, handles)
 
 
+def mine_incremental_edges(
+    state: DataFrame,
+    bpref: DataFrame,
+    *,
+    threshold: float = GRAPH_PAIR_THRESHOLD,
+) -> DataFrame:
+    """New edges contributed by a prepared batch prefix frame against the
+    persisted state: (batch×state ∪ batch×batch) exact-Jaccard pairs ≥
+    threshold in sorted (doc_a < doc_b) orientation.  Both inputs are
+    `_ordered_prefix`-shaped frames under the SAME persisted total order;
+    `bpref` should be persisted by the caller (it feeds both candidate
+    sides and the verify arrays).  Factored out of `append_pairs_table`
+    so the plan-shape golden can pin the batch-adjacent pruning
+    (tests/test_graph.py) without running the artifact writes.
+
+    Plan contract (the 100 TB shape): the state's prefix explode is
+    semi-joined MAP-SIDE against the broadcast batch prefix-key set
+    before any shuffle, and verify token arrays ship only for the
+    candidate-adjacent id slice — the corpus contributes one map-side
+    scan, never a corpus-scale exchange."""
+    allp = state.unionByName(bpref)
+
+    # Batch-adjacency prune: a state doc sharing NO (prefix token, block)
+    # with the batch can never form a candidate, so the corpus-scale
+    # prefix explode is filtered map-side before the shuffle.  The key
+    # set is ≤ |batch| × prefix_len rows — the bounded-daily-batch
+    # contract justifies the broadcast (incremental_kept_against's
+    # batch_buckets argument).
+    batch_keys = (
+        bpref.select(F.explode("_prefix").alias("_ptok"), "_block").distinct()
+    )
+    a = (
+        allp.select(
+            F.col("doc_id").alias("_ida"),
+            "_block",
+            F.col("_n").alias("_na"),
+            F.explode("_prefix").alias("_ptok"),
+        )
+        .join(F.broadcast(batch_keys), on=["_ptok", "_block"], how="left_semi")
+    )
+    b = bpref.select(
+        F.col("doc_id").alias("_idb"),
+        "_block",
+        F.col("_n").alias("_nb"),
+        F.explode("_prefix").alias("_ptok"),
+    )
+    # size prune is symmetric in (na, nb), so it runs before the sorted
+    # re-orientation below.
+    size_ok = (F.col("_na") >= F.lit(threshold) * F.col("_nb")) & (
+        F.col("_nb") >= F.lit(threshold) * F.col("_na")
+    )
+    candidates = registered_persist(
+        a.join(b.hint("shuffle_hash"), on=["_ptok", "_block"])
+        .filter((F.col("_ida") != F.col("_idb")) & size_ok)
+        .select(
+            F.least("_ida", "_idb").alias("doc_a"),
+            F.greatest("_ida", "_idb").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    candidates.count()  # eager: feeds the id prune and both verify joins
+    # Verify only the candidate-adjacent state slice: token arrays ship
+    # for candidate ids, never the whole corpus (bounded by candidate
+    # volume — batch-adjacent by the prune above).
+    cand_ids = candidates.select(F.col("doc_a").alias("doc_id")).unionByName(
+        candidates.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    uni = allp.select("doc_id", "_ts", "_n").join(
+        F.broadcast(cand_ids), on="doc_id", how="left_semi"
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.col("_na2") + F.col("_nb2") - inter
+    return (
+        candidates.join(
+            uni.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("_ts").alias("_ta"),
+                F.col("_n").alias("_na2"),
+            ).hint("shuffle_hash"),
+            on="doc_a",
+        )
+        .join(
+            uni.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("_ts").alias("_tb"),
+                F.col("_n").alias("_nb2"),
+            ).hint("shuffle_hash"),
+            on="doc_b",
+        )
+        .filter(inter.cast("double") / union >= threshold)
+        .select("doc_a", "doc_b")
+        # Collapse verify-join row duplication from a retry-duplicated
+        # state copy (see append_pairs_table's commit-order paragraph).
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def append_pairs_table(
     spark: SparkSession,
     sf_dir: str,
@@ -286,81 +383,7 @@ def append_pairs_table(
     )
     bpref = registered_persist(_ordered_prefix(base, freq, threshold))
     bpref.count()  # eager: feeds state append, both candidate sides, verify
-    allp = state.unionByName(bpref)
-
-    # Batch-adjacency prune: a state doc sharing NO (prefix token, block)
-    # with the batch can never form a candidate, so the corpus-scale
-    # prefix explode is filtered map-side before the shuffle.  The key
-    # set is ≤ |batch| × prefix_len rows — the bounded-daily-batch
-    # contract justifies the broadcast (incremental_kept_against's
-    # batch_buckets argument).
-    batch_keys = (
-        bpref.select(F.explode("_prefix").alias("_ptok"), "_block").distinct()
-    )
-    a = (
-        allp.select(
-            F.col("doc_id").alias("_ida"),
-            "_block",
-            F.col("_n").alias("_na"),
-            F.explode("_prefix").alias("_ptok"),
-        )
-        .join(F.broadcast(batch_keys), on=["_ptok", "_block"], how="left_semi")
-    )
-    b = bpref.select(
-        F.col("doc_id").alias("_idb"),
-        "_block",
-        F.col("_n").alias("_nb"),
-        F.explode("_prefix").alias("_ptok"),
-    )
-    # size prune is symmetric in (na, nb), so it runs before the sorted
-    # re-orientation below.
-    size_ok = (F.col("_na") >= F.lit(threshold) * F.col("_nb")) & (
-        F.col("_nb") >= F.lit(threshold) * F.col("_na")
-    )
-    candidates = registered_persist(
-        a.join(b.hint("shuffle_hash"), on=["_ptok", "_block"])
-        .filter((F.col("_ida") != F.col("_idb")) & size_ok)
-        .select(
-            F.least("_ida", "_idb").alias("doc_a"),
-            F.greatest("_ida", "_idb").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    candidates.count()  # eager: feeds the id prune and both verify joins
-    # Verify only the candidate-adjacent state slice: token arrays ship
-    # for candidate ids, never the whole corpus (bounded by candidate
-    # volume — batch-adjacent by the prune above).
-    cand_ids = candidates.select(F.col("doc_a").alias("doc_id")).unionByName(
-        candidates.select(F.col("doc_b").alias("doc_id"))
-    ).distinct()
-    uni = allp.select("doc_id", "_ts", "_n").join(
-        F.broadcast(cand_ids), on="doc_id", how="left_semi"
-    )
-    inter = F.size(F.array_intersect("_ta", "_tb"))
-    union = F.col("_na2") + F.col("_nb2") - inter
-    new_edges = (
-        candidates.join(
-            uni.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("_ts").alias("_ta"),
-                F.col("_n").alias("_na2"),
-            ).hint("shuffle_hash"),
-            on="doc_a",
-        )
-        .join(
-            uni.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("_ts").alias("_tb"),
-                F.col("_n").alias("_nb2"),
-            ).hint("shuffle_hash"),
-            on="doc_b",
-        )
-        .filter(inter.cast("double") / union >= threshold)
-        .select("doc_a", "doc_b")
-        # Collapse verify-join row duplication from a retry-duplicated
-        # state copy (see the commit-order paragraph above).
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    new_edges = mine_incremental_edges(state, bpref, threshold=threshold)
     bpref.select("doc_id", "_block", "_n", "_ts", "_prefix").write.mode(
         "append"
     ).parquet(state_path)

@@ -176,6 +176,41 @@ def test_pairs_table_equals_inline_mining_and_never_remines(
     assert q_graph_triangles_capped(spark, sf_dir).count() > 0
 
 
+def test_mine_incremental_edges_plan_is_batch_adjacent(spark):
+    """Plan golden for the fold's 100 TB shape (round-9 self-review
+    finding): the state's prefix explode must be pruned by a broadcast
+    LeftSemi BEFORE the candidate shuffle, and the verify arrays must be
+    sliced by a second broadcast LeftSemi — so the corpus contributes a
+    map-side scan, never a corpus-scale exchange.  No cartesian anywhere."""
+    from pyspark.sql import functions as F2
+
+    from pyspark_kmeans_spark.operators.dedup import tokens_col
+    from pyspark_kmeans_spark.operators.graph import (
+        _ordered_prefix,
+        mine_incremental_edges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "a b d", "en"), (10, "a b c", "en")],
+        "doc_id long, text string, lang string",
+    )
+    base = docs.select(
+        "doc_id", F2.col("lang").alias("_block"), tokens_col("text").alias("_toks")
+    )
+    freq = base.select(F2.explode("_toks").alias("_tok")).groupBy("_tok").agg(
+        F2.count(F2.lit(1)).alias("_df")
+    )
+    state = _ordered_prefix(base.filter("doc_id < 10"), freq, 0.9)
+    bpref = _ordered_prefix(base.filter("doc_id >= 10"), freq, 0.9)
+    edges = mine_incremental_edges(state, bpref, threshold=0.9)
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "CartesianProduct" not in plan
+    # Semantics smoke on the planted rows: doc 10 is an exact dup of 1.
+    got = {(r["doc_a"], r["doc_b"]) for r in edges.collect()}
+    assert got == {(1, 10)}
+
+
 def test_append_pairs_table_two_folds_equal_full_remine(
     spark, sf_dir, tmp_path
 ):
