@@ -87,6 +87,7 @@ _SWEEP_FIRST = [
     "pairs_update_check",
     "daily_ingest_semantic",
     "daily_ingest_semantic_check",
+    "curation_token_budget_per_lang",
     # 1. changed in round 9
     "curation_token_budget",
     # 2. stale: last recorded in round 5 (all 37 remaining, alphabetical;

@@ -161,6 +161,7 @@ EXTENDED = [
     "pairs_update_check",
     "daily_ingest_semantic",
     "daily_ingest_semantic_check",
+    "curation_token_budget_per_lang",
 ]
 
 

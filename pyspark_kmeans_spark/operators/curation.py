@@ -1059,6 +1059,161 @@ def token_budget_selection(
     )
 
 
+def token_budget_per_lang(
+    docs: DataFrame, *, fraction: float = TOKEN_BUDGET_FRACTION
+) -> DataFrame:
+    """Mixture-constrained quality-greedy selection: each lang gets its
+    OWN budget floor(fraction × that lang's tokens) and the greedy
+    (quality DESC, doc_id ASC) rule runs WITHIN the lang.  The global
+    form (`token_budget_selection`) lets one high-scoring lang crowd the
+    tail out of the kept set entirely — a 50% global budget can keep
+    100% of en and 0% of a low-scoring tail lang; this form preserves
+    the corpus mixture exactly, the knob a training recipe uses when the
+    domain proportions are fixed upstream (`mixture_weights` CHOOSES
+    proportions; this ENFORCES them under a token budget).
+
+    Same histogram-CDF decomposition as the global form, per lang: the
+    class frame is bounded by (6-dp score classes ≤ 10^6+1) × |langs| —
+    whole classes keep via a broadcast semi-join, and only each lang's
+    single boundary class pays the per-doc two-level contiguous-bucket
+    fold (windows partitioned by (lang, bucket) — NULL lang is its own
+    window partition natively; every JOIN on lang is eqNullSafe so a
+    NULL-lang corpus slice budgets and reports like any other group).
+    The broadcast class/boundary frames grow with |langs|; for a
+    group key of pathological cardinality (millions of groups) the
+    semi-joins would need shuffle form — lang cardinality is bounded by
+    the language inventory, so the broadcast contract holds here."""
+    from pyspark_kmeans_spark.functions.persist import registered_persist
+    from pyspark_kmeans_spark.operators.text import with_quality
+
+    scored = registered_persist(
+        with_quality(docs).select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("quality_score"), F.lit(-1.0)).alias("_skey"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    budgets = scored.groupBy("lang").agg(
+        F.floor(F.lit(fraction) * F.sum("n_tokens"))
+        .cast("long")
+        .alias("budget_tokens")
+    )
+    class_w = Window.partitionBy("lang").orderBy(F.desc("_skey")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bud_side = budgets.select(F.col("lang").alias("_bl"), "budget_tokens")
+    classes = (
+        scored.groupBy("lang", "_skey")
+        .agg(F.sum("n_tokens").alias("_ctok"))
+        .withColumn(
+            "_before",
+            F.coalesce(F.sum("_ctok").over(class_w), F.lit(0).cast("long")),
+        )
+        .join(
+            F.broadcast(bud_side), on=F.col("lang").eqNullSafe(F.col("_bl"))
+        )
+        .drop("_bl")
+    )
+    whole = classes.filter(
+        F.col("_before") + F.col("_ctok") <= F.col("budget_tokens")
+    ).select(F.col("lang").alias("_wl"), F.col("_skey").alias("_wk"))
+    kept_whole = scored.join(
+        F.broadcast(whole),
+        on=F.col("lang").eqNullSafe(F.col("_wl"))
+        & (F.col("_skey") == F.col("_wk")),
+        how="left_semi",
+    ).select("lang", "n_tokens")
+    boundary = classes.filter(
+        (F.col("_before") < F.col("budget_tokens"))
+        & (F.col("_before") + F.col("_ctok") > F.col("budget_tokens"))
+    ).select(
+        F.col("lang").alias("_bl2"),
+        F.col("_skey").alias("_bk"),
+        "_before",
+        "budget_tokens",
+    )
+    bdocs = scored.join(
+        F.broadcast(boundary),
+        on=F.col("lang").eqNullSafe(F.col("_bl2"))
+        & (F.col("_skey") == F.col("_bk")),
+    ).withColumn("_bkt", F.shiftright("doc_id", 20))
+    bkt_w = Window.partitionBy("lang").orderBy(F.asc("_bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        bdocs.groupBy("lang", "_bkt")
+        .agg(F.sum("n_tokens").alias("_btok"))
+        .withColumn(
+            "_boff",
+            F.coalesce(F.sum("_btok").over(bkt_w), F.lit(0).cast("long")),
+        )
+        .select(
+            F.col("lang").alias("_ol"),
+            F.col("_bkt").alias("_obkt"),
+            "_boff",
+        )
+    )
+    in_bkt_w = (
+        Window.partitionBy("lang", "_bkt")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept_boundary = (
+        bdocs.join(
+            F.broadcast(offsets),
+            on=F.col("lang").eqNullSafe(F.col("_ol"))
+            & (F.col("_bkt") == F.col("_obkt")),
+        )
+        .withColumn(
+            "_inb",
+            F.col("_boff")
+            + F.coalesce(
+                F.sum("n_tokens").over(in_bkt_w), F.lit(0).cast("long")
+            ),
+        )
+        .filter(F.col("_before") + F.col("_inb") < F.col("budget_tokens"))
+        .select("lang", "n_tokens")
+    )
+    kept = kept_whole.unionByName(kept_boundary)
+    totals = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    kept_agg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("kept_tokens"),
+    )
+    kept_side = kept_agg.select(
+        F.col("lang").alias("_kl"), "n_kept", "kept_tokens"
+    )
+    return (
+        totals.join(
+            kept_side, on=F.col("lang").eqNullSafe(F.col("_kl")), how="left"
+        )
+        .join(
+            F.broadcast(bud_side), on=F.col("lang").eqNullSafe(F.col("_bl"))
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            "total_tokens",
+            F.coalesce("kept_tokens", F.lit(0).cast("long")).alias(
+                "kept_tokens"
+            ),
+            "budget_tokens",
+        )
+    )
+
+
+def q_token_budget_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_kmeans_spark.functions.persist import release_persisted
+
+    release_persisted()
+    return token_budget_per_lang(load_table(spark, sf_dir, "documents"))
+
+
 FUZZY_CONTAM_THRESHOLD = 0.8
 
 
@@ -1386,6 +1541,7 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_token_budget": q_token_budget,
+    "curation_token_budget_per_lang": q_token_budget_per_lang,
     "curation_length_batching": q_length_batching,
     "curation_fuzzy_contamination": q_fuzzy_contamination,
     "curation_score_percentiles": q_score_percentiles,
@@ -1612,6 +1768,48 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END)
                     AS BIGINT) AS kept_tokens,
                (SELECT budget_tokens FROM b) AS budget_tokens
+        FROM k GROUP BY lang
+    """,
+    # Independent spelling: a single per-lang cumulative window — the
+    # direct form of the greedy rule the histogram decomposition avoids;
+    # IS NOT DISTINCT FROM mirrors the Spark side's eqNullSafe joins.
+    "curation_token_budget_per_lang": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   COALESCE({QUALITY_SCORE_SQL}, -1.0) AS skey,
+                   CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n]+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        b AS (
+            SELECT lang,
+                   CAST(FLOOR({TOKEN_BUDGET_FRACTION}
+                              * CAST(SUM(n_tokens) AS DOUBLE)) AS BIGINT)
+                   AS budget_tokens
+            FROM t GROUP BY lang
+        ),
+        o AS (
+            SELECT t.*,
+                   COALESCE(CAST(SUM(n_tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY skey DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS BIGINT), 0) AS cum_before
+            FROM t
+        ),
+        k AS (
+            SELECT o.*, b.budget_tokens,
+                   CASE WHEN cum_before < b.budget_tokens
+                        THEN 1 ELSE 0 END AS kept
+            FROM o JOIN b ON o.lang IS NOT DISTINCT FROM b.lang
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(kept) AS BIGINT) AS n_kept,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS kept_tokens,
+               MIN(budget_tokens) AS budget_tokens
         FROM k GROUP BY lang
     """,
     "curation_segment_dedup": f"""

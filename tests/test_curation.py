@@ -450,6 +450,42 @@ def test_token_budget_null_score_sorts_last(spark):
     assert r["total_tokens"] == 25 and r["budget_tokens"] == 12
 
 
+def test_token_budget_per_lang_preserves_mixture(spark):
+    """The point of the per-lang form: a high-quality lang must NOT
+    crowd the tail out.  Clean-prose en docs outscore punctuation-heavy
+    xx docs; with fraction=0.5 the GLOBAL form spends the whole budget
+    on en (keeps 0 xx docs), while the per-lang form keeps ~half of each
+    lang's tokens — including a non-zero xx slice — with per-lang
+    budgets equal to floor(0.5 × that lang's tokens)."""
+    from pyspark_kmeans_spark.operators.curation import (
+        token_budget_per_lang,
+        token_budget_selection,
+    )
+
+    a_text = "the cat and the dog walk to a park in the morning sun"
+    b_text = "x! y? z# a$ b% c^ d& e* f( g)"
+    rows = [(i, a_text, "en") for i in range(1, 5)] + [
+        (i, b_text, "xx") for i in range(5, 9)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    global_rep = {
+        r["lang"]: r for r in token_budget_selection(docs, fraction=0.5).collect()
+    }
+    assert global_rep["xx"]["n_kept"] == 0, "construction requires crowd-out"
+
+    rep = {r["lang"]: r for r in token_budget_per_lang(docs, fraction=0.5).collect()}
+    assert set(rep) == {"en", "xx"}
+    for lang, n_tok in (("en", 13), ("xx", 10)):
+        r = rep[lang]
+        assert r["budget_tokens"] == (4 * n_tok) // 2
+        # greedy by (score desc — tied within a lang — then id): keeps
+        # docs while the preceding within-lang sum is under budget → 2
+        # whole docs fill it exactly, so exactly 2 of 4 are kept.
+        assert r["n_kept"] == 2 and r["kept_tokens"] == 2 * n_tok
+        assert r["n_docs"] == 4 and r["total_tokens"] == 4 * n_tok
+
+
 def test_token_budget_constant_score_class_spans_buckets(spark):
     """The degenerate tie-class (VERDICT r8 "What's wrong" #3): every doc
     shares ONE score class, so the boundary class is the whole corpus and
