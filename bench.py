@@ -107,6 +107,50 @@ def loadavg() -> list[float]:
     except OSError:
         return []
 
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _jvm_pid(spark) -> int | None:
+    """PID of the Spark JVM (local mode: driver JVM == all executor
+    threads), via the JVM's own ProcessHandle — no psutil needed."""
+    try:
+        return int(spark._jvm.java.lang.ProcessHandle.current().pid())
+    except Exception:
+        return None
+
+
+def proc_cpu_seconds(pid: int | None) -> float:
+    """utime+stime of `pid` from /proc (seconds).  CPU time is the
+    steal-proof measure: a co-tenant stealing cores inflates WALL time
+    but not ON-CPU time, so wall >> cpu/parallelism self-labels steal in
+    the ledger (VERDICT r9 Missing #2 — BENCH_r08 parsed-null and
+    BENCH_r09 steal made two driver perf ledgers unusable)."""
+    if pid is None:
+        return 0.0
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            # fields after the ")" of comm: state is [0], utime [11],
+            # stime [12] (man proc: fields 14/15, 1-indexed with comm)
+            parts = f.read().rsplit(")", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) / _CLK_TCK
+    except (OSError, IndexError, ValueError):
+        return 0.0
+
+
+def timed(fn, jvm_pid) -> tuple[float, float]:
+    """Run fn; return (wall_s, cpu_s).  cpu_s = JVM utime+stime delta
+    (all executor threads in local mode) + Python driver process_time
+    delta.  Pandas-UDF worker CPU lands in JVM children and is NOT
+    counted — acceptable: no registered hot path is Python-side."""
+    c0 = proc_cpu_seconds(jvm_pid)
+    p0 = time.process_time()
+    t0 = time.perf_counter()
+    fn()
+    wall = time.perf_counter() - t0
+    cpu = (proc_cpu_seconds(jvm_pid) - c0) + (time.process_time() - p0)
+    return wall, cpu
+
 # Round-4 additions, timed single-shot in a separate section so the
 # headline series stays comparable across rounds (BASELINE.md band):
 # the TPC-H completions, the layout-pruning queries, and the heavier
@@ -162,7 +206,33 @@ EXTENDED = [
     "daily_ingest_semantic",
     "daily_ingest_semantic_check",
     "curation_token_budget_per_lang",
+    # round-10 additions: domain-level filtering (per-source quality
+    # blocklist) and near-dup provenance over the pair artifact
+    "curation_domain_stats",
+    "curation_domain_filter",
+    "graph_cross_source",
 ]
+
+# Priced correctness gates run at GATES_SF (default sf0.01), not the bench
+# SF (VERDICT r9 Missing #4): a gate's value is the equality it asserts,
+# which sf0.01 demonstrates identically (the driver's oracle sweep already
+# runs every gate there), and the extended section was carrying ~250 s of
+# sf0.1 gate wall time led by daily_ingest_semantic_check (119 s best).
+# streaming_ingest_check stays at the bench SF as the one scale canary
+# (micro-batch state compaction is the behavior sf0.01 can't exercise).
+GATES_SF = os.environ.get("SPARK_GRAFT_GATES_SF", "0.01")
+GATE_CANARIES = {"streaming_ingest_check"}
+
+
+def is_gate(name: str) -> bool:
+    return name.endswith("_check") and name not in GATE_CANARIES
+
+
+def gates_dir_for(sf_dir: str) -> str:
+    """Sibling sf-dir for the gate tier; falls back to sf_dir when the
+    sibling doesn't exist (custom SPARK_GRAFT_SF_DIR layouts)."""
+    cand = os.path.join(os.path.dirname(sf_dir.rstrip("/")), f"sf{GATES_SF}")
+    return cand if os.path.isdir(cand) else sf_dir
 
 
 def force(df) -> int:
@@ -194,12 +264,15 @@ def main() -> None:
     from pyspark_kmeans_spark.operators.graph import ensure_pairs_table
     from pyspark_kmeans_spark.operators.similarity import ensure_codebook_table
 
-    ensure_signature_table(spark, sf_dir)
-    ensure_digest_table(spark, sf_dir)
-    ensure_lang_stats_table(spark, sf_dir)
-    ensure_codebook_table(spark, sf_dir)
-    ensure_pairs_table(spark, sf_dir)
+    gates_dir = gates_dir_for(sf_dir)
+    for d in {sf_dir, gates_dir}:
+        ensure_signature_table(spark, d)
+        ensure_digest_table(spark, d)
+        ensure_lang_stats_table(spark, d)
+        ensure_codebook_table(spark, d)
+        ensure_pairs_table(spark, d)
     spark.catalog.clearCache()
+    jvm_pid = _jvm_pid(spark)
 
     # This host shows real CPU steal (BASELINE.md records 106/490/642 s for
     # identical runs), so a single-shot measurement can't be trusted against
@@ -208,35 +281,47 @@ def main() -> None:
     # first.
     medians: dict[str, float] = {}
     bests: dict[str, float] = {}
+    cpu_med: dict[str, float] = {}
     for name in HEADLINE:
-        runs = []
+        runs, cpus = [], []
         for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            force(queries[name](spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
+            w, c = timed(lambda: force(queries[name](spark, sf_dir)), jvm_pid)
+            runs.append(w)
+            cpus.append(c)
             # Operators persist intermediates (tokenization, signatures)
             # for their own multi-use plans; drop them so repeats and
             # queries are measured independently and memory pressure
             # doesn't leak across timings.
             spark.catalog.clearCache()
         runs.sort()
+        cpus.sort()
         medians[name] = round(median_of(runs), 3)
         bests[name] = round(runs[0], 3)
+        # CPU median over its own sorted list: steal perturbs wall order,
+        # not on-CPU totals, so the two medians are comparable per query.
+        cpu_med[name] = round(median_of(cpus), 3)
 
     extended: dict[str, float] = {}
     extended_best: dict[str, float] = {}
+    extended_cpu: dict[str, float] = {}
+    gate_names: list[str] = []
     for name in EXTENDED:
         if name not in queries:
             continue
-        runs = []
+        q_dir = gates_dir if is_gate(name) else sf_dir
+        if q_dir is gates_dir and q_dir != sf_dir:
+            gate_names.append(name)
+        runs, cpus = [], []
         for _ in range(REPEATS_EXT):
-            t0 = time.perf_counter()
-            force(queries[name](spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
+            w, c = timed(lambda: force(queries[name](spark, q_dir)), jvm_pid)
+            runs.append(w)
+            cpus.append(c)
             spark.catalog.clearCache()
         runs.sort()
+        cpus.sort()
         extended[name] = round(median_of(runs), 3)
         extended_best[name] = round(runs[0], 3)
+        extended_cpu[name] = round(median_of(cpus), 3)
 
     load_end = loadavg()
     order = sorted(medians, key=medians.get, reverse=True)
@@ -255,12 +340,18 @@ def main() -> None:
         "unit": "sec",
         "queries": {n: medians[n] for n in order},
         "best": {n: bests[n] for n in order},
+        "cpu": {n: cpu_med[n] for n in order},
         "extended": dict(sorted(extended.items(), key=lambda kv: -kv[1])),
         "extended_best": dict(
             sorted(extended_best.items(), key=lambda kv: -kv[1])
         ),
+        "extended_cpu": dict(
+            sorted(extended_cpu.items(), key=lambda kv: -kv[1])
+        ),
         "repeats": REPEATS,
         "repeats_extended": REPEATS_EXT,
+        "gates_sf": float(GATES_SF) if gate_names else float(sf),
+        "gates": sorted(gate_names),
         "load_start": load_start,
         "load_end": load_end,
         "sf": float(sf),
@@ -274,11 +365,12 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError:
         pass  # read-only checkout: the stdout detail line still exists
-    # The compact record is emitted LAST and is BOUNDED (~500 chars, fixed
+    # The compact record is emitted LAST and is BOUNDED (~800 chars, fixed
     # 5+5 query entries regardless of registry growth) so the driver's
     # 2000-char tail capture always keeps it whole and parseable.  The
-    # slowest-5 of each section carry median AND best-of: best << median
-    # means host steal, not regression (VERDICT r6 "What's wrong" #1).
+    # slowest-5 of each section carry median, best-of AND cpu median:
+    # best << median OR wall >> cpu/32 means host steal, not regression
+    # (VERDICT r6 "What's wrong" #1; VERDICT r9 Missing #2).
     slowest5_h = order[:5]
     slowest5 = sorted(extended, key=extended.get, reverse=True)[:5]
     print(
@@ -287,14 +379,20 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "value_v1": total_v1,
+                "cpu_total": round(sum(cpu_med.values()), 3),
                 "unit": "sec",
                 "queries": {n: medians[n] for n in slowest5_h},
+                "cpu": {n: cpu_med[n] for n in slowest5_h},
                 "extended": {n: extended[n] for n in slowest5},
                 "extended_best_slowest": {
                     n: extended_best[n] for n in slowest5
                 },
+                "extended_cpu_slowest": {
+                    n: extended_cpu[n] for n in slowest5
+                },
                 "n_headline": len(medians),
                 "n_extended": len(extended),
+                "gates_sf": float(GATES_SF) if gate_names else float(sf),
                 "detail": "bench_full_last.json",
                 "load_start": load_start,
                 "load_end": load_end,
