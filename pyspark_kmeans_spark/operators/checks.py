@@ -1389,6 +1389,12 @@ def q_incremental_semdedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Driver-collect ceiling for the trio gate's batch marks (ADVICE r9 #2):
+# 6 scalar columns × 2M rows ≈ low hundreds of MB — safe in a default 1g
+# driver heap; anything larger must be audited at a smaller SF instead.
+TRIO_MARKS_DRIVER_CAP = 2_000_000
+
+
 def q_daily_ingest_semantic_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checkable twin of `daily_ingest_semantic` (rows-only: xxhash
     LSH + k-means-routed semantic stage).  The trio's interaction —
@@ -1434,7 +1440,12 @@ def q_daily_ingest_semantic_check(spark: SparkSession, sf_dir: str) -> DataFrame
         ensure_codebook_table,
         routed_side,
     )
+    from pyspark_kmeans_spark.session import clamp_plan_string_length
 
+    # Defensive plan-string clamp for the audit side too (the trio chain
+    # clamps inside trio_stage_marks; the audit stacks the full-batch LSH
+    # probe + the semantic re-derivation on bounded-lineage inputs).
+    clamp_plan_string_length(spark)
     release_persisted()
     # Materialize the marks EAGERLY as a local frame (batch-bounded by
     # the ingest contract — the incremental_semdedup_check collect
@@ -1445,8 +1456,22 @@ def q_daily_ingest_semantic_check(spark: SparkSession, sf_dir: str) -> DataFrame
     # LSH probe + the semantic re-derivation + the witness cross on top
     # of it produced a plan tree whose AQE explain string alone
     # overflowed a default-size driver heap (found by the round-9
-    # driver-sim verify — the tuned test session masked it).
+    # driver-sim verify — the tuned test session masked it).  Round 10
+    # (ADVICE r9 #2): the collect is now CAPPED — driver memory for this
+    # gate grows with batch size, so refuse loudly past the cap instead
+    # of OOMing the driver; a batch that large should be gated at a
+    # smaller audit SF (the bench GATES_SF tier), not collected.  A
+    # localCheckpoint spelling (distributed marks, no collect) was tried
+    # and reverted: its block-eviction failure mode is flakier than the
+    # bounded collect the round-9 verify already proved at 181 queries.
     marks_src = trio_stage_marks(spark, sf_dir)
+    n_marks = marks_src.count()
+    if n_marks > TRIO_MARKS_DRIVER_CAP:
+        raise ValueError(
+            f"daily_ingest_semantic_check: batch marks ({n_marks} rows) "
+            f"exceed the driver collect cap ({TRIO_MARKS_DRIVER_CAP}); "
+            "run this gate at a smaller sf_dir (bench GATES_SF tier)"
+        )
     marks_rows = marks_src.collect()
     release_persisted()
     marks = registered_persist(
@@ -1615,7 +1640,19 @@ def q_pairs_update_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+        # Invalidate the session memo for every scratch artifact BEFORE
+        # and not instead of deleting it (ADVICE r9 #1): if the run died
+        # between ensure_pairs_table's memo_put and append_pairs_table's
+        # invalidation, a same-session retry would otherwise get a cached
+        # DataFrame handle over deleted parquet, and the retry's
+        # append-mode write could recreate a pairs dir holding only batch
+        # edges — a confusing red check instead of a clean rebuild.
+        from pyspark_kmeans_spark.functions.warehouse_memo import (
+            memo_invalidate,
+        )
+
         for a in arts:
+            memo_invalidate(spark, a)
             shutil.rmtree(a, ignore_errors=True)
 
 

@@ -255,3 +255,25 @@ def test_clustering_results_csv_golden_layout(spark, data_dir, tmp_path):
             v = float(cell)
             assert v == v and abs(v) != float("inf")
             assert repr(v) == cell
+
+
+def test_clamp_plan_string_length_is_monotonic_lower(spark):
+    """The defensive plan-string clamp (driver-heap OOM guard for the
+    deepest AQE trees) only ever LOWERS the conf: an untuned session gets
+    the ceiling, an already-tighter session keeps its own bound."""
+    from pyspark_kmeans_spark.session import (
+        PLAN_STRING_MAX_CHARS,
+        clamp_plan_string_length,
+    )
+
+    key = "spark.sql.maxPlanStringLength"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(PLAN_STRING_MAX_CHARS * 4))
+        clamp_plan_string_length(spark)
+        assert int(spark.conf.get(key)) == PLAN_STRING_MAX_CHARS
+        spark.conf.set(key, "1000")
+        clamp_plan_string_length(spark)
+        assert int(spark.conf.get(key)) == 1000, "must not raise a tighter bound"
+    finally:
+        spark.conf.set(key, orig)
