@@ -1539,12 +1539,143 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_selection(load_table(spark, sf_dir, "documents"))
 
 
+DOMAIN_DROP_FRACTION = 0.25
+
+
+def domain_stats(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    drop_fraction: float = DOMAIN_DROP_FRACTION,
+) -> DataFrame:
+    """Per-domain aggregate quality profile + bottom-quantile blocklist
+    decision — DOMAIN-level filtering, the curation step doc-level
+    filters cannot replace (C4 §2.2's blocklist and RefinedWeb §3.1's
+    URL scoring both act on the domain: a systematically low-quality
+    domain whose docs each sit just above the per-doc threshold passes
+    every doc filter and still poisons the mixture).
+
+    One row per source: n_docs, token volume, mean quality, the
+    domain's percentile rank by mean quality, and `kept` = rank >=
+    drop_fraction (ties share a class, hence a fate — PERCENT_RANK
+    semantics, so the oracle's single-window spelling is independent).
+
+    Scale shape: the corpus appears ONCE, as a map-side-combinable
+    groupBy(source).  Domains are bounded but NOT small (a web crawl
+    has ~10^8 registrable domains), so the rank does NOT use a window
+    over the per-source frame: the same histogram-CDF decomposition as
+    `score_percentiles` bounds the sorted structure by the 6-dp
+    mean-quality CODOMAIN (10^6+1 classes max), and sources equi-join
+    their class's rank back.  The mean is an exact DECIMAL sum (order-
+    independent) cast to double for ONE identical division+round on
+    both engines, so the class key is bit-stable across partitionings.
+    NULL scores (empty text) carry the -1.0 sentinel into the mean,
+    matching the oracle's COALESCE."""
+    from pyspark_kmeans_spark.functions.persist import registered_persist
+    from pyspark_kmeans_spark.operators.text import with_quality
+
+    scored = with_quality(docs).select(
+        group_col,
+        F.coalesce(F.col("quality_score"), F.lit(-1.0)).alias("_s"),
+        F.col("n_tokens").cast("long").alias("_nt"),
+    )
+    # Persisted: the per-source frame feeds both the class histogram and
+    # the final join-back; without the persist the corpus scan (and its
+    # regexp scorer) would run twice.
+    per = registered_persist(
+        scored.groupBy(group_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("_s").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_quality"),
+        )
+    )
+    classes = per.groupBy("mean_quality").agg(F.count(F.lit(1)).alias("_c"))
+    # Strictly-below cumsum over the BOUNDED class frame (6-dp codomain),
+    # not the source frame — the "no partition" window is safe here for
+    # the same reason token_budget_selection's class window is.
+    below_w = Window.orderBy(F.asc("mean_quality")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = classes.agg(F.sum("_c").cast("long").alias("_n"))
+    cdf = (
+        classes.withColumn(
+            "_below",
+            F.coalesce(F.sum("_c").over(below_w), F.lit(0).cast("long")),
+        )
+        # 1-row scalar cross (total source count), broadcast-bounded.
+        .crossJoin(F.broadcast(tot))
+    )
+    pct = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+        F.round(F.col("_below").cast("double") / (F.col("_n") - 1), 6)
+    )
+    cdf_side = cdf.select(
+        F.col("mean_quality").alias("_mq"), pct.alias("q_pct")
+    )
+    return (
+        per.join(cdf_side, on=F.col("mean_quality") == F.col("_mq"))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            "mean_quality",
+            "q_pct",
+            (F.col("q_pct") >= F.lit(drop_fraction)).alias("kept"),
+        )
+    )
+
+
+def domain_filter_kept(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    drop_fraction: float = DOMAIN_DROP_FRACTION,
+    sources_broadcastable: bool = True,
+) -> DataFrame:
+    """Docs surviving the domain blocklist: semi-join the corpus against
+    the kept-source set from `domain_stats`.
+
+    Scale shape: the kept-source list is the bounded per-domain frame —
+    broadcast it (default) so the corpus never shuffles.  The broadcast
+    holds to ~10^7 domains; for a crawl-scale domain universe pass
+    ``sources_broadcastable=False`` and the semi-join shuffles on the
+    group key instead (the similarity.py probes_broadcastable contract).
+    eqNullSafe: a NULL source is its own domain on both engines."""
+    kept = domain_stats(
+        docs, group_col=group_col, drop_fraction=drop_fraction
+    ).filter(F.col("kept")).select(F.col(group_col).alias("_g"))
+    if sources_broadcastable:
+        kept = F.broadcast(kept)
+    return docs.join(
+        kept, on=F.col(group_col).eqNullSafe(F.col("_g")), how="left_semi"
+    ).select("doc_id", group_col, "lang")
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_kmeans_spark.functions.persist import release_persisted
+
+    release_persisted()
+    return domain_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_kmeans_spark.functions.persist import release_persisted
+
+    release_persisted()
+    return domain_filter_kept(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_token_budget": q_token_budget,
     "curation_token_budget_per_lang": q_token_budget_per_lang,
     "curation_length_batching": q_length_batching,
     "curation_fuzzy_contamination": q_fuzzy_contamination,
     "curation_score_percentiles": q_score_percentiles,
+    "curation_domain_stats": q_domain_stats,
+    "curation_domain_filter": q_domain_filter,
     "curation_decontaminated": q_decontaminated_kept,
     "curation_top_boilerplate": q_top_boilerplate,
     "curation_funnel": q_quality_funnel,
@@ -1665,6 +1796,51 @@ ORACLES: dict[str, str] = {
                    PARTITION BY source ORDER BY s
                ), 6) AS score_pct
         FROM q
+    """,
+    # Independent spelling: one PERCENT_RANK window over the per-source
+    # aggregate (the Spark side uses the histogram-CDF decomposition, so
+    # a CDF bug cannot be mirrored).  Mean = exact DECIMAL sum cast to
+    # double, then one identical division+round on both engines.
+    "curation_domain_stats": f"""
+        WITH q AS (
+            SELECT source,
+                   COALESCE({QUALITY_SCORE_SQL}, -1.0) AS s,
+                   len(regexp_split_to_array(trim(text), '[ \\t\\n]+')) AS nt
+            FROM documents
+        ), per AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(nt AS BIGINT)) AS BIGINT) AS n_tokens,
+                   ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS mean_quality
+            FROM q GROUP BY source
+        )
+        SELECT source, n_docs, n_tokens, mean_quality,
+               ROUND(PERCENT_RANK() OVER (ORDER BY mean_quality), 6)
+                   AS q_pct,
+               ROUND(PERCENT_RANK() OVER (ORDER BY mean_quality), 6)
+                   >= {DOMAIN_DROP_FRACTION} AS kept
+        FROM per
+    """,
+    "curation_domain_filter": f"""
+        WITH q AS (
+            SELECT source,
+                   COALESCE({QUALITY_SCORE_SQL}, -1.0) AS s
+            FROM documents
+        ), per AS (
+            SELECT source,
+                   ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS mean_quality
+            FROM q GROUP BY source
+        ), dec AS (
+            SELECT source,
+                   ROUND(PERCENT_RANK() OVER (ORDER BY mean_quality), 6)
+                       >= {DOMAIN_DROP_FRACTION} AS kept
+            FROM per
+        )
+        SELECT d.doc_id, d.source, d.lang
+        FROM documents d
+        JOIN dec ON d.source IS NOT DISTINCT FROM dec.source
+        WHERE dec.kept
     """,
     # The oracle affords the full corpus×bench cross (bench is 1/50 of
     # the corpus at oracle SF) — the shared _FUZZY_CTE/_FUZZY_JAC_SQL

@@ -620,6 +620,46 @@ def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def q_graph_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PROVENANCE: pair counts per unordered SOURCE pair over
+    the persisted edge artifact — which domains near-duplicate which
+    (mirror detection, syndication mapping, the "who copies whom" read
+    every crawl-curation team runs before choosing per-domain dedup
+    policy; same-source rows measure within-domain boilerplate).
+
+    Plan: the corpus appears only as a 2-column projected scan
+    (doc_id, source) equi-joined twice to the bounded pair artifact
+    (ensure_pairs_table — the write-once contract); the final groupBy
+    runs over the bounded source-pair frame.  least/greatest normalize
+    the pair so (A,B) and (B,A) count together regardless of edge
+    orientation."""
+    release_persisted()
+    pairs = ensure_pairs_table(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_source_pairs(pairs, docs)
+
+
+def cross_source_pairs(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Unordered source-pair counts over an edge frame (doc_a, doc_b) —
+    the pure form behind q_graph_cross_source (see its docstring)."""
+    src = docs.select("doc_id", "source")
+    a = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")
+    )
+    b = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")
+    )
+    return (
+        pairs.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
 def _graph_sql(body: str) -> str:
     from pyspark_kmeans_spark.operators.dedup import jaccard_pairs_sql
 
@@ -631,10 +671,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangles": q_graph_triangles,
     "graph_triangles_capped": q_graph_triangles_capped,
     "graph_degrees": q_graph_degrees,
+    "graph_cross_source": q_graph_cross_source,
 }
 
 ORACLES: dict[str, str] = {
     "graph_pagerank": _pagerank_sql(PAGERANK_DAMPING, PAGERANK_ITERATIONS),
+    # The oracle re-mines the pairs from the raw table (as every graph
+    # oracle does), so a corrupted/stale artifact hashes red here too.
+    "graph_cross_source": _graph_sql("""
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b,
+               COUNT(*) AS n_pairs
+        FROM pairs p
+        JOIN documents da ON p.doc_a = da.doc_id
+        JOIN documents db ON p.doc_b = db.doc_id
+        GROUP BY 1, 2
+    """),
     "graph_triangles": _graph_sql("""
         , tri AS (
             SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c

@@ -740,3 +740,69 @@ def test_top_boilerplate_planted(spark):
         for r in top_boilerplate_shingles(docs).collect()
     ]
     assert got == [(W8, 3, 2)]
+
+
+def test_domain_filter_drops_systematically_weak_domain(spark):
+    """The failure domain-level filtering exists to prevent: every doc in
+    the weak domain individually looks mediocre-but-passable, yet the
+    DOMAIN's mean quality ranks in the bottom quartile — the per-doc
+    funnel keeps them all, the domain filter drops the whole source.
+    4 domains, drop_fraction 0.25 → exactly the weakest domain goes."""
+    from pyspark_kmeans_spark.operators.curation import (
+        domain_filter_kept,
+        domain_stats,
+    )
+
+    rich = (
+        "the quick brown fox jumps over a lazy dog and the day is long "
+        "and the work of the crew is done in a calm way"
+    )
+    poor = "zz zz zz !!"
+    rows = []
+    did = 0
+    for src, text in (
+        ("good_a", rich),
+        ("good_b", rich + " extra tokens of the same calm shape"),
+        ("good_c", rich + " and more of the usual prose here"),
+        ("weak", poor),
+    ):
+        for _ in range(3):
+            rows.append((did, text, src, "en"))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    )
+    stats = {r["source"]: r for r in domain_stats(docs).collect()}
+    assert len(stats) == 4
+    assert stats["weak"]["kept"] is False
+    assert all(stats[s]["kept"] for s in ("good_a", "good_b", "good_c"))
+    # q_pct is PERCENT_RANK over 4 sources: weak at 0.0, next at 1/3
+    assert stats["weak"]["q_pct"] == 0.0
+    kept_docs = domain_filter_kept(docs).collect()
+    assert {r["source"] for r in kept_docs} == {"good_a", "good_b", "good_c"}
+    assert len(kept_docs) == 9
+
+
+def test_domain_stats_null_source_and_single_source(spark):
+    """NULL source is its own domain (eqNullSafe join keeps its row); a
+    single-domain corpus keeps that domain (pct pinned to 0.0 matches
+    the oracle's single-row PERCENT_RANK, and 0.0 < 0.25 drops it — the
+    documented degenerate case, asserted so a future rule change is a
+    conscious diff)."""
+    from pyspark_kmeans_spark.operators.curation import domain_stats
+
+    rich = "the day of the long calm work is a good one in the sun"
+    docs = spark.createDataFrame(
+        [(0, rich, None, "en"), (1, "zz !!", "a", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    out = {r["source"]: r for r in domain_stats(docs).collect()}
+    assert set(out) == {None, "a"}
+    assert out[None]["kept"] is True and out["a"]["kept"] is False
+
+    single = spark.createDataFrame(
+        [(0, rich, "only", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    row = domain_stats(single).collect()[0]
+    assert row["q_pct"] == 0.0 and row["kept"] is False

@@ -259,3 +259,28 @@ def test_append_pairs_table_two_folds_equal_full_remine(
     finally:
         for a in arts:
             shutil.rmtree(a, ignore_errors=True)
+
+
+def test_cross_source_pairs_normalizes_orientation(spark):
+    """(A,B) and (B,A) edges land in ONE unordered source-pair row;
+    same-source edges count under (S,S); a doc pair inside one source
+    never leaks into a cross row."""
+    from pyspark_kmeans_spark.operators.graph import cross_source_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "mirror_a"), (1, "mirror_b"), (2, "mirror_a"), (3, "blog")],
+        "doc_id long, source string",
+    )
+    # edges: 0-1 (a,b), 3-2 (blog,a: reversed orientation), 0-2 (a,a)
+    pairs = spark.createDataFrame(
+        [(0, 1), (3, 2), (0, 2)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in cross_source_pairs(pairs, docs).collect()
+    }
+    assert got == {
+        ("mirror_a", "mirror_b"): 1,
+        ("blog", "mirror_a"): 1,
+        ("mirror_a", "mirror_a"): 1,
+    }
