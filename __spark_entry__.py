@@ -72,63 +72,73 @@ def _registries() -> list:
 # decides what gets validated each round).  Rebuilt every round: lead with
 # oracles the driver has NEVER hash-checked (new queries), then queries
 # whose code changed this round, then the entries least-recently recorded.
-# Round 9: the three new rows (incremental pair-table maintenance gate;
-# the full-trio daily-ingest flagship and its interaction twin), then
-# curation_token_budget (null-safe lang report join + the two-level
-# boundary-class fold — code changed, re-record), then ALL 37 remaining
-# round-5-stale rows (alphabetical from dedup_exact, exactly where the
-# round-8 rotation note said round 9 resumes — this closes the second
-# cycle: after round 9 every oracle row's latest record is round 6 or
-# newer).  41 of the 50 slots; the remainder falls through to
-# registration order.  dedup_exact is both stale AND changed this round
-# (aggregate keeper rewrite).
+# ONLY oracle-backed rows occupy slots (VERDICT r9 "What's wrong" #2 —
+# round 9 burned a slot on the rows-only `daily_ingest_semantic`, which
+# can never be green; its hash twin carries its correctness and IS
+# listed).  Round 10: the three NEW oracle rows (domain-level filtering
+# pair + near-dup provenance), then the three rows whose code changed
+# this round (trio-check lineage cut via localCheckpoint; pairs-check
+# scratch memo invalidation; bucketed register-if-exists first-touch),
+# then ALL 36 remaining round-6-stale rows (the union ledger's oldest
+# tier, alphabetical), then the first 8 round-7-stale rows alphabetically
+# — 50 slots exactly (3 new + 3 changed + 36 + 8); round 11 resumes the
+# round-7 tier at `embedding_near_dups`.
 _SWEEP_FIRST = [
-    # 0. added in round 9 — never driver-recorded
-    "pairs_update_check",
-    "daily_ingest_semantic",
+    # 0. added in round 10 — never driver-recorded
+    "curation_domain_stats",
+    "curation_domain_filter",
+    "graph_cross_source",
+    # 1. code changed in round 10 — re-record
     "daily_ingest_semantic_check",
-    "curation_token_budget_per_lang",
-    # 1. changed in round 9
-    "curation_token_budget",
-    # 2. stale: last recorded in round 5 (all 37 remaining, alphabetical;
-    #    dedup_exact also carries the round-9 min_by keeper rewrite)
-    "dedup_exact",
-    "dedup_lsh_recall",
-    "dedup_simhash_recall",
-    "derived_age",
-    "distinct_pairs",
-    "distinct_priorities",
-    "epoch_plan",
-    "event_funnel",
-    "event_hit_rate",
-    "event_retention",
-    "forecast_revenue",
-    "hybrid_search",
-    "left_join_fill",
-    "log_features",
-    "mixture_weights",
-    "nation_trade_volume",
-    "order_revenue",
-    "pricing_summary",
-    "promo_revenue_share",
-    "quality_check",
-    "region_volume",
-    "row_number",
-    "running_sum",
-    "scalar_functions",
-    "scan_projection",
-    "semdedup_check",
-    "semi_anti_join",
-    "set_ops",
-    "supplier_nation",
-    "text_chunks",
-    "text_tfidf",
-    "top_customers",
-    "top_orders",
-    "training_order",
-    "training_pipeline",
-    "unpivot",
-    "window_suite",
+    "pairs_update_check",
+    "bucketed_order_revenue",
+    # 2. stale: last recorded in round 6 (all 36 remaining, alphabetical)
+    "ann_lsh_topk",
+    "ann_topk_cosine",
+    "asof_last_order",
+    "collection_functions",
+    "count_distinct",
+    "cube_agg",
+    "curation_contamination",
+    "curation_dup_ngrams",
+    "curation_importance",
+    "curation_pack_sequences",
+    "curation_pii",
+    "curation_repetition",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_jaccard_pairs",
+    "dedup_kept_docs",
+    "dedup_ngram_jaccard",
+    "deterministic_sample",
+    "embedding_lang_norms",
+    "event_dedup",
+    "event_hourly_rollup",
+    "event_user_sessions",
+    "incremental_lsh_check",
+    "json_agg",
+    "json_extract",
+    "multimodal_metadata",
+    "order_gap_stats",
+    "pivot_linestatus",
+    "range_join_recent_orders",
+    "rollup_agg",
+    "salted_agg",
+    "standard_scaled",
+    "stats_agg",
+    "stratified_sample",
+    "text_rolling_hash",
+    "top_tokens_per_lang",
+    # 3. stale: last recorded in round 7 (first 8, alphabetical;
+    #    round 11 resumes here at embedding_near_dups)
+    "ann_recall_check",
+    "approx_aggs_check",
+    "char_ngram_profile",
+    "curation_lm_score",
+    "curation_tokenize",
+    "daily_ingest_check",
+    "distinct_rollup_check",
+    "embedding_matryoshka",
 ]
 
 
