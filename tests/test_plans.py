@@ -370,6 +370,12 @@ def test_all_registered_plans_no_unbounded_cross(spark, sf_dir):
         # `audited.crossJoin(F.broadcast(_over_cap_witness(docs)))`) —
         # the lsh_twowave_check pattern.
         "daily_ingest_semantic_check",
+        # curation_domain_stats crosses the bounded mean-quality class
+        # frame with the 1-row total-source-count scalar (curation.py:
+        # `crossJoin(F.broadcast(tot))` — the curation_token_budget
+        # pattern); curation_domain_filter embeds the same computation.
+        "curation_domain_stats",
+        "curation_domain_filter",
     }
     violations = {}
     for name, fn in entrymod.queries().items():
