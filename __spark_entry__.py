@@ -75,19 +75,21 @@ def _registries() -> list:
 # ONLY oracle-backed rows occupy slots (VERDICT r9 "What's wrong" #2 —
 # round 9 burned a slot on the rows-only `daily_ingest_semantic`, which
 # can never be green; its hash twin carries its correctness and IS
-# listed).  Round 10: the three NEW oracle rows (domain-level filtering
-# pair + near-dup provenance), then the three rows whose code changed
-# this round (trio-check lineage cut via localCheckpoint; pairs-check
-# scratch memo invalidation; bucketed register-if-exists first-touch),
-# then ALL 36 remaining round-6-stale rows (the union ledger's oldest
-# tier, alphabetical), then the first 8 round-7-stale rows alphabetically
-# — 50 slots exactly (3 new + 3 changed + 36 + 8); round 11 resumes the
-# round-7 tier at `embedding_near_dups`.
+# listed).  Round 10: the four NEW oracle rows (domain-level filtering
+# pair, near-dup provenance, the PQ recall gate), then the three rows
+# whose code changed this round (trio-check plan-string clamp + capped
+# collect; pairs-check scratch memo invalidation; bucketed
+# register-if-exists first-touch), then ALL 36 remaining round-6-stale
+# rows (the union ledger's oldest tier, alphabetical), then the first 7
+# round-7-stale rows alphabetically — 50 slots exactly (4 new +
+# 3 changed + 36 + 7); round 11 resumes the round-7 tier at
+# `embedding_matryoshka`.
 _SWEEP_FIRST = [
     # 0. added in round 10 — never driver-recorded
     "curation_domain_stats",
     "curation_domain_filter",
     "graph_cross_source",
+    "pq_recall_check",
     # 1. code changed in round 10 — re-record
     "daily_ingest_semantic_check",
     "pairs_update_check",
@@ -129,8 +131,8 @@ _SWEEP_FIRST = [
     "stratified_sample",
     "text_rolling_hash",
     "top_tokens_per_lang",
-    # 3. stale: last recorded in round 7 (first 8, alphabetical;
-    #    round 11 resumes here at embedding_near_dups)
+    # 3. stale: last recorded in round 7 (first 7, alphabetical;
+    #    round 11 resumes here at embedding_matryoshka)
     "ann_recall_check",
     "approx_aggs_check",
     "char_ngram_profile",
@@ -138,7 +140,6 @@ _SWEEP_FIRST = [
     "curation_tokenize",
     "daily_ingest_check",
     "distinct_rollup_check",
-    "embedding_matryoshka",
 ]
 
 

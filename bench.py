@@ -207,10 +207,13 @@ EXTENDED = [
     "daily_ingest_semantic_check",
     "curation_token_budget_per_lang",
     # round-10 additions: domain-level filtering (per-source quality
-    # blocklist) and near-dup provenance over the pair artifact
+    # blocklist), near-dup provenance over the pair artifact, and the
+    # product-quantization ANN path with its recall gate
     "curation_domain_stats",
     "curation_domain_filter",
     "graph_cross_source",
+    "ann_pq_topk",
+    "pq_recall_check",
 ]
 
 # Priced correctness gates run at GATES_SF (default sf0.01), not the bench

@@ -333,6 +333,51 @@ def q_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_RECALL_FLOOR = 0.8  # measured 0.93 (sf0.001) / 0.98 (sf0.01); margin below
+
+
+def q_pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable PQ quality gate (the ann_recall_check pattern):
+    recall@5 of the ADC+re-rank path (`ann_pq_topk`) against brute-force
+    exact top-k, asserted above a measured-with-margin floor.  A subspace
+    codebook regression (bad fit, stale artifact, encode/LUT index skew —
+    the off-by-one class 1-based F.slice/element_at invite) goes red in
+    the driver sweep."""
+    from pyspark_kmeans_spark.functions.persist import registered_persist
+    from pyspark_kmeans_spark.operators.similarity import (
+        _probes,
+        cosine_topk,
+        ensure_pq_codebook,
+        pq_topk,
+        release_persisted,
+    )
+
+    release_persisted()
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = _probes(emb)
+    key = ["probe_id", "neighbor_id"]
+    exact = registered_persist(
+        cosine_topk(emb, probes, k=ANN_CHECK_K).select(*key)
+    )
+    books = ensure_pq_codebook(spark, sf_dir)
+    pq_hits = exact.join(
+        pq_topk(emb, probes, books, k=ANN_CHECK_K).select(*key),
+        on=key,
+        how="left_semi",
+    ).agg(F.count(F.lit(1)).alias("_pq"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    return (
+        n_exact.crossJoin(pq_hits)  # 1-row × 1-row, bounded
+        .select(
+            "n_exact_pairs",
+            (
+                F.col("_pq")
+                >= F.lit(PQ_RECALL_FLOOR) * F.col("n_exact_pairs")
+            ).alias("pq_recall_ok"),
+        )
+    )
+
+
 KMEANS_CHECK_K = 8
 
 
@@ -1697,6 +1742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lsh_recall": q_dedup_lsh_recall,
     "dedup_simhash_recall": q_dedup_simhash_recall,
     "ann_recall_check": q_ann_recall_check,
+    "pq_recall_check": q_pq_recall_check,
     "kmeans_check": q_kmeans_check,
     "embedding_pca2_exact": q_embedding_pca2_exact,
     "semdedup_check": q_semdedup_check,
@@ -1864,6 +1910,20 @@ def _ann_recall_oracle() -> str:
 
 
 ORACLES["ann_recall_check"] = _ann_recall_oracle()
+
+
+def _pq_recall_oracle() -> str:
+    from pyspark_kmeans_spark.operators.similarity import PROBE_MODULUS
+
+    return f"""
+        SELECT {ANN_CHECK_K} * COUNT(*) AS n_exact_pairs,
+               TRUE AS pq_recall_ok
+        FROM embeddings
+        WHERE vec_id % {PROBE_MODULUS} = 0
+    """
+
+
+ORACLES["pq_recall_check"] = _pq_recall_oracle()
 
 
 def _incremental_lsh_check_oracle() -> str:

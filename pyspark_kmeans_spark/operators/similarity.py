@@ -1020,6 +1020,246 @@ def cosine_near_dup_pairs(
 
 
 # --------------------------------------------------------------------------
+# Product quantization (round 10): the memory-bound ANN scale path
+# --------------------------------------------------------------------------
+
+# 64-dim vectors → 16 × 4-dim subspaces, 16 centroids each: 4 bits per
+# subspace = 8 B/vector (32× compression).  Parameters were swept on the
+# fixture embeddings (near-random 64-dim — the HARD case for PQ):
+# (m=4, refine=4) → recall@5 0.30; (8, 8) → 0.64; (16, 16) → 0.93 at
+# sf0.001 / 0.98 at sf0.01.  Finer subspaces buy ADC fidelity much
+# faster than more re-rank candidates buy recall.
+PQ_SUBSPACES = 16
+PQ_CODES = 16
+PQ_SEED = 1
+PQ_REFINE = 16  # ADC candidates per final top-k slot before exact re-rank
+
+
+def ensure_pq_codebook(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODES,
+    seed: int = PQ_SEED,
+    batch_mod: int = IVF_BATCH_MOD,
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Write-once per-subspace PQ codebooks: [m][k][dim/m] doubles.
+
+    IVF bounds how MUCH of the corpus a probe scores; PQ bounds what each
+    scored vector COSTS — a 64-dim float vector (256 B) becomes m=16
+    4-bit codes (8 B), so the scoring working set shrinks ~32× and the
+    candidate join ships ids+codes instead of raw vectors.  That is the
+    regime that matters at 10^9+ vectors, where the vectors no longer
+    fit executor memory but the codes do (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    Fit: k-means per UNIT-SPACE subspace slice over the corpus split
+    (consumers' metric is cosine — the ivf codebook lesson), seeded per
+    subspace, persisted as (subspace, code, centroid) rows under the
+    same write-once/memoized contract as ensure_codebook_table.  No
+    in-place rewrite path exists, so the memo needs no content stamp
+    (the ensure_pairs_table rule)."""
+    import os
+
+    from pyspark_kmeans_spark.functions.warehouse_memo import memo_get, memo_put
+    from pyspark_kmeans_spark.sources.bucketed import _WAREHOUSE, bucketed_name
+
+    name = bucketed_name(
+        f"pq_codebook_m{m}_k{k}_s{seed}_bm{batch_mod}", sf_dir, n_buckets=1
+    )
+    path = os.path.join(_WAREHOUSE, name)
+    cached = memo_get(spark, path)
+    if cached is not None:
+        return [[list(c) for c in sub] for sub in cached]
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        corpus = with_unit_vectors(
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col(id_col) % batch_mod != 0
+            )
+        )
+        first = corpus.select(F.size("vec").alias("_d")).first()
+        dim = int(first["_d"]) if first else 0
+        if dim % m != 0:
+            raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+        sub = dim // m
+        from pyspark.ml.functions import array_to_vector
+
+        from pyspark_kmeans_spark.ml.kmeans import fit_kmeans
+
+        rows = []
+        for s in range(m):
+            # unit-space slice for subspace s (1-based F.slice)
+            sl = F.slice(
+                F.transform("vec", lambda x: x / F.col("norm")),
+                s * sub + 1,
+                sub,
+            )
+            feat = registered_persist(
+                corpus.select(array_to_vector(sl).alias("_fv"))
+            )
+            model = fit_kmeans(feat, k, seed=seed * 100 + s, features_col="_fv")
+            rows += [
+                (s, c, [float(v) for v in center])
+                for c, center in enumerate(model.clusterCenters())
+            ]
+        release_persisted()
+        spark.createDataFrame(
+            rows, "subspace int, code int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path).collect()
+    books: dict[int, dict[int, list[float]]] = {}
+    for r in stored:
+        books.setdefault(r["subspace"], {})[r["code"]] = list(r["centroid"])
+    out = [
+        [books[s][c] for c in sorted(books[s])] for s in sorted(books)
+    ]
+    memo_put(spark, path, out)
+    return [[list(c) for c in sub] for sub in out]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>): per-subspace argmin centroid over the UNIT
+    vector — the PQ compression step, pure JVM expressions.
+
+    The codebooks are plan literals (m·k·(dim/m) = dim·k doubles ≈ 1,024
+    values at the defaults — model-sized, never corpus-sized), so
+    encoding is a zero-shuffle map: per subspace an array of
+    (squared-distance, code) structs folds through array_min, whose
+    struct ordering (distance first, code tie-break) makes the argmin
+    deterministic across engines and partitionings."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    unit = F.transform("vec", lambda x: x / F.col("norm"))
+    codes = []
+    for s, book in enumerate(codebooks):
+        sl = F.slice(unit, s * sub + 1, sub)
+        # ONE higher-order transform over the k-centroid literal array —
+        # not k separate fold subtrees.  The first spelling expanded to
+        # m·k aggregate branches (256 at the defaults), whose whole-stage
+        # codegen COMPILE cost dominated the query (~10 s for 500 rows);
+        # this tree is O(m) aggregate nodes and compiles in milliseconds.
+        book_lit = F.array(
+            *[F.array(*[F.lit(v) for v in center]) for center in book]
+        )
+        cands = F.transform(
+            book_lit,
+            lambda center, i: F.struct(
+                F.aggregate(
+                    F.zip_with(sl, center, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                i.alias("code"),
+            ),
+        )
+        codes.append(F.array_min(cands)["code"])
+    return with_unit_vectors(df).select(
+        F.col(id_col), F.array(*codes).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    *,
+    refine: int = PQ_REFINE,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k with exact re-rank: (probe_id, neighbor_id, rank, cosine).
+
+    Stage 1 (ADC, approximate): each probe precomputes its m×k lookup
+    table of subspace dots against the literal codebooks — table work is
+    |probes|·dim·k, corpus-independent — and the scoring join ships only
+    (id, m codes) per corpus row.  Per candidate pair the approximate
+    inner product is m element_at lookups + a sum: ~4× less arithmetic
+    and ~32× less corpus bytes through the join than brute force (the
+    byte ratio is the one that matters at 10^9 vectors).  The
+    probe side (rows + LUTs) is broadcast exactly like cosine_topk — the
+    corpus never shuffles.
+
+    Stage 2 (re-rank, exact): the refine·k ADC survivors per probe join
+    back to their raw vectors (a semi-join-sized equi-join on the id) and
+    the final top-k uses the engine's exact rounded-cosine contract, so
+    output values are bit-comparable with cosine_topk — quantization
+    costs recall only, never score fidelity.  refine·k trades recall vs
+    re-rank cost; recall@5 is floor-pinned by checks.pq_recall_check."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    punit = F.transform("vec", lambda x: x / F.col("norm"))
+    # One transform per subspace over the k-centroid literal array (the
+    # pq_encode codegen lesson: O(m) fold nodes, not O(m·k)).
+    lut = F.array(
+        *[
+            F.transform(
+                F.array(
+                    *[F.array(*[F.lit(v) for v in center]) for center in book]
+                ),
+                lambda center: F.aggregate(
+                    F.zip_with(
+                        F.slice(punit, s * sub + 1, sub),
+                        center,
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            for s, book in enumerate(codebooks)
+        ]
+    )
+    p = with_unit_vectors(probes).select(
+        F.col(id_col).alias("probe_id"), lut.alias("_lut")
+    )
+    enc = pq_encode(corpus, codebooks, id_col=id_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda code, s: F.element_at(
+                F.element_at(F.col("_lut"), s.cast("int")), code + 1
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("_adc"), F.asc("neighbor_id")
+    )
+    cand = (
+        enc.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", adc.alias("_adc"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= refine * k)
+        .select("probe_id", "neighbor_id")
+    )
+    c = with_unit_vectors(corpus).select(
+        F.col(id_col).alias("neighbor_id"), "vec", "norm"
+    )
+    pv = with_unit_vectors(probes).select(
+        F.col(id_col).alias("probe_id"),
+        F.col("vec").alias("pvec"),
+        F.col("norm").alias("pnorm"),
+    )
+    scored = (
+        cand.join(c, on="neighbor_id")
+        .join(F.broadcast(pv), on="probe_id")
+        .select("probe_id", "neighbor_id", _cosine().alias("cosine"))
+    )
+    return _rank_topk(scored, k)
+
+
+# --------------------------------------------------------------------------
 # Query registry
 # --------------------------------------------------------------------------
 
@@ -1049,6 +1289,17 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_persisted()
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, _probes(emb), k=5)
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k against the persisted PQ codebook (rows-only: the
+    k-means subspace fits aren't SQL-expressible; recall floor-pinned by
+    the driver-hashed twin `pq_recall_check`, exact re-rank keeps the
+    cosine column bit-comparable with `ann_topk_cosine`)."""
+    release_persisted()
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = ensure_pq_codebook(spark, sf_dir)
+    return pq_topk(emb, _probes(emb), books, k=5)
 
 
 def q_embedding_lang_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1223,6 +1474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_lang_norms": q_embedding_lang_norms,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
     "embedding_near_dups": q_embedding_near_dups,
     "dedup_semantic": q_dedup_semantic,

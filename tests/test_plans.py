@@ -376,6 +376,13 @@ def test_all_registered_plans_no_unbounded_cross(spark, sf_dir):
         # pattern); curation_domain_filter embeds the same computation.
         "curation_domain_stats",
         "curation_domain_filter",
+        # ann_pq_topk's ADC stage broadcasts the probe rows+LUTs against
+        # the encoded corpus (non-equi probe!=neighbor join) — the
+        # ann_topk_cosine broadcast-probes brute-force contract, with the
+        # corpus side shrunk to 8 B codes/vector; pq_recall_check embeds
+        # both it and cosine_topk plus 1-row count crosses.
+        "ann_pq_topk",
+        "pq_recall_check",
     }
     violations = {}
     for name, fn in entrymod.queries().items():

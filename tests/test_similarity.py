@@ -697,3 +697,54 @@ def test_update_codebook_minibatch_matches_closed_form(spark, tmp_path):
     after = sorted(spark.read.parquet(path).collect(), key=lambda r: r["cell"])
     assert sum(int(r["n"]) for r in after) == 14 + len(batch_rows)
     assert ensure_codebook_table(spark, tmp_sf, n_cells=2, seed=1) == got
+
+
+def test_pq_encode_is_exact_argmin_and_deterministic(spark):
+    """pq_encode assigns each subspace its TRUE argmin centroid (hand
+    codebooks, unit-space check in pure python) and is a deterministic
+    pure function of the data (two runs bit-equal)."""
+    from pyspark_kmeans_spark.operators.similarity import pq_encode
+
+    # 4-dim vectors, m=2 subspaces of 2 dims, k=2 codes per subspace.
+    books = [
+        [[1.0, 0.0], [0.0, 1.0]],
+        [[0.7, 0.7], [-0.7, 0.7]],
+    ]
+    rows = [
+        (0, [10.0, 0.1, 3.0, 3.0]),   # s0→code 0, s1→code 0
+        (1, [0.1, 5.0, -2.0, 2.0]),   # s0→code 1, s1→code 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+    assert got == {0: [0, 0], 1: [1, 1]}
+    again = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+    assert got == again
+
+
+def test_pq_topk_finds_exact_duplicate_first(spark):
+    """An exact-duplicate vector must survive ADC candidate selection and
+    land at rank 1 with cosine 1.0 after the exact re-rank — quantization
+    may cost recall on hard neighbors, never on an identical one (it
+    shares every subspace code with the probe)."""
+    import random
+
+    from pyspark_kmeans_spark.operators.similarity import pq_encode, pq_topk
+
+    rng = random.Random(7)
+    dim, m = 8, 4
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = [(0, base), (1, list(base))] + [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(2, 30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # hand codebooks: k=4 random unit-ish centers per 2-dim subspace
+    books = [
+        [[rng.gauss(0, 1) for _ in range(dim // m)] for _ in range(4)]
+        for _ in range(m)
+    ]
+    probe = df.filter(F.col("vec_id") == 0)
+    enc = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+    assert enc[0] == enc[1], "identical vectors must share every code"
+    top = pq_topk(df, probe, books, k=3, refine=4).collect()
+    first = [r for r in top if r["rank"] == 1][0]
+    assert first["neighbor_id"] == 1 and first["cosine"] == 1.0
