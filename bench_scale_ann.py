@@ -83,17 +83,15 @@ def main() -> None:
         write_blowup_embeddings(base, k, path)
         sizes[k] = spark.read.parquet(path).count()
         tmp_sf = f"/tmp/scale_ann_sf_k{k}"
-        os.makedirs(tmp_sf, exist_ok=True)
+        # Rebuild the scaffold from scratch every run (ADVICE r10 #3, the
+        # bench_scale_trio fix applied here too): a leftover scaffold from
+        # a prior run with a different SPARK_GRAFT_SF_DIR would silently
+        # mix the old scale's static tables with the new blowup.
+        shutil.rmtree(tmp_sf, ignore_errors=True)
+        os.makedirs(tmp_sf)
         for t in TABLES:
-            dst = f"{tmp_sf}/{t}.parquet"
-            if not os.path.exists(dst):
-                os.symlink(f"{sf_dir}/{t}.parquet", dst)
-        dst = f"{tmp_sf}/embeddings.parquet"
-        if os.path.islink(dst) or os.path.isfile(dst):
-            os.remove(dst)
-        elif os.path.isdir(dst):
-            shutil.rmtree(dst)
-        os.symlink(path, dst)
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{tmp_sf}/{t}.parquet")
+        os.symlink(path, f"{tmp_sf}/embeddings.parquet")
         for q in QUERIES:
             best = None
             for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))):

@@ -79,18 +79,16 @@ def main() -> None:
         write_blowup_embeddings(emb, k, emb_path)
         sizes[k] = spark.read.parquet(doc_path).count()
         tmp_sf = f"/tmp/scale_trio_sf_k{k}"
-        os.makedirs(tmp_sf, exist_ok=True)
+        # Rebuild the scaffold from scratch every run (ADVICE r10 #3): a
+        # leftover scaffold from a prior run with a different
+        # SPARK_GRAFT_SF_DIR would silently mix the old scale's static
+        # tables with the new blowup.
+        shutil.rmtree(tmp_sf, ignore_errors=True)
+        os.makedirs(tmp_sf)
         for t in TABLES:
-            dst = f"{tmp_sf}/{t}.parquet"
-            if not os.path.exists(dst):
-                os.symlink(f"{sf_dir}/{t}.parquet", dst)
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{tmp_sf}/{t}.parquet")
         for t, blown in (("documents", doc_path), ("embeddings", emb_path)):
-            dst = f"{tmp_sf}/{t}.parquet"
-            if os.path.islink(dst) or os.path.isfile(dst):
-                os.remove(dst)
-            elif os.path.isdir(dst):
-                shutil.rmtree(dst)
-            os.symlink(blown, dst)
+            os.symlink(blown, f"{tmp_sf}/{t}.parquet")
         for q in QUERIES:
             best = None
             for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))):

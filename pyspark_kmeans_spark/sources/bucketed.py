@@ -98,15 +98,20 @@ def ensure_bucketed_tables(
                 # (pinned in tests/test_bucketing.py).  _SUCCESS gates
                 # registration: a torn write from a killed process must
                 # rebuild, not register.
+                # Backtick-quoted identifiers + IF NOT EXISTS (ADVICE r10
+                # #4): the DDL is string-built, and a concurrent session
+                # in the same process can win the tableExists race — the
+                # loser must no-op, not fail with TABLE_ALREADY_EXISTS.
                 col_ddl = ", ".join(
-                    f"{f.name} {f.dataType.simpleString()}"
+                    f"`{f.name}` {f.dataType.simpleString()}"
                     for f in load_table(spark, sf_dir, table)
                     .select(*cols)
                     .schema.fields
                 )
                 spark.sql(
-                    f"CREATE TABLE {name} ({col_ddl}) USING parquet "
-                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                    f"CREATE TABLE IF NOT EXISTS `{name}` ({col_ddl}) "
+                    f"USING parquet "
+                    f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
                     f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
                 )
             else:
