@@ -378,6 +378,58 @@ def q_pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_RECALL_FLOOR = 0.55  # measured 0.72 (sf0.001) / 0.708 (sf0.01);
+# bounded above by IVF routing's own recall (0.74-0.76) — quantization
+# costs only ~0.05 on top of it; margin below the measured band.
+
+
+def q_ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable IVFADC quality gate (the pq_recall_check pattern):
+    recall@5 of the composed cell-routed ADC path (`ann_ivfpq_topk`)
+    against brute-force exact top-k, asserted above a measured-with-
+    margin floor.  A regression in EITHER persisted artifact (IVF
+    codebook drift mis-routing probes, PQ codebook skew corrupting ADC
+    order) or in the composition itself (cell-join key mismatch would
+    silently empty the candidate set) goes red in the driver sweep."""
+    from pyspark_kmeans_spark.functions.persist import registered_persist
+    from pyspark_kmeans_spark.operators.similarity import (
+        _probes,
+        cosine_topk,
+        ensure_codebook_table,
+        ensure_pq_codebook,
+        ivf_pq_topk,
+        release_persisted,
+    )
+
+    release_persisted()
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = _probes(emb)
+    key = ["probe_id", "neighbor_id"]
+    exact = registered_persist(
+        cosine_topk(emb, probes, k=ANN_CHECK_K).select(*key)
+    )
+    centroids = ensure_codebook_table(spark, sf_dir, n_cells=16, seed=1)
+    books = ensure_pq_codebook(spark, sf_dir)
+    hits = exact.join(
+        ivf_pq_topk(
+            emb, probes, centroids, books, k=ANN_CHECK_K
+        ).select(*key),
+        on=key,
+        how="left_semi",
+    ).agg(F.count(F.lit(1)).alias("_ivfpq"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    return (
+        n_exact.crossJoin(hits)  # 1-row × 1-row, bounded
+        .select(
+            "n_exact_pairs",
+            (
+                F.col("_ivfpq")
+                >= F.lit(IVFPQ_RECALL_FLOOR) * F.col("n_exact_pairs")
+            ).alias("ivfpq_recall_ok"),
+        )
+    )
+
+
 KMEANS_CHECK_K = 8
 
 
@@ -1509,7 +1561,13 @@ def q_daily_ingest_semantic_check(spark: SparkSession, sf_dir: str) -> DataFrame
     # localCheckpoint spelling (distributed marks, no collect) was tried
     # and reverted: its block-eviction failure mode is flakier than the
     # bounded collect the round-9 verify already proved at 181 queries.
-    marks_src = trio_stage_marks(spark, sf_dir)
+    # Persist BEFORE the cap count (ADVICE r10 #1): the marks joins and
+    # the stage-3 semantic scoring are not persisted inside
+    # trio_stage_marks, so an unpersisted count() would execute the most
+    # expensive part of this gate twice (once for the cap, once for the
+    # collect).  The frame is batch-bounded by the ingest contract, so
+    # the persist itself is cheap.
+    marks_src = registered_persist(trio_stage_marks(spark, sf_dir))
     n_marks = marks_src.count()
     if n_marks > TRIO_MARKS_DRIVER_CAP:
         raise ValueError(
@@ -1743,6 +1801,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_recall": q_dedup_simhash_recall,
     "ann_recall_check": q_ann_recall_check,
     "pq_recall_check": q_pq_recall_check,
+    "ivfpq_recall_check": q_ivfpq_recall_check,
     "kmeans_check": q_kmeans_check,
     "embedding_pca2_exact": q_embedding_pca2_exact,
     "semdedup_check": q_semdedup_check,
@@ -1924,6 +1983,20 @@ def _pq_recall_oracle() -> str:
 
 
 ORACLES["pq_recall_check"] = _pq_recall_oracle()
+
+
+def _ivfpq_recall_oracle() -> str:
+    from pyspark_kmeans_spark.operators.similarity import PROBE_MODULUS
+
+    return f"""
+        SELECT {ANN_CHECK_K} * COUNT(*) AS n_exact_pairs,
+               TRUE AS ivfpq_recall_ok
+        FROM embeddings
+        WHERE vec_id % {PROBE_MODULUS} = 0
+    """
+
+
+ORACLES["ivfpq_recall_check"] = _ivfpq_recall_oracle()
 
 
 def _incremental_lsh_check_oracle() -> str:

@@ -383,6 +383,11 @@ def test_all_registered_plans_no_unbounded_cross(spark, sf_dir):
         # both it and cosine_topk plus 1-row count crosses.
         "ann_pq_topk",
         "pq_recall_check",
+        # ivfpq_recall_check embeds the brute-force cosine_topk EXACT
+        # baseline (the broadcast-probes non-equi contract) plus 1-row
+        # count crosses; the ann_ivfpq_topk path under test is itself a
+        # pure cell equi-join and is deliberately NOT in this list.
+        "ivfpq_recall_check",
     }
     violations = {}
     for name, fn in entrymod.queries().items():
