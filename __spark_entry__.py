@@ -75,71 +75,73 @@ def _registries() -> list:
 # ONLY oracle-backed rows occupy slots (VERDICT r9 "What's wrong" #2 —
 # round 9 burned a slot on the rows-only `daily_ingest_semantic`, which
 # can never be green; its hash twin carries its correctness and IS
-# listed).  Round 10: the four NEW oracle rows (domain-level filtering
-# pair, near-dup provenance, the PQ recall gate), then the three rows
-# whose code changed this round (trio-check plan-string clamp + capped
-# collect; pairs-check scratch memo invalidation; bucketed
-# register-if-exists first-touch), then ALL 36 remaining round-6-stale
-# rows (the union ledger's oldest tier, alphabetical), then the first 7
-# round-7-stale rows alphabetically — 50 slots exactly (4 new +
-# 3 changed + 36 + 7); round 11 resumes the round-7 tier at
-# `embedding_matryoshka`.
+# listed).  Round 11 (slot math: 2 new + 3 changed + 24 + 21 = 50): the
+# TWO new oracle rows (the IVFADC recall gate — `ann_ivfpq_topk` itself
+# is rows-only; this twin carries it — and the verbatim span-dedup
+# report), then the three rows whose code changed this round (pq_topk
+# refactored onto shared ADC helpers → `pq_recall_check`; trio-marks
+# persist-before-count → `daily_ingest_semantic_check`; bucketed DDL
+# quoting/IF NOT EXISTS → `bucketed_order_revenue`), then ALL 24
+# remaining round-7-stale rows (the union ledger's oldest tier,
+# alphabetical — fully drained this round per VERDICT r10 next-round
+# #2), then the first 21 round-8-stale rows alphabetically; round 12
+# resumes the round-8 tier at `part_supplier_counts`.
 _SWEEP_FIRST = [
-    # 0. added in round 10 — never driver-recorded
-    "curation_domain_stats",
-    "curation_domain_filter",
-    "graph_cross_source",
+    # 0. added in round 11 — never driver-recorded
+    "ivfpq_recall_check",
+    "curation_span_dedup",
+    # 1. code changed in round 11 — re-record
     "pq_recall_check",
-    # 1. code changed in round 10 — re-record
     "daily_ingest_semantic_check",
-    "pairs_update_check",
     "bucketed_order_revenue",
-    # 2. stale: last recorded in round 6 (all 36 remaining, alphabetical)
-    "ann_lsh_topk",
-    "ann_topk_cosine",
-    "asof_last_order",
-    "collection_functions",
-    "count_distinct",
-    "cube_agg",
-    "curation_contamination",
-    "curation_dup_ngrams",
-    "curation_importance",
-    "curation_pack_sequences",
-    "curation_pii",
-    "curation_repetition",
-    "dedup_clusters",
-    "dedup_incremental",
-    "dedup_jaccard_pairs",
-    "dedup_kept_docs",
-    "dedup_ngram_jaccard",
-    "deterministic_sample",
-    "embedding_lang_norms",
-    "event_dedup",
-    "event_hourly_rollup",
-    "event_user_sessions",
-    "incremental_lsh_check",
-    "json_agg",
-    "json_extract",
-    "multimodal_metadata",
-    "order_gap_stats",
-    "pivot_linestatus",
-    "range_join_recent_orders",
-    "rollup_agg",
-    "salted_agg",
-    "standard_scaled",
-    "stats_agg",
-    "stratified_sample",
-    "text_rolling_hash",
-    "top_tokens_per_lang",
-    # 3. stale: last recorded in round 7 (first 7, alphabetical;
-    #    round 11 resumes here at embedding_matryoshka)
-    "ann_recall_check",
-    "approx_aggs_check",
-    "char_ngram_profile",
-    "curation_lm_score",
-    "curation_tokenize",
-    "daily_ingest_check",
-    "distinct_rollup_check",
+    # 2. stale: last recorded in round 7 (all 24 remaining, alphabetical)
+    "embedding_matryoshka",
+    "embedding_near_dups",
+    "embedding_pca2_exact",
+    "embedding_quantize",
+    "event_anomaly",
+    "event_resample_ffill",
+    "event_segment_rollup",
+    "event_sliding_rollup",
+    "event_trending",
+    "event_view_click_join",
+    "grouping_sets",
+    "idle_rich_customers",
+    "incremental_agg",
+    "kmeans_check",
+    "multimodal_dedup",
+    "multimodal_features",
+    "multimodal_frames",
+    "source_quota_sample",
+    "text_edit_distance",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_token_counts",
+    "weighted_sample",
+    # 3. stale: last recorded in round 8 (first 22, alphabetical;
+    #    round 12 resumes here at partitioned_month_revenue)
+    "bpe_check",
+    "codebook_check",
+    "codebook_update_check",
+    "curation_decontaminated",
+    "curation_funnel",
+    "curation_fuzzy_contamination",
+    "curation_length_batching",
+    "curation_score_percentiles",
+    "curation_segment_dedup",
+    "curation_top_boilerplate",
+    "curation_vocab",
+    "customer_rfm",
+    "daily_ingest",
+    "dedup_keep_best",
+    "graph_degrees",
+    "graph_pagerank",
+    "graph_triangles",
+    "graph_triangles_capped",
+    "incremental_semdedup_check",
+    "keep_best_lsh_check",
+    "lsh_twowave_check",
 ]
 
 

@@ -214,6 +214,13 @@ EXTENDED = [
     "graph_cross_source",
     "ann_pq_topk",
     "pq_recall_check",
+    # round-11 additions: the IVFADC composition (cell-routed ADC — the
+    # ANN scale path; ann_pq_topk stays as the ADC correctness baseline)
+    # with its recall gate, and the cross-document verbatim span-dedup
+    # report (Lee et al. 2022 ExactSubstr shape)
+    "ann_ivfpq_topk",
+    "ivfpq_recall_check",
+    "curation_span_dedup",
 ]
 
 # Priced correctness gates run at GATES_SF (default sf0.01), not the bench
@@ -242,6 +249,59 @@ def force(df) -> int:
     """Execute the full plan without materializing on the driver."""
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+def settle(runs: list[float], n_keep: int) -> float:
+    """Median over the n_keep LOWEST runs.  For a query that was never
+    requeued this is the plain median; for a requeued one the extra rep
+    displaces the burst-poisoned worst, so the recorded median reflects
+    the settled band the judge would otherwise re-time by hand."""
+    return median_of(sorted(runs)[:n_keep])
+
+
+def run_section(
+    spark, queries, names, n_reps, jvm_pid, dir_for
+) -> tuple[dict, dict, list]:
+    """Round-robin timing (VERDICT r10 next-round #3): rep 1 of EVERY
+    query, then rep 2, ... — instead of n consecutive reps per query.
+    Two driver ledgers in a row were poisoned by episodic co-tenant
+    bursts lasting minutes: with consecutive reps one burst inflates all
+    three of a query's samples and the median is unadjudicable without
+    judge re-timing (BENCH_r10: dedup_lsh_kept 71.7 s recorded vs 7.5-8.6
+    settled).  Interleaved, a burst of any duration spreads across MANY
+    queries' single reps, so each query's median survives.
+
+    Then one requeue pass at end of run: any query whose median still
+    exceeds 2× its own best gets ONE extra rep, and its median is taken
+    over the n_reps lowest samples (the extra displaces the poisoned
+    worst).  Queries still above 2× after requeue stay in the ledger but
+    are listed in `requeued`, so the JSON self-labels the exception."""
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    cpus: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(n_reps):
+        for name in names:
+            w, c = timed(
+                lambda: force(queries[name](spark, dir_for(name))), jvm_pid
+            )
+            runs[name].append(w)
+            cpus[name].append(c)
+            # Operators persist intermediates (tokenization, signatures)
+            # for their own multi-use plans; drop them so repeats and
+            # queries are measured independently and memory pressure
+            # doesn't leak across timings.
+            spark.catalog.clearCache()
+    requeued: list[str] = []
+    for name in names:
+        rs = sorted(runs[name])
+        if len(rs) >= 2 and median_of(rs) > 2 * rs[0]:
+            requeued.append(name)
+            w, c = timed(
+                lambda: force(queries[name](spark, dir_for(name))), jvm_pid
+            )
+            runs[name].append(w)
+            cpus[name].append(c)
+            spark.catalog.clearCache()
+    return runs, cpus, requeued
 
 
 def main() -> None:
@@ -279,52 +339,36 @@ def main() -> None:
 
     # This host shows real CPU steal (BASELINE.md records 106/490/642 s for
     # identical runs), so a single-shot measurement can't be trusted against
-    # a 2x gate: run each query REPEATS times and report the per-query
-    # MEDIAN (plus the best, to expose the noise floor), sorted slowest
-    # first.
-    medians: dict[str, float] = {}
-    bests: dict[str, float] = {}
-    cpu_med: dict[str, float] = {}
-    for name in HEADLINE:
-        runs, cpus = [], []
-        for _ in range(REPEATS):
-            w, c = timed(lambda: force(queries[name](spark, sf_dir)), jvm_pid)
-            runs.append(w)
-            cpus.append(c)
-            # Operators persist intermediates (tokenization, signatures)
-            # for their own multi-use plans; drop them so repeats and
-            # queries are measured independently and memory pressure
-            # doesn't leak across timings.
-            spark.catalog.clearCache()
-        runs.sort()
-        cpus.sort()
-        medians[name] = round(median_of(runs), 3)
-        bests[name] = round(runs[0], 3)
-        # CPU median over its own sorted list: steal perturbs wall order,
-        # not on-CPU totals, so the two medians are comparable per query.
-        cpu_med[name] = round(median_of(cpus), 3)
+    # a 2x gate: REPEATS interleaved round-robin reps per query (see
+    # run_section) and report the per-query MEDIAN (plus the best, to
+    # expose the noise floor), sorted slowest first.
+    h_runs, h_cpus, h_requeued = run_section(
+        spark, queries, HEADLINE, REPEATS, jvm_pid, lambda name: sf_dir
+    )
+    medians = {n: round(settle(h_runs[n], REPEATS), 3) for n in HEADLINE}
+    bests = {n: round(min(h_runs[n]), 3) for n in HEADLINE}
+    # CPU median over its own sorted list: steal perturbs wall order,
+    # not on-CPU totals, so the two medians are comparable per query.
+    cpu_med = {n: round(settle(h_cpus[n], REPEATS), 3) for n in HEADLINE}
 
-    extended: dict[str, float] = {}
-    extended_best: dict[str, float] = {}
-    extended_cpu: dict[str, float] = {}
-    gate_names: list[str] = []
-    for name in EXTENDED:
-        if name not in queries:
-            continue
-        q_dir = gates_dir if is_gate(name) else sf_dir
-        if q_dir is gates_dir and q_dir != sf_dir:
-            gate_names.append(name)
-        runs, cpus = [], []
-        for _ in range(REPEATS_EXT):
-            w, c = timed(lambda: force(queries[name](spark, q_dir)), jvm_pid)
-            runs.append(w)
-            cpus.append(c)
-            spark.catalog.clearCache()
-        runs.sort()
-        cpus.sort()
-        extended[name] = round(median_of(runs), 3)
-        extended_best[name] = round(runs[0], 3)
-        extended_cpu[name] = round(median_of(cpus), 3)
+    ext_names = [n for n in EXTENDED if n in queries]
+    gate_names = [
+        n for n in ext_names if is_gate(n) and gates_dir != sf_dir
+    ]
+    e_runs, e_cpus, e_requeued = run_section(
+        spark,
+        queries,
+        ext_names,
+        REPEATS_EXT,
+        jvm_pid,
+        lambda name: gates_dir if is_gate(name) else sf_dir,
+    )
+    extended = {n: round(settle(e_runs[n], REPEATS_EXT), 3) for n in ext_names}
+    extended_best = {n: round(min(e_runs[n]), 3) for n in ext_names}
+    extended_cpu = {
+        n: round(settle(e_cpus[n], REPEATS_EXT), 3) for n in ext_names
+    }
+    requeued = sorted(h_requeued + e_requeued)
 
     load_end = loadavg()
     order = sorted(medians, key=medians.get, reverse=True)
@@ -353,6 +397,7 @@ def main() -> None:
         ),
         "repeats": REPEATS,
         "repeats_extended": REPEATS_EXT,
+        "requeued": requeued,
         "gates_sf": float(GATES_SF) if gate_names else float(sf),
         "gates": sorted(gate_names),
         "load_start": load_start,
@@ -395,6 +440,10 @@ def main() -> None:
                 },
                 "n_headline": len(medians),
                 "n_extended": len(extended),
+                # burst adjudication trail: which queries needed the
+                # end-of-run requeue rep (first 5; full list in detail)
+                "requeued_n": len(requeued),
+                "requeued": requeued[:5],
                 "gates_sf": float(GATES_SF) if gate_names else float(sf),
                 "detail": "bench_full_last.json",
                 "load_start": load_start,

@@ -1668,7 +1668,178 @@ def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_filter_kept(load_table(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------------------------
+# Verbatim span dedup (round 11, VERDICT r10 stretch #7)
+# --------------------------------------------------------------------------
+
+# Fixed window length in tokens — the ExactSubstr granularity (Lee et al.
+# 2022, "Deduplicating Training Data Makes Language Models Better", use 50
+# BPE tokens over a suffix array; a fixed-window hash join is the standard
+# distributed approximation: every duplicated run of >= span_len tokens
+# contains at least one duplicated window, so flagged-window islands cover
+# exactly the >= span_len verbatim repeats).  16 fits the fixture docs
+# (median 56 tokens); production corpora tune this like Lee et al.'s 50.
+SPAN_LEN = 16
+# Double rolling hash: two independent (multiplier, modulus) pairs at both
+# levels — char-fold per token, then token-hash-fold per window.  One
+# 31-bit key would collide at ~10^5 windows (birthday bound); the pair
+# key's effective ~62 bits keep false window matches out of any realistic
+# corpus, and BOTH engines compute the identical folds, so the oracle sees
+# the same keys bit-for-bit (the text.ROLLING_HASH_MOD convention: all
+# products stay under 2^52, exact in either engine's 64-bit arithmetic).
+_SPAN_H1 = (31, 2147483647)  # text.ROLLING_HASH char-fold pair
+_SPAN_H2 = (131, 2147483629)
+_SPAN_W1 = (1000003, 2147483647)  # token-level window folds
+_SPAN_W2 = (999979, 2147483629)
+
+
+def _char_fold(col, mult: int, mod: int) -> F.Column:
+    """Polynomial char fold (acc*mult + ascii(c)) % mod — the
+    text.with_rolling_hash fold, parameterized."""
+    return F.aggregate(
+        F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * mult + c) % F.lit(mod),
+    )
+
+
+def _hash_fold(arr, mult: int, mod: int) -> F.Column:
+    """Second-level fold over an array of token hashes (longs)."""
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * mult + h) % F.lit(mod),
+    )
+
+
+def verbatim_span_stats(
+    docs: DataFrame,
+    *,
+    span_len: int = SPAN_LEN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document VERBATIM SPAN dedup report: per doc, the merged
+    token spans (>= span_len tokens) that appear verbatim in at least one
+    OTHER document — (id, n_tok, n_dup_spans, dup_tokens, dup_frac).
+    This is span-granular (which tokens to cut), complementing
+    `contamination`/`duplicate_ngram_stats` which flag whole DOCS; the
+    removal step is a slice-and-concat over the reported islands.
+
+    Plan (all linear, nothing pairwise):
+      1. Per doc, ONE pass builds the token-hash arrays (char fold per
+         token) and every window's double hash via F.slice over them —
+         O(n_tok · span_len) long ops per doc, zero shuffle, pure JVM.
+      2. Window keys dedup to (key, doc) then a map-side-combinable
+         groupBy counts DISTINCT docs per key; keys in >= 2 docs are the
+         duplicated windows (the exact_dedup shuffle shape: 16 B keys,
+         never text, through the exchange).
+      3. Flagged windows semi-join back (equi-join on the key pair) and
+         merge into maximal islands per doc with the classic
+         gaps-and-islands window pair (runs over FLAGGED windows only —
+         the duplicated subset, not the corpus window volume).
+      4. Per-doc rollup left-joins onto the full doc list so clean docs
+         report zeros (the curation-report convention).
+
+    Every duplicated run of r >= span_len tokens yields r - span_len + 1
+    consecutive flagged windows whose island is exactly [run_start,
+    run_end) — so dup_tokens counts each repeated token ONCE, and a run
+    shorter than span_len is (by design, as in Lee et al.) below the
+    granularity floor."""
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tok"),
+        F.transform(toks, lambda w: _char_fold(w, *_SPAN_H1)).alias("_t1"),
+        F.transform(toks, lambda w: _char_fold(w, *_SPAN_H2)).alias("_t2"),
+    )
+    wins = (
+        base.filter(F.col("n_tok") >= span_len)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tok") - span_len),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        _hash_fold(
+                            F.slice("_t1", i + 1, span_len), *_SPAN_W1
+                        ).alias("w1"),
+                        _hash_fold(
+                            F.slice("_t2", i + 1, span_len), *_SPAN_W2
+                        ).alias("w2"),
+                    ),
+                )
+            ).alias("_w"),
+        )
+        .select(id_col, "_w.start", "_w.w1", "_w.w2")
+    )
+    # distinct-then-count, not countDistinct: dropDuplicates partially
+    # aggregates map-side, so the shuffle carries one row per (key, doc)
+    # regardless of within-doc window repetition.
+    flagged_keys = (
+        wins.select("w1", "w2", id_col)
+        .dropDuplicates()
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("w1", "w2")
+    )
+    flagged = wins.join(flagged_keys, on=["w1", "w2"], how="left_semi")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy(id_col).orderBy("start")
+    islands = (
+        flagged.withColumn(
+            "_prev_end", F.max(F.col("start") + span_len).over(w_prev)
+        )
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev_end").isNull()
+                | (F.col("start") > F.col("_prev_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_run))
+        .groupBy(id_col, "_isl")
+        .agg((F.max("start") + span_len - F.min("start")).alias("_span_tok"))
+    )
+    per_doc = islands.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_spans"),
+        F.sum("_span_tok").alias("_dup_tok"),
+    )
+    return (
+        base.select(id_col, "n_tok")
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_tok",
+            F.coalesce("_n_spans", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+            F.coalesce("_dup_tok", F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+            F.round(
+                F.coalesce("_dup_tok", F.lit(0)) / F.col("n_tok"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_kmeans_spark.functions.persist import release_persisted
+
+    release_persisted()
+    return verbatim_span_stats(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "curation_span_dedup": q_span_dedup,
     "curation_token_budget": q_token_budget,
     "curation_token_budget_per_lang": q_token_budget_per_lang,
     "curation_length_batching": q_length_batching,
@@ -1740,6 +1911,79 @@ _SQL_PII_ANY = " OR ".join(
 )
 
 ORACLES: dict[str, str] = {
+    # Full replay of the double-rolling-hash window pipeline: identical
+    # char folds per token, identical token-hash folds per window (all
+    # products < 2^52 — exact in both engines), identical distinct-doc
+    # flagging and gaps-and-islands merge.  Window start is 0-based on
+    # both sides (DuckDB's generate_series i is 1-based; i-1 aligns).
+    "curation_span_dedup": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), th AS (
+            SELECT doc_id, len(t) AS n_tok,
+                   list_transform(t, w -> list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(regexp_split_to_array(w, ''),
+                                          c -> CAST(ascii(c) AS BIGINT))),
+                       (acc, c) -> (acc * {_SPAN_H1[0]} + c)
+                                   % {_SPAN_H1[1]})) AS t1,
+                   list_transform(t, w -> list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(regexp_split_to_array(w, ''),
+                                          c -> CAST(ascii(c) AS BIGINT))),
+                       (acc, c) -> (acc * {_SPAN_H2[0]} + c)
+                                   % {_SPAN_H2[1]})) AS t2
+            FROM toks
+        ), wins AS (
+            SELECT doc_id, i - 1 AS start,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                                    t1[i:i+{SPAN_LEN}-1]),
+                       (acc, h) -> (acc * {_SPAN_W1[0]} + h)
+                                   % {_SPAN_W1[1]}) AS w1,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                                    t2[i:i+{SPAN_LEN}-1]),
+                       (acc, h) -> (acc * {_SPAN_W2[0]} + h)
+                                   % {_SPAN_W2[1]}) AS w2
+            FROM th,
+                 unnest(generate_series(1, n_tok - {SPAN_LEN} + 1)) g(i)
+            WHERE n_tok >= {SPAN_LEN}
+        ), flagged_keys AS (
+            SELECT w1, w2
+            FROM (SELECT DISTINCT doc_id, w1, w2 FROM wins) d
+            GROUP BY w1, w2 HAVING COUNT(*) >= 2
+        ), flagged AS (
+            SELECT wins.doc_id, start
+            FROM wins JOIN flagged_keys USING (w1, w2)
+        ), isl AS (
+            SELECT doc_id, start,
+                   CASE WHEN start > COALESCE(MAX(start + {SPAN_LEN}) OVER (
+                       PARTITION BY doc_id ORDER BY start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), -1) THEN 1 ELSE 0 END AS new_isl
+            FROM flagged
+        ), isl2 AS (
+            SELECT doc_id, start,
+                   SUM(new_isl) OVER (
+                       PARTITION BY doc_id ORDER BY start) AS isl_id
+            FROM isl
+        ), spans AS (
+            SELECT doc_id, isl_id,
+                   MAX(start) + {SPAN_LEN} - MIN(start) AS span_tok
+            FROM isl2 GROUP BY doc_id, isl_id
+        ), per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_dup_spans,
+                   SUM(span_tok) AS dup_tokens
+            FROM spans GROUP BY doc_id
+        )
+        SELECT th.doc_id, n_tok,
+               COALESCE(n_dup_spans, 0) AS n_dup_spans,
+               CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               ROUND(CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / n_tok, 6)
+                   AS dup_frac
+        FROM th LEFT JOIN per_doc USING (doc_id)
+    """,
     # Top-k with a TOTAL order (count desc, doc-freq desc, shingle asc)
     # so the limit cut is deterministic under ties on both engines; the
     # >1-doc HAVING mirrors the Spark filter.

@@ -806,3 +806,59 @@ def test_domain_stats_null_source_and_single_source(spark):
     )
     row = domain_stats(single).collect()[0]
     assert row["q_pct"] == 0.0 and row["kept"] is False
+
+
+def test_verbatim_span_stats_planted_spans(spark):
+    """Two docs share one verbatim 20-token run (> SPAN_LEN=16): every
+    16-token window inside the run is flagged in BOTH docs and the island
+    merge reports exactly one span of 20 tokens each; a third doc sharing
+    nothing reports zeros; a shared run SHORTER than span_len is below
+    the granularity floor by design (Lee et al. ExactSubstr semantics)."""
+    from pyspark_kmeans_spark.operators.curation import (
+        SPAN_LEN,
+        verbatim_span_stats,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(20))          # 20 tokens
+    short = " ".join(f"near{i}" for i in range(SPAN_LEN - 1))  # 15 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta " + run + " gamma delta " + short),
+            (1, run + " epsilon zeta " + short + " eta"),
+            (2, " ".join(f"unique{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"], r["n_tok"])
+        for r in verbatim_span_stats(docs).collect()
+    }
+    assert got[0] == (1, 20, 2 + 20 + 2 + 15)
+    assert got[1] == (1, 20, 20 + 2 + 15 + 1)
+    assert got[2] == (0, 0, 40)
+
+
+def test_verbatim_span_stats_merges_overlapping_runs(spark):
+    """Two docs each repeat the SAME 16-token block twice back-to-back
+    (a 32-token duplicated region): the flagged windows overlap across
+    the whole region and must merge into ONE island counting each token
+    once — never 17 islands or double-counted tokens."""
+    from pyspark_kmeans_spark.operators.curation import (
+        SPAN_LEN,
+        verbatim_span_stats,
+    )
+
+    block = " ".join(f"blk{i}" for i in range(SPAN_LEN))
+    docs = spark.createDataFrame(
+        [
+            (0, block + " " + block + " tail0 tail1"),
+            (1, "head0 " + block + " " + block),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+        for r in verbatim_span_stats(docs).collect()
+    }
+    assert got[0] == (1, 2 * SPAN_LEN)
+    assert got[1] == (1, 2 * SPAN_LEN)
