@@ -325,7 +325,11 @@ def main() -> None:
         ensure_lang_stats_table,
     )
     from pyspark_kmeans_spark.operators.graph import ensure_pairs_table
-    from pyspark_kmeans_spark.operators.similarity import ensure_codebook_table
+    from pyspark_kmeans_spark.operators.similarity import (
+        ensure_codebook_table,
+        ensure_pq_codebook,
+        ensure_pq_index_table,
+    )
 
     gates_dir = gates_dir_for(sf_dir)
     for d in {sf_dir, gates_dir}:
@@ -334,6 +338,8 @@ def main() -> None:
         ensure_lang_stats_table(spark, d)
         ensure_codebook_table(spark, d)
         ensure_pairs_table(spark, d)
+        ensure_pq_codebook(spark, d)
+        ensure_pq_index_table(spark, d)
     spark.catalog.clearCache()
     jvm_pid = _jvm_pid(spark)
 

@@ -385,18 +385,22 @@ IVFPQ_RECALL_FLOOR = 0.55  # measured 0.72 (sf0.001) / 0.708 (sf0.01);
 
 def q_ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checkable IVFADC quality gate (the pq_recall_check pattern):
-    recall@5 of the composed cell-routed ADC path (`ann_ivfpq_topk`)
-    against brute-force exact top-k, asserted above a measured-with-
-    margin floor.  A regression in EITHER persisted artifact (IVF
-    codebook drift mis-routing probes, PQ codebook skew corrupting ADC
-    order) or in the composition itself (cell-join key mismatch would
-    silently empty the candidate set) goes red in the driver sweep."""
+    recall@5 of the composed cell-routed ADC path (`ann_ivfpq_topk` — the
+    INDEXED form, reading the persisted (id, cell, codes) artifact the
+    registered query reads) against brute-force exact top-k over the
+    LIVE table, asserted above a measured-with-margin floor.  A
+    regression in ANY of the three persisted artifacts (IVF codebook
+    drift mis-routing probes, PQ codebook skew corrupting ADC order, a
+    stale or torn index missing corpus rows) or in the composition
+    itself (cell-join key mismatch would silently empty the candidate
+    set) goes red in the driver sweep."""
     from pyspark_kmeans_spark.functions.persist import registered_persist
     from pyspark_kmeans_spark.operators.similarity import (
         _probes,
         cosine_topk,
         ensure_codebook_table,
         ensure_pq_codebook,
+        ensure_pq_index_table,
         ivf_pq_topk,
         release_persisted,
     )
@@ -410,9 +414,10 @@ def q_ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = ensure_codebook_table(spark, sf_dir, n_cells=16, seed=1)
     books = ensure_pq_codebook(spark, sf_dir)
+    idx = ensure_pq_index_table(spark, sf_dir)
     hits = exact.join(
         ivf_pq_topk(
-            emb, probes, centroids, books, k=ANN_CHECK_K
+            emb, probes, centroids, books, k=ANN_CHECK_K, index=idx
         ).select(*key),
         on=key,
         how="left_semi",

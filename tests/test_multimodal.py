@@ -48,6 +48,13 @@ def test_fake_features_deterministic(mm):
 
 
 def test_decode_is_stubbed():
+    """Environment-portable spelling: where Pillow is absent the probe
+    gates decode_image to the guided stub; where it exists, the stub
+    contract is covered by the monkeypatched test below instead."""
+    from pyspark_kmeans_spark.operators.multimodal import imaging_available
+
+    if imaging_available():
+        pytest.skip("Pillow present — decode_image is live, not stubbed")
     with pytest.raises(NotImplementedError):
         decode_image(None)
 
@@ -77,3 +84,45 @@ def test_audio_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_audio(None)
+
+
+def test_image_decode_raises_without_pillow(monkeypatch):
+    """With the capability probe reporting False (this container's real
+    state), decode_image must raise the guided NotImplementedError — the
+    stub contract, now probe-gated instead of unconditional."""
+    from pyspark_kmeans_spark.operators import multimodal
+
+    monkeypatch.setattr(multimodal, "imaging_available", lambda: False)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(None)
+
+
+def test_image_decode_real_when_pillow_present(spark):
+    """Invariant test for the REAL decode path — skips cleanly where
+    Pillow is absent (this container), runs wherever it exists: a tiny
+    generated PNG decodes to its true dimensions with an 8x8 [0,1]
+    feature vector, and a non-image payload yields width=height=0 with
+    NULL features instead of failing the task."""
+    from pyspark_kmeans_spark.operators.multimodal import (
+        decode_image,
+        imaging_available,
+    )
+
+    if not imaging_available():
+        pytest.skip("Pillow not available in this environment")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (12, 5), color=128).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in decode_image(df).collect()}
+    assert (got[1].width, got[1].height) == (12, 5)
+    assert len(got[1].features) == 64
+    assert all(abs(v - 128 / 255.0) < 1e-9 for v in got[1].features)
+    assert (got[2].width, got[2].height) == (0, 0)
+    assert got[2].features is None

@@ -822,3 +822,90 @@ def test_ivfpq_recall_check_green_at_sf0001(spark):
     row = q_ivfpq_recall_check(spark, "/root/testdata/sf0.001").collect()[0]
     assert row["n_exact_pairs"] > 0
     assert row["ivfpq_recall_ok"] is True
+
+
+def test_pq_index_table_matches_direct_and_indexed_query(spark, tmp_path):
+    """The persisted IVFADC index equals the direct pq_index_frame
+    computation row-for-row, and ivf_pq_topk over the artifact is
+    bit-identical to the self-contained form — persistence is pure
+    layout, never semantics."""
+    import os
+    import shutil
+
+    from pyspark_kmeans_spark.operators.similarity import (
+        _probes,
+        ensure_codebook_table,
+        ensure_pq_codebook,
+        ensure_pq_index_table,
+        ivf_pq_topk,
+        pq_index_frame,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tmp_sf = str(tmp_path / "pqidx_sf")
+    os.makedirs(tmp_sf)
+    shutil.copy(f"{sf}/embeddings.parquet", f"{tmp_sf}/embeddings.parquet")
+    emb = spark.read.parquet(f"{tmp_sf}/embeddings.parquet")
+    centroids = ensure_codebook_table(spark, tmp_sf, n_cells=16, seed=1)
+    books = ensure_pq_codebook(spark, tmp_sf)
+    idx = ensure_pq_index_table(spark, tmp_sf)
+    want_rows = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in pq_index_frame(emb, centroids, books).collect()
+    )
+    got_rows = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"])) for r in idx.collect()
+    )
+    assert got_rows == want_rows
+    probes = _probes(emb)
+    want = sorted(
+        tuple(r) for r in ivf_pq_topk(emb, probes, centroids, books, k=5).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in ivf_pq_topk(
+            emb, probes, centroids, books, k=5, index=idx
+        ).collect()
+    )
+    assert got == want
+
+
+def test_pq_index_append_folds_batch(spark, tmp_path):
+    """append_pq_index routes+encodes ONLY the batch against the persisted
+    codebooks and the appended artifact (visible through a fresh ensure —
+    the memo is invalidated) equals index(corpus) ∪ index(batch) computed
+    directly; exactly-once is the caller's contract."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pyspark_kmeans_spark.operators.similarity import (
+        append_pq_index,
+        ensure_codebook_table,
+        ensure_pq_codebook,
+        ensure_pq_index_table,
+        pq_index_frame,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tmp_sf = str(tmp_path / "pqapp_sf")
+    os.makedirs(tmp_sf)
+    shutil.copy(f"{sf}/embeddings.parquet", f"{tmp_sf}/embeddings.parquet")
+    emb = spark.read.parquet(f"{tmp_sf}/embeddings.parquet")
+    ensure_pq_index_table(spark, tmp_sf)
+    batch = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    append_pq_index(spark, tmp_sf, batch)
+    centroids = ensure_codebook_table(spark, tmp_sf, n_cells=16, seed=1)
+    books = ensure_pq_codebook(spark, tmp_sf)
+    want = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in pq_index_frame(emb, centroids, books)
+        .unionByName(pq_index_frame(batch, centroids, books))
+        .collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in ensure_pq_index_table(spark, tmp_sf).collect()
+    )
+    assert got == want
