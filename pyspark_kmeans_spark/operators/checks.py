@@ -378,29 +378,35 @@ def q_pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVFPQ_RECALL_FLOOR = 0.55  # measured 0.72 (sf0.001) / 0.708 (sf0.01);
-# bounded above by IVF routing's own recall (0.74-0.76) — quantization
-# costs only ~0.05 on top of it; margin below the measured band.
+IVFPQ_RECALL_FLOOR = 0.85  # round 12 (residual encoding + multi-probe,
+# the Jégou §V levers): measured 0.924 at BOTH sf0.001 and sf0.01 (the
+# two small SFs share the same 500-vector embeddings table), up from
+# 0.72/0.708 with raw-unit codes and n_probe=4.  Decomposition at
+# n_probe=8: routing costs ~0.05 (all-cells probe reads 0.976, the
+# ADC+refine ceiling), quantization the rest; deterministic seeded
+# artifacts make the measurement exact, so 0.85 is real margin.
 
 
 def q_ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checkable IVFADC quality gate (the pq_recall_check pattern):
     recall@5 of the composed cell-routed ADC path (`ann_ivfpq_topk` — the
-    INDEXED form, reading the persisted (id, cell, codes) artifact the
-    registered query reads) against brute-force exact top-k over the
-    LIVE table, asserted above a measured-with-margin floor.  A
-    regression in ANY of the three persisted artifacts (IVF codebook
-    drift mis-routing probes, PQ codebook skew corrupting ADC order, a
-    stale or torn index missing corpus rows) or in the composition
-    itself (cell-join key mismatch would silently empty the candidate
-    set) goes red in the driver sweep."""
+    INDEXED RESIDUAL form with multi-probe, reading the persisted
+    (id, cell, codes) artifact the registered query reads) against
+    brute-force exact top-k over the LIVE table, asserted above a
+    measured-with-margin floor.  A regression in ANY of the three
+    persisted artifacts (IVF codebook drift mis-routing probes, residual
+    PQ codebook skew corrupting ADC order, a stale or torn index missing
+    corpus rows) or in the composition itself (cell-join key mismatch
+    would silently empty the candidate set; a dropped q·c offset
+    scrambles cross-cell ADC order) goes red in the driver sweep."""
     from pyspark_kmeans_spark.functions.persist import registered_persist
     from pyspark_kmeans_spark.operators.similarity import (
+        IVFPQ_PROBE_CELLS,
         _probes,
         cosine_topk,
         ensure_codebook_table,
-        ensure_pq_codebook,
         ensure_pq_index_table,
+        ensure_residual_pq_codebook,
         ivf_pq_topk,
         release_persisted,
     )
@@ -413,11 +419,18 @@ def q_ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk(emb, probes, k=ANN_CHECK_K).select(*key)
     )
     centroids = ensure_codebook_table(spark, sf_dir, n_cells=16, seed=1)
-    books = ensure_pq_codebook(spark, sf_dir)
-    idx = ensure_pq_index_table(spark, sf_dir)
+    books = ensure_residual_pq_codebook(spark, sf_dir)
+    idx = ensure_pq_index_table(spark, sf_dir, residual=True)
     hits = exact.join(
         ivf_pq_topk(
-            emb, probes, centroids, books, k=ANN_CHECK_K, index=idx
+            emb,
+            probes,
+            centroids,
+            books,
+            k=ANN_CHECK_K,
+            n_probe_cells=IVFPQ_PROBE_CELLS,
+            index=idx,
+            residual=True,
         ).select(*key),
         on=key,
         how="left_semi",
@@ -1661,6 +1674,18 @@ def q_daily_ingest_semantic_check(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .cast("bigint")
         .alias("n_semantic_mismatch"),
+        # Round 12: the trio's ANN-index delta mark must cover EXACTLY
+        # the accepted set — `_cell` (the doc's routed index cell,
+        # computed against the persisted IVF + residual-PQ artifacts)
+        # non-null ⇔ stage-3 survival.  A fold that loses accepted docs
+        # or indexes rejected ones shows here, every sweep.
+        F.sum(
+            F.when(
+                (k("_k3") == 1) != F.col("_cell").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_index_mark_mismatch"),
         F.max("n_over_cap_buckets").cast("bigint").alias("n_over_cap_buckets"),
     )
 
@@ -1764,6 +1789,131 @@ def q_pairs_update_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(a, ignore_errors=True)
 
 
+PQ_INDEX_UPDATE_BATCH_MOD = 4  # vec_id % 4 == 0 → the 25% "new" batch;
+# deliberately ≠ the codebook corpus split's IVF_BATCH_MOD=5 so the two
+# moduli can't be conflated inside the scratch lifecycle.
+
+
+def q_pq_index_update_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hash gate for incremental IVFADC index maintenance
+    (`similarity.append_pq_index`, VERDICT r11 next-round #3):
+    artifact-after-fold must equal a full index rebuild over the union
+    corpus row-for-row — (id, cell, codes) all three.
+
+    Runs the whole lifecycle against a SCRATCH corpus (the
+    pairs_update_check pattern — applicationId-keyed scratch sf_dir,
+    finally-cleanup of the scratch tree and every scratch-keyed
+    warehouse artifact, enumerated by the builders' own name derivation
+    `_pq_state_paths`): write the 75% split as the scratch embeddings
+    table, first-touch builds its IVF codebook + RESIDUAL PQ codebooks +
+    index (the registered round-12 encoding), fold the 25% batch via the
+    REGISTERED `append_pq_index` (staged-commit part-file moves — a torn
+    fold shows here as n_missing/n_extra, direct and every-sweep, where
+    before round 12 it surfaced only as an indirect recall dip), then
+    full-outer-join the folded artifact against an inline
+    `pq_index_frame` rebuild of the UNION corpus using the SAME scratch
+    artifacts.  Union == the full embeddings table, so `n_batch` and
+    `n_index` are SQL-anchored: `n_missing` = rows the fold lost,
+    `n_extra` = rows it invented/duplicated, `n_mismatch` = rows whose
+    cell or codes drifted (a fold encoding against the wrong codebooks —
+    the raw-unit/residual confusion `_pq_index_path`'s name guards) —
+    all must be 0.
+
+    Plan: the fold is the batch-linear path under test; the rebuild and
+    the audit join are check-only costs (the codebook_update_check
+    class: the gate pays for its own independent expectation)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark_kmeans_spark.functions.persist import release_persisted
+    from pyspark_kmeans_spark.operators.similarity import (
+        _pq_state_paths,
+        append_pq_index,
+        ensure_codebook_table,
+        ensure_pq_index_table,
+        ensure_residual_pq_codebook,
+        pq_index_frame,
+    )
+
+    release_persisted()
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"pq_index_update_check_{sf_tag}_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    scratch_sf = os.path.join(root, "sf")
+    arts = _pq_state_paths(scratch_sf, residual=True)
+    try:
+        os.makedirs(scratch_sf)
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") % PQ_INDEX_UPDATE_BATCH_MOD != 0)
+        batch = emb.filter(F.col("vec_id") % PQ_INDEX_UPDATE_BATCH_MOD == 0)
+        corpus.write.mode("overwrite").parquet(
+            os.path.join(scratch_sf, "embeddings.parquet")
+        )
+        n_batch = batch.count()
+        ensure_pq_index_table(spark, scratch_sf, residual=True)
+        append_pq_index(spark, scratch_sf, batch, residual=True)
+        folded = ensure_pq_index_table(spark, scratch_sf, residual=True)
+        centroids = ensure_codebook_table(spark, scratch_sf, n_cells=16, seed=1)
+        books = ensure_residual_pq_codebook(spark, scratch_sf)
+        expected = pq_index_frame(emb, centroids, books, residual=True).select(
+            "vec_id",
+            F.col("cell").alias("_ce"),
+            F.col("codes").alias("_de"),
+        )
+        audit = folded.select(
+            "vec_id", F.col("cell").alias("_cf"), F.col("codes").alias("_df")
+        ).join(expected, on="vec_id", how="full_outer")
+        result = audit.agg(
+            F.lit(n_batch).cast("bigint").alias("n_batch"),
+            F.sum(F.when(F.col("_cf").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_index"),
+            F.sum(F.when(F.col("_cf").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing"),
+            F.sum(F.when(F.col("_ce").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_extra"),
+            F.sum(
+                F.when(
+                    F.col("_cf").isNotNull()
+                    & F.col("_ce").isNotNull()
+                    & (
+                        (F.col("_cf") != F.col("_ce"))
+                        | (F.col("_df") != F.col("_de"))
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_mismatch"),
+        )
+        # Materialize eagerly: the returned plan must not depend on the
+        # scratch files the finally below deletes.
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        # Invalidate the session memo for every scratch artifact BEFORE
+        # deleting (the pairs_update_check lesson, ADVICE r9 #1): a
+        # same-session retry must rebuild, not read a cached handle over
+        # deleted parquet.
+        from pyspark_kmeans_spark.functions.warehouse_memo import (
+            memo_invalidate,
+        )
+
+        for a in arts:
+            memo_invalidate(spark, a)
+            shutil.rmtree(a, ignore_errors=True)
+            for stale in glob.glob(a + ".staging-*"):
+                shutil.rmtree(stale, ignore_errors=True)
+
+
 QUALITY_ACC_FLOOR = 0.9  # tests pin ≥0.95 at sf0.001; driver floor has margin
 
 
@@ -1821,6 +1971,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_ingest_check": q_streaming_ingest_check,
     "keep_best_lsh_check": q_keep_best_lsh_check,
     "pairs_update_check": q_pairs_update_check,
+    "pq_index_update_check": q_pq_index_update_check,
     "daily_ingest_semantic_check": q_daily_ingest_semantic_check,
 }
 
@@ -2142,6 +2293,27 @@ def _codebook_update_check_oracle() -> str:
 ORACLES["codebook_update_check"] = _codebook_update_check_oracle()
 
 
+def _pq_index_update_check_oracle() -> str:
+    """The three zeros are exact frame equalities (fold and rebuild run
+    the same deterministic pq_index_frame expression against the same
+    persisted artifacts — no tolerance needed); the anchors are
+    SQL-recomputable from the split constant.  A duplicated fold (torn
+    append replayed) inflates n_index past COUNT(*), so exactly-once
+    violations are caught by the anchor even when content matches."""
+    return f"""
+        SELECT CAST(SUM(CASE WHEN vec_id % {PQ_INDEX_UPDATE_BATCH_MOD} = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_batch,
+               COUNT(*) AS n_index,
+               CAST(0 AS BIGINT) AS n_missing,
+               CAST(0 AS BIGINT) AS n_extra,
+               CAST(0 AS BIGINT) AS n_mismatch
+        FROM embeddings
+    """
+
+
+ORACLES["pq_index_update_check"] = _pq_index_update_check_oracle()
+
+
 def _incremental_semdedup_check_oracle() -> str:
     """n_kept_mismatch = 0 is exact (same routing, same rounded cosine
     contract, independent aggregate shape — no scale bound: both sides
@@ -2204,6 +2376,7 @@ def _daily_ingest_semantic_check_oracle() -> str:
                CAST(0 AS BIGINT) AS n_chain_violation,
                CAST(0 AS BIGINT) AS n_lsh_chain_mismatch,
                CAST(0 AS BIGINT) AS n_semantic_mismatch,
+               CAST(0 AS BIGINT) AS n_index_mark_mismatch,
                CAST(0 AS BIGINT) AS n_over_cap_buckets
     """
 

@@ -309,7 +309,9 @@ def trio_stage_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
         IVF_BATCH_MOD,
         SEMDEDUP_THRESHOLD,
         ensure_codebook_table,
+        ensure_residual_pq_codebook,
         incremental_semantic_kept,
+        pq_index_frame,
     )
     from pyspark_kmeans_spark.session import clamp_plan_string_length
 
@@ -378,12 +380,33 @@ def trio_stage_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids,
         threshold=SEMDEDUP_THRESHOLD,
     ).select(F.col("vec_id").alias("doc_id"))
+    # Stage 4 (round 12, VERDICT r11 next-round #6) — ANN-index
+    # maintenance delta: the (id, cell) rows `append_pq_index` would fold
+    # for the accepted docs, routed against the SAME persisted artifacts
+    # the registered index reads (IVF codebook + residual PQ codebooks —
+    # the pq_index_frame ingestion shape, batch-sized, zero shuffle).
+    # COMPUTED, not folded: a registered query must stay idempotent (a
+    # replayed query would duplicate index rows); the actual fold is
+    # exercised every sweep by the scratch-lifecycle gate
+    # `checks.pq_index_update_check`.  `_cell` non-null ⇔ the doc's index
+    # row exists in the delta — the twin pins this ⇔ _k3 == 1.
+    books = ensure_residual_pq_codebook(spark, sf_dir)
+    delta = pq_index_frame(
+        emb.join(
+            kept3.select(F.col("doc_id").alias("vec_id")),
+            on="vec_id",
+            how="left_semi",
+        ),
+        centroids,
+        books,
+        residual=True,
+    ).select(F.col("vec_id").alias("doc_id"), F.col("cell").alias("_cell"))
     marks = base.select("doc_id", "lang", "_n_tok")
     for k, kept in (("_k1", kept1), ("_k2", kept2), ("_k3", kept3)):
         marks = marks.join(
             kept.withColumn(k, F.lit(1)), on="doc_id", how="left"
         )
-    return marks
+    return marks.join(delta, on="doc_id", how="left")
 
 
 def q_daily_ingest_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,6 +443,12 @@ def q_daily_ingest_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("kept_tokens"),
+        # The ANN-index maintenance delta (round 12): rows this batch
+        # adds to the persisted IVFADC index — accept-time bookkeeping,
+        # pinned == n_kept by the twin's n_index_mark_mismatch.
+        F.sum(F.when(F.col("_cell").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("index_rows"),
     )
 
 

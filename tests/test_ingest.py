@@ -69,11 +69,15 @@ def test_trio_marks_chain_and_attribution(spark, sf_dir):
             assert r["_k1"] == 1, r
         if r["_k3"] == 1:
             assert r["_k2"] == 1, r
+        # round 12: the ANN-index delta mark covers exactly the accepted
+        # set (the twin's n_index_mark_mismatch invariant at test scale)
+        assert (r["_k3"] == 1) == (r["_cell"] is not None), r
     for r in q_daily_ingest_semantic(spark, sf_dir).collect():
         assert (
             r["drop_digest"] + r["drop_lsh"] + r["drop_semantic"] + r["n_kept"]
             == r["n_batch"]
         ), r
+        assert r["index_rows"] == r["n_kept"], r
 
 
 def test_persisted_artifacts_written_once(spark, sf_dir):
