@@ -862,3 +862,54 @@ def test_verbatim_span_stats_merges_overlapping_runs(spark):
     }
     assert got[0] == (1, 2 * SPAN_LEN)
     assert got[1] == (1, 2 * SPAN_LEN)
+
+
+def test_remove_duplicate_spans_cuts_exact_islands(spark):
+    """The round-12 removal transform: the planted 20-token shared run is
+    CUT token-exactly from both docs (slice-and-concat), the clean doc
+    passes through verbatim, and n_tok_kept == size(split(text_kept))
+    everywhere — the arithmetic/text consistency the oracle pins the
+    count half of."""
+    from pyspark_kmeans_spark.operators.curation import (
+        SPAN_LEN,
+        remove_duplicate_spans,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(20))
+    short = " ".join(f"near{i}" for i in range(SPAN_LEN - 1))
+    unique = " ".join(f"unique{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta " + run + " gamma delta " + short),
+            (1, run + " epsilon zeta " + short + " eta"),
+            (2, unique),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_duplicate_spans(docs).collect()}
+    assert got[0]["text_kept"] == "alpha beta gamma delta " + short
+    assert got[1]["text_kept"] == "epsilon zeta " + short + " eta"
+    assert got[2]["text_kept"] == unique
+    for r in got.values():
+        toks = r["text_kept"].split(" ") if r["text_kept"] else []
+        assert r["n_tok_kept"] == len(toks), r
+        assert r["n_tok"] - r["n_tok_kept"] in (0, 20), r
+
+
+def test_remove_duplicate_spans_full_cut_yields_empty_text(spark):
+    """A doc that is ENTIRELY one duplicated block keeps zero tokens and
+    empty text — the boundary where filter-by-index and the n_tok −
+    dup_tokens arithmetic could disagree (split('') is [''], size 1)."""
+    from pyspark_kmeans_spark.operators.curation import (
+        SPAN_LEN,
+        remove_duplicate_spans,
+    )
+
+    block = " ".join(f"blk{i}" for i in range(SPAN_LEN))
+    docs = spark.createDataFrame(
+        [(0, block), (1, block)],
+        "doc_id long, text string",
+    )
+    for r in remove_duplicate_spans(docs).collect():
+        assert r["n_tok_kept"] == 0, r
+        assert r["text_kept"] == "", r
