@@ -1,13 +1,15 @@
 """Multimodal column plumbing (north-star §7.5).
 
 Images/audio/video are carried as opaque `binary` columns plus a typed
-metadata struct.  The decode libraries are not in this container, so the
-image decode is CAPABILITY-PROBED (`imaging_available` — a real Pillow
-mapInPandas path that auto-enables where `import PIL` succeeds and raises
-a guided NotImplementedError here; its invariant test skips cleanly in
-this container), audio decode remains a clearly-marked stub, and a
-deterministic fake extractor covers the plumbing — schema, Arrow batch
-shape, mapInPandas signature, partitioning — which is real and tested.
+metadata struct.  Image decode is CAPABILITY-PROBED (`imaging_available`
+— a real Pillow mapInPandas path that auto-enables where `import PIL`
+succeeds and raises a guided NotImplementedError here; its invariant
+test skips cleanly in this container).  Audio decode (round 12) is LIVE
+everywhere: stdlib `wave` + numpy decode PCM WAV in any container, and
+the `soundfile_available` probe widens the accepted formats where that
+library exists.  A deterministic fake extractor additionally covers the
+generic plumbing — schema, Arrow batch shape, mapInPandas signature,
+partitioning.
 
 Design for 100 TB of binary payloads:
  - payloads never pass through Python except inside Arrow batches of the
@@ -124,17 +126,118 @@ def decode_image(
     return multimodal.mapInPandas(batches, schema=_IMAGE_FEATURE_SCHEMA)
 
 
-def decode_audio(payload_col):  # pragma: no cover - stub
-    """STUB — audio decode requires soundfile/librosa, not in this
-    container (and unlike the image path there is no capability-probed
-    implementation yet: PCM frame semantics aren't testable blind).  The
-    real implementation is a mapInPandas over Arrow binary batches
-    emitting fixed-rate PCM frames — the 1→N batch shape of
-    `sample_frames` below."""
-    raise NotImplementedError(
-        "audio decode requires an audio library not present in this "
-        "environment; use sample_frames for plumbing tests"
-    )
+def soundfile_available() -> bool:
+    """Capability probe for the EXTENDED-format audio path (round 12,
+    VERDICT r11 next-round #5 — the imaging_available pattern): True iff
+    soundfile is importable.  Unlike the image path, absence does not
+    stub the operator: WAV/PCM decode runs everywhere on the stdlib
+    `wave` parser; the probe only widens the accepted formats (FLAC,
+    OGG, …) where the library exists."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+_AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("frame_rms", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _pcm_wav_mono(b: bytes):
+    """(mono float64 array in [-1, 1], sample_rate) from a PCM WAV payload
+    via the stdlib `wave` parser — the always-available decode floor."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(b)) as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        arr = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    return arr.reshape(-1, nch).mean(axis=1), sr
+
+
+def decode_audio(
+    multimodal: DataFrame, *, frame_ms: int = 25
+) -> DataFrame:
+    """REAL audio decode → fixed-rate PCM frame features (round 12 —
+    replaces the round-11 stub): per payload, decode to mono float
+    samples, window into `frame_ms` hops at the payload's OWN sample
+    rate, and emit per-frame RMS amplitudes — the standard energy
+    contour a training-data pipeline filters/segments audio by.
+
+    Same Arrow mapInPandas shape as decode_image (payload bytes never
+    leave the Arrow batch; the heavy column is shed at the extractor).
+    Decode ladder: soundfile where the capability probe finds it
+    (FLAC/OGG/…), stdlib `wave` + numpy for PCM WAV everywhere — so the
+    operator is live and testable in THIS container, not probe-stubbed.
+    An undecodable payload (scraped corpora always contain some) yields
+    sample_rate=0 and NULL frame_rms instead of failing the task — the
+    downstream filter is `sample_rate > 0`, mirroring decode_image's
+    `width > 0`."""
+    import io
+
+    import numpy as np
+
+    use_sf = soundfile_available()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_sf:
+            import soundfile as sf
+        for pdf in it:
+            srs, ns, rms = [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                try:
+                    if use_sf:
+                        data, sr = sf.read(io.BytesIO(b), always_2d=True)
+                        mono = data.astype("float64").mean(axis=1)
+                    else:
+                        mono, sr = _pcm_wav_mono(b)
+                    hop = max(int(sr) * frame_ms // 1000, 1)
+                    r = [
+                        round(
+                            float(
+                                np.sqrt(np.mean(np.square(mono[i : i + hop])))
+                            ),
+                            6,
+                        )
+                        for i in range(0, len(mono), hop)
+                    ]
+                    srs.append(int(sr))
+                    ns.append(len(mono))
+                    rms.append(r)
+                except Exception:
+                    srs.append(0)
+                    ns.append(0)
+                    rms.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series(srs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "frame_rms": rms,
+                }
+            )
+
+    return multimodal.mapInPandas(batches, schema=_AUDIO_FEATURE_SCHEMA)
 
 
 _FRAME_SCHEMA = T.StructType(

@@ -79,11 +79,58 @@ def test_sample_frames_planted(spark):
     ]
 
 
-def test_audio_decode_is_stubbed():
+def _sine_wav_bytes(sr=8000, hz=440.0, seconds=0.25, amp=0.5) -> bytes:
+    """A PCM16 mono WAV of a known sine, via stdlib only — RMS is
+    amp/√2, giving the decode test an analytic expectation."""
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(sr * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(
+            b"".join(
+                struct.pack(
+                    "<h",
+                    int(amp * 32767 * math.sin(2 * math.pi * hz * i / sr)),
+                )
+                for i in range(n)
+            )
+        )
+    return buf.getvalue()
+
+
+def test_audio_decode_real_wav(spark):
+    """The round-12 LIVE audio path (stdlib-wave floor, so it runs green
+    in THIS container — no capability skip): a generated 8 kHz sine WAV
+    decodes to its true sample rate/length, per-25ms-frame RMS ≈ amp/√2,
+    and a non-audio payload yields sample_rate=0 with NULL frame_rms
+    instead of failing the task."""
     from pyspark_kmeans_spark.operators.multimodal import decode_audio
 
-    with pytest.raises(NotImplementedError):
-        decode_audio(None)
+    sr, amp = 8000, 0.5
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_sine_wav_bytes(sr=sr, amp=amp))),
+            (2, bytearray(b"not audio at all")),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in decode_audio(df).collect()}
+    assert got[1].sample_rate == sr
+    assert got[1].n_samples == sr // 4
+    hop = sr * 25 // 1000  # 200 samples/frame
+    assert len(got[1].frame_rms) == (got[1].n_samples + hop - 1) // hop
+    expected = amp / 2**0.5
+    for v in got[1].frame_rms:
+        assert abs(v - expected) < 0.02, v
+    assert got[2].sample_rate == 0
+    assert got[2].frame_rms is None
 
 
 def test_image_decode_raises_without_pillow(monkeypatch):
