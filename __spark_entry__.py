@@ -73,75 +73,74 @@ def _registries() -> list:
 # oracles the driver has NEVER hash-checked (new queries), then queries
 # whose code changed this round, then the entries least-recently recorded.
 # ONLY oracle-backed rows occupy slots (VERDICT r9 "What's wrong" #2 —
-# round 9 burned a slot on the rows-only `daily_ingest_semantic`, which
-# can never be green; its hash twin carries its correctness and IS
-# listed).  Round 11 (slot math: 2 new + 3 changed + 24 + 21 = 50): the
-# TWO new oracle rows (the IVFADC recall gate — `ann_ivfpq_topk` itself
-# is rows-only; this twin carries it — and the verbatim span-dedup
-# report), then the three rows whose code changed this round (pq_topk
-# refactored onto shared ADC helpers → `pq_recall_check`; trio-marks
-# persist-before-count → `daily_ingest_semantic_check`; bucketed DDL
-# quoting/IF NOT EXISTS → `bucketed_order_revenue`), then ALL 24
-# remaining round-7-stale rows (the union ledger's oldest tier,
-# alphabetical — fully drained this round per VERDICT r10 next-round
-# #2), then the first 21 round-8-stale rows alphabetically; round 12
-# resumes the round-8 tier at `part_supplier_counts`.
+# rows-only entries can never be green; their hash twins carry their
+# correctness and ARE listed).  Round 12 (slot math: 2 new + 3 changed +
+# 25 + 20 = 50): the TWO new oracle rows (the IVFADC fold==rebuild gate
+# and the span-REMOVAL transform), then the three rows whose code
+# changed this round (residual encoding + multi-probe + raised 0.85
+# floor → `ivfpq_recall_check`; trio index-delta mark →
+# `daily_ingest_semantic_check`; ensure_pq_codebook refactored onto the
+# shared _ensure_pq_books body → `pq_recall_check`), then ALL 25
+# remaining round-8-stale rows (the union ledger's oldest tier,
+# alphabetical — fully drained this round per VERDICT r11 next-round
+# #2), then the first 20 round-9-stale rows alphabetically; round 13
+# resumes the round-9 tier at `log_features`.
 _SWEEP_FIRST = [
-    # 0. added in round 11 — never driver-recorded
+    # 0. added in round 12 — never driver-recorded
+    "pq_index_update_check",
+    "curation_span_removed",
+    # 1. code changed in round 12 — re-record
     "ivfpq_recall_check",
-    "curation_span_dedup",
-    # 1. code changed in round 11 — re-record
-    "pq_recall_check",
     "daily_ingest_semantic_check",
-    "bucketed_order_revenue",
-    # 2. stale: last recorded in round 7 (all 24 remaining, alphabetical)
-    "embedding_matryoshka",
-    "embedding_near_dups",
-    "embedding_pca2_exact",
-    "embedding_quantize",
-    "event_anomaly",
-    "event_resample_ffill",
-    "event_segment_rollup",
-    "event_sliding_rollup",
-    "event_trending",
-    "event_view_click_join",
-    "grouping_sets",
-    "idle_rich_customers",
-    "incremental_agg",
-    "kmeans_check",
-    "multimodal_dedup",
-    "multimodal_features",
-    "multimodal_frames",
-    "source_quota_sample",
-    "text_edit_distance",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_token_counts",
-    "weighted_sample",
-    # 3. stale: last recorded in round 8 (first 22, alphabetical;
-    #    round 12 resumes here at partitioned_month_revenue)
-    "bpe_check",
-    "codebook_check",
-    "codebook_update_check",
-    "curation_decontaminated",
-    "curation_funnel",
-    "curation_fuzzy_contamination",
-    "curation_length_batching",
-    "curation_score_percentiles",
-    "curation_segment_dedup",
-    "curation_top_boilerplate",
-    "curation_vocab",
-    "customer_rfm",
-    "daily_ingest",
-    "dedup_keep_best",
-    "graph_degrees",
-    "graph_pagerank",
-    "graph_triangles",
-    "graph_triangles_capped",
-    "incremental_semdedup_check",
-    "keep_best_lsh_check",
-    "lsh_twowave_check",
+    "pq_recall_check",
+    # 2. stale: last recorded in round 8 (all 25 remaining, alphabetical)
+    "part_supplier_counts",
+    "partitioned_month_revenue",
+    "returned_items",
+    "revenue_deciles",
+    "revenue_percentiles",
+    "rolling_spend",
+    "salted_join",
+    "scd2_intervals",
+    "sorted_shipdate_window",
+    "split_leakage_safe",
+    "streaming_ingest_check",
+    "token_positions",
+    "top_supplier",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q9",
+    "training_split",
+    "zorder_cust_window",
+    # 3. stale: last recorded in round 9 (first 20, alphabetical;
+    #    round 13 resumes here at log_features)
+    "cdc_apply",
+    "curation_token_budget",
+    "curation_token_budget_per_lang",
+    "customer_features",
+    "customer_revenue_stats",
+    "dedup_exact",
+    "dedup_lsh_recall",
+    "dedup_simhash_recall",
+    "derived_age",
+    "distinct_pairs",
+    "distinct_priorities",
+    "epoch_plan",
+    "event_funnel",
+    "event_hit_rate",
+    "event_retention",
+    "forecast_revenue",
+    "full_outer_fill",
+    "hybrid_search",
+    "large_orders",
+    "left_join_fill",
 ]
 
 

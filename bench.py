@@ -221,6 +221,10 @@ EXTENDED = [
     "ann_ivfpq_topk",
     "ivfpq_recall_check",
     "curation_span_dedup",
+    # round-12 additions: the IVFADC fold==rebuild gate and the span
+    # REMOVAL transform (the report's slice-and-concat cut)
+    "pq_index_update_check",
+    "curation_span_removed",
 ]
 
 # Priced correctness gates run at GATES_SF (default sf0.01), not the bench
@@ -251,6 +255,100 @@ def force(df) -> int:
     return 0
 
 
+# Pinned per-query quiet-window wall medians (seconds) at the standard
+# sf0.1 layout — BASELINE.md's round-11 operative re-pin
+# (bench_r11_repin_full.json, load_start 0.08), refreshed per round for
+# entries whose code changed.  The within-run burst detector (VERDICT
+# r11 "What's wrong" #1): a SUSTAINED co-tenant burst inflates all of a
+# query's round-robin reps equally, so the median>2×best requeue never
+# fires — but the query's BEST still sits far above its quiet band.  Any
+# entry whose best exceeds BAND_TOLERANCE × its pin gets one requeue rep
+# and, if still above, lands in `band_flagged` — the JSON self-labels
+# the inflation without a judge re-run.  Entries added or changed in
+# round 12 (the IVFADC residual family, span removal, trio stage 4) are
+# pinned from the round-12 closing quiet run.
+BAND_TOLERANCE = 1.5
+PINNED_BAND: dict[str, float] = {
+    "ann_ivf_assign": 1.414,
+    "ann_ivf_topk": 4.8,
+    "ann_lsh_topk": 6.052,
+    "ann_pq_topk": 7.616,
+    "ann_topk_cosine": 2.755,
+    "asof_last_order": 1.057,
+    "bucketed_order_revenue": 0.841,
+    "codebook_check": 1.753,
+    "codebook_update_check": 14.247,
+    "curation_contamination": 0.942,
+    "curation_decontaminated": 2.81,
+    "curation_domain_filter": 0.809,
+    "curation_domain_stats": 0.875,
+    "curation_dup_ngrams": 3.363,
+    "curation_funnel": 0.636,
+    "curation_fuzzy_contamination": 1.958,
+    "curation_length_batching": 0.436,
+    "curation_score_percentiles": 0.688,
+    "curation_segment_dedup": 0.758,
+    "curation_span_dedup": 4.198,
+    "curation_token_budget": 1.531,
+    "curation_token_budget_per_lang": 1.456,
+    "curation_top_boilerplate": 1.939,
+    "customer_features": 2.305,
+    "customer_revenue_stats": 1.503,
+    "daily_ingest": 1.98,
+    "daily_ingest_check": 20.176,
+    "daily_ingest_lsh": 8.908,
+    "dedup_exact": 0.293,
+    "dedup_incremental_lsh": 6.712,
+    "dedup_jaccard_pairs": 4.754,
+    "dedup_lsh_kept": 7.06,
+    "dedup_lsh_recall": 15.768,
+    "dedup_minhash_lsh": 7.451,
+    "dedup_semantic": 2.784,
+    "dedup_semantic_incremental": 3.974,
+    "dedup_simhash_recall": 12.3,
+    "epoch_plan": 0.657,
+    "event_hourly_rollup": 0.439,
+    "event_segment_rollup": 0.549,
+    "event_user_sessions": 0.832,
+    "graph_cross_source": 0.704,
+    "graph_degrees": 0.557,
+    "graph_triangles": 15.258,
+    "graph_triangles_capped": 1.266,
+    "incremental_semdedup_check": 6.509,
+    "kmeans_check": 4.347,
+    "kmeans_embedding_clusters": 1.358,
+    "lsh_twowave_check": 7.939,
+    "mixture_weights": 0.45,
+    "multimodal_features": 1.753,
+    "pairs_update_check": 10.947,
+    "partitioned_month_revenue": 0.414,
+    "pq_recall_check": 4.706,
+    "pricing_summary": 2.427,
+    "range_join_recent_orders": 0.967,
+    "region_volume": 1.103,
+    "row_number": 0.438,
+    "sorted_shipdate_window": 0.311,
+    "source_quota_sample": 0.219,
+    "split_leakage_safe": 6.167,
+    "streaming_ingest_check": 68.511,
+    "text_lang_id": 0.588,
+    "text_quality": 0.494,
+    "top_orders": 0.982,
+    "tpch_q11": 0.681,
+    "tpch_q12": 0.592,
+    "tpch_q17": 0.538,
+    "tpch_q19": 0.444,
+    "tpch_q2": 3.305,
+    "tpch_q20": 0.539,
+    "tpch_q21": 1.063,
+    "tpch_q4": 0.614,
+    "tpch_q8": 1.056,
+    "tpch_q9": 0.929,
+    "training_order": 0.481,
+    "zorder_cust_window": 0.287,
+}
+
+
 def settle(runs: list[float], n_keep: int) -> float:
     """Median over the n_keep LOWEST runs.  For a query that was never
     requeued this is the plain median; for a requeued one the extra rep
@@ -260,7 +358,7 @@ def settle(runs: list[float], n_keep: int) -> float:
 
 
 def run_section(
-    spark, queries, names, n_reps, jvm_pid, dir_for
+    spark, queries, names, n_reps, jvm_pid, dir_for, pinned=None
 ) -> tuple[dict, dict, list]:
     """Round-robin timing (VERDICT r10 next-round #3): rep 1 of EVERY
     query, then rep 2, ... — instead of n consecutive reps per query.
@@ -272,10 +370,15 @@ def run_section(
     queries' single reps, so each query's median survives.
 
     Then one requeue pass at end of run: any query whose median still
-    exceeds 2× its own best gets ONE extra rep, and its median is taken
-    over the n_reps lowest samples (the extra displaces the poisoned
-    worst).  Queries still above 2× after requeue stay in the ledger but
-    are listed in `requeued`, so the JSON self-labels the exception."""
+    exceeds 2× its own best, OR whose BEST exceeds BAND_TOLERANCE × its
+    pinned quiet-window median (the round-12 within-run detector for
+    SUSTAINED bursts that inflate all reps equally — VERDICT r11 "What's
+    wrong" #1), gets ONE extra rep, and its median is taken over the
+    n_reps lowest samples (the extra displaces the poisoned worst).
+    Queries still above after requeue stay in the ledger but are listed
+    in `requeued` / `band_flagged`, so the JSON self-labels the
+    exception."""
+    pinned = pinned or {}
     runs: dict[str, list[float]] = {n: [] for n in names}
     cpus: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(n_reps):
@@ -293,7 +396,10 @@ def run_section(
     requeued: list[str] = []
     for name in names:
         rs = sorted(runs[name])
-        if len(rs) >= 2 and median_of(rs) > 2 * rs[0]:
+        pin = pinned.get(name)
+        episodic = len(rs) >= 2 and median_of(rs) > 2 * rs[0]
+        sustained = pin is not None and rs[0] > BAND_TOLERANCE * pin
+        if episodic or sustained:
             requeued.append(name)
             w, c = timed(
                 lambda: force(queries[name](spark, dir_for(name))), jvm_pid
@@ -329,6 +435,7 @@ def main() -> None:
         ensure_codebook_table,
         ensure_pq_codebook,
         ensure_pq_index_table,
+        ensure_residual_pq_codebook,
     )
 
     gates_dir = gates_dir_for(sf_dir)
@@ -339,7 +446,12 @@ def main() -> None:
         ensure_codebook_table(spark, d)
         ensure_pairs_table(spark, d)
         ensure_pq_codebook(spark, d)
-        ensure_pq_index_table(spark, d)
+        # round 12: the residual-encoded IVFADC artifacts the registered
+        # path now reads (the raw-unit CODEBOOK above stays warmed for
+        # ann_pq_topk, the ADC correctness baseline; the raw-unit INDEX
+        # no longer has a registered consumer and is not built)
+        ensure_residual_pq_codebook(spark, d)
+        ensure_pq_index_table(spark, d, residual=True)
     spark.catalog.clearCache()
     jvm_pid = _jvm_pid(spark)
 
@@ -348,14 +460,25 @@ def main() -> None:
     # a 2x gate: REPEATS interleaved round-robin reps per query (see
     # run_section) and report the per-query MEDIAN (plus the best, to
     # expose the noise floor), sorted slowest first.
+    # The pinned quiet bands only describe the standard layout (bench at
+    # sf0.1, gates at sf0.01); a custom SPARK_GRAFT_SF_DIR disables the
+    # sustained-burst detector rather than flagging everything.
+    apply_band = (
+        os.path.basename(sf_dir.rstrip("/")) == "sf0.1"
+        and GATES_SF == "0.01"
+    )
+    pinned = PINNED_BAND if apply_band else {}
     h_runs, h_cpus, h_requeued = run_section(
-        spark, queries, HEADLINE, REPEATS, jvm_pid, lambda name: sf_dir
+        spark, queries, HEADLINE, REPEATS, jvm_pid, lambda name: sf_dir,
+        pinned=pinned,
     )
     medians = {n: round(settle(h_runs[n], REPEATS), 3) for n in HEADLINE}
     bests = {n: round(min(h_runs[n]), 3) for n in HEADLINE}
-    # CPU median over its own sorted list: steal perturbs wall order,
-    # not on-CPU totals, so the two medians are comparable per query.
-    cpu_med = {n: round(settle(h_cpus[n], REPEATS), 3) for n in HEADLINE}
+    # CPU median over the FULL sorted sample list — never settle()
+    # (ADVICE r11 #2): steal perturbs wall time, not on-CPU totals, so
+    # dropping the highest CPU sample for a requeued query would bias
+    # cpu_med low exactly where the wall numbers need the CPU anchor.
+    cpu_med = {n: round(median_of(sorted(h_cpus[n])), 3) for n in HEADLINE}
 
     ext_names = [n for n in EXTENDED if n in queries]
     gate_names = [
@@ -368,13 +491,22 @@ def main() -> None:
         REPEATS_EXT,
         jvm_pid,
         lambda name: gates_dir if is_gate(name) else sf_dir,
+        pinned=pinned,
     )
     extended = {n: round(settle(e_runs[n], REPEATS_EXT), 3) for n in ext_names}
     extended_best = {n: round(min(e_runs[n]), 3) for n in ext_names}
     extended_cpu = {
-        n: round(settle(e_cpus[n], REPEATS_EXT), 3) for n in ext_names
+        n: round(median_of(sorted(e_cpus[n])), 3) for n in ext_names
     }
     requeued = sorted(h_requeued + e_requeued)
+    # Post-requeue sustained-burst labels: best STILL above the pinned
+    # band after the extra rep — environment, self-adjudicated in-JSON.
+    band_flagged = sorted(
+        n
+        for n, rs in {**h_runs, **e_runs}.items()
+        if pinned.get(n) is not None
+        and min(rs) > BAND_TOLERANCE * pinned[n]
+    )
 
     load_end = loadavg()
     order = sorted(medians, key=medians.get, reverse=True)
@@ -404,6 +536,8 @@ def main() -> None:
         "repeats": REPEATS,
         "repeats_extended": REPEATS_EXT,
         "requeued": requeued,
+        "band_flagged": band_flagged,
+        "band_tolerance": BAND_TOLERANCE,
         "gates_sf": float(GATES_SF) if gate_names else float(sf),
         "gates": sorted(gate_names),
         "load_start": load_start,
@@ -450,6 +584,10 @@ def main() -> None:
                 # end-of-run requeue rep (first 5; full list in detail)
                 "requeued_n": len(requeued),
                 "requeued": requeued[:5],
+                # sustained-burst labels (best > 1.5x pinned quiet band
+                # even after requeue — environment, not regression)
+                "band_flagged_n": len(band_flagged),
+                "band_flagged": band_flagged[:5],
                 "gates_sf": float(GATES_SF) if gate_names else float(sf),
                 "detail": "bench_full_last.json",
                 "load_start": load_start,

@@ -78,11 +78,17 @@ def main() -> None:
 
     seconds: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
     sizes: dict[int, int] = {}
+    # The SOURCE sf tag is part of every scratch path (ADVICE r11 #1):
+    # warehouse artifacts (codebooks, indexes) are keyed by the tmp_sf
+    # PATH, so a path reused across different SPARK_GRAFT_SF_DIRs would
+    # silently serve a codebook fit on the previous scale's embeddings —
+    # the same staleness class the scaffold rebuild below guards.
+    src_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     for k in ks:
-        path = f"/tmp/scale_emb_k{k}.parquet"
+        path = f"/tmp/scale_emb_{src_tag}_k{k}.parquet"
         write_blowup_embeddings(base, k, path)
         sizes[k] = spark.read.parquet(path).count()
-        tmp_sf = f"/tmp/scale_ann_sf_k{k}"
+        tmp_sf = f"/tmp/scale_ann_{src_tag}_sf_k{k}"
         # Rebuild the scaffold from scratch every run (ADVICE r10 #3, the
         # bench_scale_trio fix applied here too): a leftover scaffold from
         # a prior run with a different SPARK_GRAFT_SF_DIR would silently

@@ -72,13 +72,20 @@ def main() -> None:
 
     seconds: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
     sizes: dict[int, int] = {}
+    # The SOURCE sf tag is part of every scratch path (ADVICE r11 #1):
+    # warehouse artifacts (signature/digest/codebook tables) are keyed by
+    # the tmp_sf PATH, so a path reused across different
+    # SPARK_GRAFT_SF_DIRs would silently serve artifacts built on the
+    # previous scale's corpus — the staleness class the scaffold rebuild
+    # below guards against for the static tables.
+    src_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     for k in ks:
-        doc_path = f"/tmp/scale_trio_docs_k{k}.parquet"
-        emb_path = f"/tmp/scale_trio_emb_k{k}.parquet"
+        doc_path = f"/tmp/scale_trio_docs_{src_tag}_k{k}.parquet"
+        emb_path = f"/tmp/scale_trio_emb_{src_tag}_k{k}.parquet"
         write_blowup(docs, k, doc_path)
         write_blowup_embeddings(emb, k, emb_path)
         sizes[k] = spark.read.parquet(doc_path).count()
-        tmp_sf = f"/tmp/scale_trio_sf_k{k}"
+        tmp_sf = f"/tmp/scale_trio_sf_{src_tag}_k{k}"
         # Rebuild the scaffold from scratch every run (ADVICE r10 #3): a
         # leftover scaffold from a prior run with a different
         # SPARK_GRAFT_SF_DIR would silently mix the old scale's static
