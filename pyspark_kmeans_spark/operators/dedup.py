@@ -290,18 +290,39 @@ def jaccard_pairs(
         F.col(id_col).alias("doc_a"),
         "_block",
         F.col("_n").alias("_na"),
-        F.explode("_prefix").alias("_ptok"),
+        F.posexplode("_prefix").alias("_pia", "_ptok"),
     )
     b = docs.select(
         F.col(id_col).alias("doc_b"),
         "_block",
         F.col("_n").alias("_nb"),
-        F.explode("_prefix").alias("_ptok"),
+        F.posexplode("_prefix").alias("_pib", "_ptok"),
     )
     # Exact size prune: j >= t implies min(|A|,|B|) >= t*max(|A|,|B|) — a
     # cheap int predicate evaluated before the candidate dedup.
     size_ok = (F.col("_na") >= F.lit(threshold) * F.col("_nb")) & (
         F.col("_nb") >= F.lit(threshold) * F.col("_na")
+    )
+    # PPJoin positional filter (Xiao et al., WWW'08 — round 12): under the
+    # shared total order, J ≥ t requires overlap I ≥ α =
+    # ⌈t·(na+nb)/(1+t)⌉, and a shared prefix token at (0-based) positions
+    # (pa, pb) bounds I ≤ min(na − pa, nb − pb) — every shared element of
+    # the pair lies at-or-after the FIRST shared token in both docs, and
+    # the prefix lemma puts that first shared token inside both prefixes,
+    # so each qualifying pair has at least one generating join row that
+    # passes.  Rows failing the bound are provably non-qualifying: pruned
+    # BEFORE the candidate dedup exchange and the array-attach joins, so
+    # false candidates never ship token arrays.  ⌈·⌉ as ceil(x − 1e-9):
+    # float jitter may only LOWER α (keep more candidates — safe).
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("_na") + F.col("_nb"))
+        - F.lit(1e-9)
+    )
+    pos_ok = (
+        F.least(
+            F.col("_na") - F.col("_pia"), F.col("_nb") - F.col("_pib")
+        )
+        >= alpha
     )
     # shuffle_hash: both sides are explodes of the PERSISTED docs frame —
     # Generate keeps its child's size estimate, so the prefix fan-out is
@@ -310,7 +331,7 @@ def jaccard_pairs(
     # LSH path at a 64x corpus before its hints).
     candidates = (
         a.join(b.hint("shuffle_hash"), on=["_ptok", "_block"])
-        .filter((F.col("doc_a") < F.col("doc_b")) & size_ok)
+        .filter((F.col("doc_a") < F.col("doc_b")) & size_ok & pos_ok)
         .select("doc_a", "doc_b", "_na", "_nb")
         # A pair sharing k prefix tokens appears k times — dedup BEFORE the
         # O(|A|+|B|) intersect so each survivor is verified exactly once.
@@ -478,17 +499,20 @@ def _grouped_buckets(
     an uncapped bucket can no longer skew the JOIN either (there is no
     join) — the cap only bounds the per-row pair expansion.
 
-    The eager count closes the lazy-persist race (ADVICE r2): downstream
-    consumers would otherwise race to compute uncached partitions and the
-    expensive signature expression could run twice.
+    Eager materialization closes the lazy-persist race (ADVICE r2):
+    downstream consumers would otherwise race to compute uncached
+    partitions and the expensive signature expression could run twice.
+    With a cap set, the flood-guard aggregate below IS the materializing
+    action (a full scan of the persisted frame) — the separate count()
+    would be a redundant extra job per capped LSH query (round 12).
     """
     grouped = _persist(
         entries.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(member_col)).alias("_ms"))
         .filter(F.size("_ms") >= 2)
     )
-    grouped.count()
     if max_bucket is None:
+        grouped.count()
         return grouped
     n_dropped = (
         grouped.filter(F.size("_ms") > max_bucket)
@@ -582,6 +606,18 @@ def minhash_lsh_pairs(
     prune (jaccard_pairs' min(n) ≥ t·max(n)) runs INSIDE pair expansion
     via _bucket_candidates(n_col=...), so pruned pairs never reach the
     candidate distinct or the verify joins.
+
+    Round-12 note (measured dead end, kept for the record): moving the
+    exact verification INSIDE the bucket expansion — member structs
+    carrying their token arrays — removes the per-candidate array attach
+    exchanges but materializes the full `_ms` member-array column on
+    every posexplode output row, i.e. B² × array-bytes PER BUCKET inside
+    the expansion task (a 1,000-member bucket of 2.4 KB arrays builds
+    ~2.4 GB of rows before the first filter).  On the clique-heavy sf0.1
+    corpus that regressed dedup_minhash_lsh 11 s → 52-75 s.  The slim
+    candidates → dropDuplicates → attach-arrays-by-id-join shape below
+    moves each array once per surviving candidate instead — see
+    OPTIMIZATION_r12.md.
 
     `max_bucket` bounds the worst case: a degenerate (band, bucket) group
     with B members would emit B² candidates; groups larger than the cap are
@@ -838,19 +874,16 @@ def lsh_near_dedup_kept(
     """
     num_hashes, bands, seed = 64, 8, 7
     rows_per_band = num_hashes // bands
-    # ONE cached token-hash frame feeds signatures and both verify waves;
-    # the signature frame is persisted separately because BOTH waves band
-    # it (eager counts: the lazy-persist race, see minhash_lsh_pairs).
-    toks = _persist(
+    # ONE persisted frame carries (id, _toks, _n, sig) for wave-1 banding,
+    # the wave-1 verify joins, AND wave-2 banding (round 12 — previously
+    # two persisted frames with two eager counts; one materialization pass
+    # fewer, same bytes cached).  Eager count: the lazy-persist race, see
+    # minhash_lsh_pairs.
+    sigf = _persist(
         df.select(F.col(id_col), hashed_tokens_col(text_col).alias("_toks"))
         .withColumn("_n", F.size("_toks"))
-    )
-    toks.count()
-    sigf = _persist(
-        toks.select(
-            F.col(id_col),
-            "_n",
-            _sig_col(F.col("_toks"), num_hashes=num_hashes, seed=seed).alias("sig"),
+        .withColumn(
+            "sig", _sig_col(F.col("_toks"), num_hashes=num_hashes, seed=seed)
         )
     )
     sigf.count()
@@ -884,7 +917,7 @@ def lsh_near_dedup_kept(
         .distinct()
     )
     dropped1 = _persist(
-        _verify_jaccard(w1, toks, threshold, id_col)
+        _verify_jaccard(w1, sigf, threshold, id_col)
         .select(F.col("doc_b").alias(id_col))
         .distinct()
     )
@@ -894,7 +927,10 @@ def lsh_near_dedup_kept(
     # from the b-side INSIDE the member arrays (JVM array filter — the
     # pruned pairs are never materialized).  shuffle_hash: dropped1 is
     # pair-derived (explode lineage, no usable static estimate;
-    # corpus-scale at 100 TB).
+    # corpus-scale at 100 TB).  Members stay SLIM (id, size, resolved
+    # flag) — carrying token arrays into the member lists materializes
+    # B² × array-bytes per bucket in the expansion (the round-12
+    # bucket-local-verify dead end, see minhash_lsh_pairs).
     tagged = sigf.join(
         dropped1.withColumn("_res", F.lit(1)).hint("shuffle_hash"),
         on=id_col,
@@ -922,7 +958,7 @@ def lsh_near_dedup_kept(
         .distinct()
     )
     dropped2 = (
-        _verify_jaccard(w2, toks, threshold, id_col)
+        _verify_jaccard(w2, sigf, threshold, id_col)
         .select(F.col("doc_b").alias(id_col))
         .distinct()
     )
@@ -989,27 +1025,30 @@ def near_dup_clusters(
         parent = labels.select(
             F.col("doc_id").alias("_pid"), F.col("cluster_id").alias("parent_min")
         )
+        new_cid = F.least(
+            F.col("cluster_id"),
+            F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+            F.coalesce(F.col("parent_min"), F.col("cluster_id")),
+        )
+        # The convergence test rides along as a flag column computed
+        # BEFORE the old label is projected away — the checkpoint
+        # materializes it with the labels, so `changed` is one cheap
+        # aggregate over the checkpointed frame instead of the round-11
+        # shape's extra new⋈old shuffle join per iteration (round 12).
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .join(parent, labels.cluster_id == parent._pid, "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                    F.coalesce(F.col("parent_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
+                new_cid.alias("_new_cid"),
+                (new_cid != F.col("cluster_id")).cast("int").alias("_chg"),
             )
+            .withColumnRenamed("_new_cid", "cluster_id")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum("_chg")).first()[0]
+        labels = new_labels.drop("_chg")
+        if not changed:
             converged = True
             break
     edges.unpersist()
@@ -1180,27 +1219,41 @@ def incremental_kept(
     docs = _prefix_docs(base, threshold, id_col)
     _check_block_bound(docs, "_block", max_block_rows, "incremental_kept")
     # Scalars-only candidate join + attach-arrays-after-dedup — the same
-    # shuffle-volume fix as jaccard_pairs (see there).
+    # shuffle-volume fix as jaccard_pairs (see there), including the
+    # PPJoin positional filter (round 12; proof at jaccard_pairs).
     a = docs.select(
         F.col(id_col).alias("_doc_a"),
         "_block",
         "_is_corpus",
         F.col("_n").alias("_na"),
-        F.explode("_prefix").alias("_ptok"),
+        F.posexplode("_prefix").alias("_pia", "_ptok"),
     )
     b = docs.filter(F.col("_is_corpus") == 0).select(
         F.col(id_col).alias("_doc_b"),
         "_block",
         F.col("_n").alias("_nb"),
-        F.explode("_prefix").alias("_ptok"),
+        F.posexplode("_prefix").alias("_pib", "_ptok"),
     )
     size_ok = (F.col("_na") >= F.lit(threshold) * F.col("_nb")) & (
         F.col("_nb") >= F.lit(threshold) * F.col("_na")
     )
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("_na") + F.col("_nb"))
+        - F.lit(1e-9)
+    )
+    pos_ok = (
+        F.least(F.col("_na") - F.col("_pia"), F.col("_nb") - F.col("_pib"))
+        >= alpha
+    )
     precedence = (F.col("_is_corpus") == 1) | (F.col("_doc_a") < F.col("_doc_b"))
     candidates = (
         a.join(b, on=["_ptok", "_block"])
-        .filter(precedence & (F.col("_doc_a") != F.col("_doc_b")) & size_ok)
+        .filter(
+            precedence
+            & (F.col("_doc_a") != F.col("_doc_b"))
+            & size_ok
+            & pos_ok
+        )
         .select("_doc_a", "_doc_b", "_na", "_nb")
         .dropDuplicates(["_doc_a", "_doc_b"])
     )

@@ -31,7 +31,7 @@ from pyspark_kmeans_spark.functions.persist import (
     registered_persist,
     release_persisted,
 )
-from pyspark_kmeans_spark.sources.tables import load_table
+from pyspark_kmeans_spark.sources.tables import load_table, spread_small_scan
 
 PROBE_MODULUS = 10  # vec_id % 10 == 0 → 10% of vectors are probes
 
@@ -115,7 +115,12 @@ def cosine_topk(
     belongs to lsh_topk / ivf_topk, or the blocked equi-join shape of
     cosine_near_dup_pairs.
     """
-    c = with_unit_vectors(corpus).select(
+    # spread_small_scan (round 12): the scoring join is map-side over the
+    # CORPUS partitioning — a single-file corpus scan serializes the whole
+    # |corpus|×|probes| cosine evaluation onto one task.  Per-row exact
+    # arithmetic + a total-order rank window → partitioning-independent
+    # output; no-op at scale (sources/tables.py).
+    c = with_unit_vectors(spread_small_scan(corpus)).select(
         F.col(id_col).alias("neighbor_id"), "vec", "norm"
     )
     p = with_unit_vectors(probes).select(
@@ -164,7 +169,11 @@ def lsh_cells(
             "hyperplanes were requested — pass the matching dim"
         )
     planes = _hyperplanes(n_tables * n_planes, dim, seed)
-    out = with_unit_vectors(df)
+    # spread_small_scan (round 12): the L·m hyperplane dot products are
+    # per-row map work over the scan partitioning — one task on a
+    # single-file input.  Sign-bit cells are per-row exact arithmetic →
+    # partitioning-independent; no-op at scale (sources/tables.py).
+    out = with_unit_vectors(spread_small_scan(df))
     cells = []
     for t in range(n_tables):
         cell = F.lit(0)

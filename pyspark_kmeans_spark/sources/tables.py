@@ -69,6 +69,50 @@ def load_table(
     return df
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Input-skew fix (optimization guide §2.5): round-robin repartition a
+    frame whose scan yields FEWER partitions than the session's default
+    parallelism, so expression-heavy map work is not serialized onto one
+    or two tasks.  The driver testdata tables are single-file/single-
+    row-group parquet — unsplittable below one task per file no matter
+    the split config — so at bench SFs every per-row pipeline above them
+    ran on ONE core.
+
+    SCALE-ADAPTIVE BY CONSTRUCTION, not a local-mode constant: the
+    condition compares the frame's actual scan partitioning against
+    ``defaultParallelism``; a 100 TB table scans as thousands of splits,
+    the condition is false, and the frame is returned untouched — no
+    corpus-wide shuffle is ever introduced at scale.  The repartition
+    count is the session's own parallelism, not a tuned number.
+
+    Two restrictions, both measured in round 12 (OPTIMIZATION_r12.md):
+
+    - ONLY for consumers whose results are partitioning-independent
+      (per-row exact arithmetic, integer/rounded-decimal aggregates,
+      set-semantics outputs).  Never ahead of an MLlib k-means fit
+      (ivf/semantic/codebook paths): centroid updates sum doubles in
+      partition order, so respread input perturbs centroids by ulps and
+      changes downstream assignments — those scans are load-bearing for
+      bit-stability.
+    - ONLY pays off for ARITHMETIC-dense per-row work (the cosine/
+      hyperplane dot products: ann_topk_cosine 3.1 s → 1.6 s).  For
+      allocation-heavy string/array pipelines (tokenize+MinHash, shingle
+      explodes) 32 concurrently-allocating interpreted tasks are
+      GC-bound: total JVM CPU rose 4-8× and wall got WORSE
+      (curation_contamination 1.2 s → 1.8-6.4 s) — measured A/B solo,
+      spread reverted from every dedup/curation site.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every driver table into a dict keyed by table name."""
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}

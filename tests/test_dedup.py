@@ -74,6 +74,46 @@ def test_minhash_lsh_recall(spark, sf_dir):
     assert recall >= 0.95, f"minhash-LSH recall {recall:.3f}"
 
 
+def test_jaccard_pairs_equals_bruteforce_sf0001(spark, sf_dir):
+    """Round-12 pin for the PPJoin positional filter: the prefix-filter
+    path (size prune + positional prune + prefix equi-join) must return
+    EXACTLY the brute-force blocked all-pairs result — the positional
+    bound may only drop provably non-qualifying candidates."""
+    from pyspark.sql import functions as F
+
+    from pyspark_kmeans_spark.operators.dedup import tokens_col
+    from pyspark_kmeans_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(docs, 0.9).collect()
+    }
+    base = docs.select(
+        F.col("doc_id"), F.col("lang"), tokens_col("text").alias("_t")
+    ).persist()
+    a = base.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("_t").alias("_ta")
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_b"), "lang", F.col("_t").alias("_tb")
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size("_ta") + F.size("_tb") - inter
+    jac = inter.cast("double") / union
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in a.join(b, on="lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.9)
+        .collect()
+    }
+    base.unpersist()
+    assert want, "fixture should contain near-dups"
+    assert got == want
+
+
 def test_connected_components_chain(spark):
     from pyspark_kmeans_spark.operators.dedup import near_dup_clusters
 
