@@ -267,6 +267,18 @@ def force(df) -> int:
 # the inflation without a judge re-run.  Entries added or changed in
 # round 12 (the IVFADC residual family, span removal, trio stage 4) are
 # pinned from the round-12 closing quiet run.
+#
+# PIN-REFRESH DISCIPLINE (VERDICT r12 "Next round" #7 — the detector is
+# load-bearing harness machinery, so pins are evidence, not knobs):
+#  - A pin may ONLY be refreshed from a COMMITTED quiet-window run, and
+#    the refresh must name that run's detail file here.  Current pin
+#    sources: bench_r11_repin_full.json (round-11 re-pin, load 0.08) for
+#    unchanged entries; bench_r13_start_full.json (round-13 start,
+#    load_start 0.07) for entries whose code changed in round 12/13.
+#  - A non-empty `band_flagged` in a driver or closing run is REPORTED
+#    in the round's OPTIMIZATION_r*.md — never silently re-run away.
+#  - The detector only ever ADDS one rep and drops that query's worst
+#    sample; it never removes an entry from the ledger.
 BAND_TOLERANCE = 1.5
 PINNED_BAND: dict[str, float] = {
     "ann_ivf_assign": 1.414,
@@ -545,8 +557,21 @@ def main() -> None:
         "sf": float(sf),
     }
     print(json.dumps(detail))
+    # Low-core scaling runs (the driver's 8-core pass, bench_scale_* A/Bs)
+    # get their own detail file so they never clobber the full-width run's
+    # bench_full_last.json — VERDICT r12 "What's wrong" #4: the r12 8-core
+    # run overwrote the 32-core detail and a cold reader would "find"
+    # phantom regressions.  Full-width = local[$SPARK_GRAFT_CPUS] using
+    # every hardware thread; anything narrower is a scaling probe.
+    n_cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    hw = os.cpu_count() or 32
+    detail_name = (
+        "bench_full_last.json"
+        if not n_cpus.isdigit() or int(n_cpus) >= hw
+        else f"bench_full_last_c{n_cpus}.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_full_last.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     try:
         with open(detail_path, "w") as f:
@@ -589,7 +614,7 @@ def main() -> None:
                 "band_flagged_n": len(band_flagged),
                 "band_flagged": band_flagged[:5],
                 "gates_sf": float(GATES_SF) if gate_names else float(sf),
-                "detail": "bench_full_last.json",
+                "detail": detail_name,
                 "load_start": load_start,
                 "load_end": load_end,
                 "sf": float(sf),

@@ -329,38 +329,47 @@ def jaccard_pairs(
     # invisible to the static planner and either side can be mis-chosen
     # for broadcast at scale (the cache→explode→join shape that killed the
     # LSH path at a 64x corpus before its hints).
-    candidates = (
+    # Grouped two-level attach (round 13 — same rewrite as _verify_jaccard,
+    # see there): ONE groupBy(doc_a) with map-side partial collect_set
+    # replaces the per-pair dropDuplicates exchange AND the a-side attach
+    # join's re-exchange; a pair sharing k prefix tokens still verifies
+    # exactly once (collect_set dedups), `_ta` attaches once per distinct
+    # doc_a, and only the exploded per-pair row crosses the doc_b exchange.
+    grp = (
         a.join(b.hint("shuffle_hash"), on=["_ptok", "_block"])
         .filter((F.col("doc_a") < F.col("doc_b")) & size_ok & pos_ok)
-        .select("doc_a", "doc_b", "_na", "_nb")
-        # A pair sharing k prefix tokens appears k times — dedup BEFORE the
-        # O(|A|+|B|) intersect so each survivor is verified exactly once.
-        .dropDuplicates(["doc_a", "doc_b"])
+        .groupBy("doc_a")
+        .agg(F.collect_set("doc_b").alias("_bs"))
     )
-    inter = F.size(F.array_intersect("_ta", "_tb"))
-    # |A∪B| = |A|+|B|-|A∩B| exactly (both arrays are distinct): one
-    # array_intersect per pair instead of intersect + distinct-of-concat —
-    # halves the per-pair cost with an identical double result.
-    union = F.col("_na") + F.col("_nb") - inter
-    jac = inter.cast("double") / union
     # shuffle_hash: same static-estimate hazard as minhash_lsh_pairs'
     # verify joins — the candidate frame is explode-derived (no usable
     # size estimate) and the docs side is corpus-scale; neither may be
     # broadcast at scale.
+    with_a = grp.join(
+        docs.select(
+            F.col(id_col).alias("doc_a"), F.col("_ts").alias("_ta")
+        ).hint("shuffle_hash"),
+        on="doc_a",
+    )
+    pair_rows = with_a.select(
+        "doc_a", "_ta", F.explode("_bs").alias("doc_b")
+    )
+    with_b = pair_rows.join(
+        docs.select(
+            F.col(id_col).alias("doc_b"), F.col("_ts").alias("_tb")
+        ).hint("shuffle_hash"),
+        on="doc_b",
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    # |A∪B| = |A|+|B|-|A∩B| exactly (both arrays are distinct): one
+    # array_intersect per pair instead of intersect + distinct-of-concat —
+    # halves the per-pair cost with an identical double result.  |A| and
+    # |B| as size(_ts) — identical ints to the `_n` the candidate rows
+    # used to carry (_ts is the full reordered token array).
+    union = F.size("_ta") + F.size("_tb") - inter
+    jac = inter.cast("double") / union
     return (
-        candidates.join(
-            docs.select(
-                F.col(id_col).alias("doc_a"), F.col("_ts").alias("_ta")
-            ).hint("shuffle_hash"),
-            on="doc_a",
-        )
-        .join(
-            docs.select(
-                F.col(id_col).alias("doc_b"), F.col("_ts").alias("_tb")
-            ).hint("shuffle_hash"),
-            on="doc_b",
-        )
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        with_b.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -540,10 +549,11 @@ def _bucket_candidates(
     *,
     n_col: str | None = None,
     threshold: float | None = None,
+    deduped: bool = True,
 ) -> DataFrame:
-    """Distinct candidate (doc_a, doc_b) pairs (doc_a < doc_b) from banded
-    bucket entries — no self-join: posexplode each sorted member list and
-    pair every member with its tail slice, partition-local after the single
+    """Candidate (doc_a, doc_b) pairs (doc_a < doc_b) from banded bucket
+    entries — no self-join: posexplode each sorted member list and pair
+    every member with its tail slice, partition-local after the single
     groupBy shuffle.  Per-row memory is O(bucket size) (the tail slice),
     never O(bucket²).
 
@@ -551,10 +561,16 @@ def _bucket_candidates(
     count and the exact size prune (j ≥ t ⟹ min(n) ≥ t·max(n)) runs
     DURING pair expansion — failing pairs never reach the candidate
     distinct or the token-array verify joins, instead of being carried
-    through both and filtered at the end."""
+    through both and filtered at the end.
+
+    `deduped=False` (round 13) skips the cross-band `distinct` for callers
+    whose downstream already deduplicates — _verify_jaccard's grouped
+    collect_set attach absorbs the dedup into its own exchange, so paying
+    a separate distinct exchange first would shuffle the candidate set
+    twice for nothing."""
     if n_col is None:
         grouped = _grouped_buckets(entries, F.col(id_col), max_bucket, caller)
-        return (
+        out = (
             grouped.select("_ms", F.posexplode("_ms").alias("_i", "doc_a"))
             .select(
                 "doc_a",
@@ -562,8 +578,8 @@ def _bucket_candidates(
                     F.slice("_ms", F.col("_i") + 2, F.size("_ms"))
                 ).alias("doc_b"),
             )
-            .distinct()
         )
+        return out.distinct() if deduped else out
     member = F.struct(F.col(id_col).alias("_id"), F.col(n_col).alias("_sz"))
     grouped = _grouped_buckets(entries, member, max_bucket, caller)
     expanded = grouped.select(
@@ -575,13 +591,10 @@ def _bucket_candidates(
     size_ok = (
         F.col("_a._sz") >= F.lit(threshold) * F.col("_b._sz")
     ) & (F.col("_b._sz") >= F.lit(threshold) * F.col("_a._sz"))
-    return (
-        expanded.filter(size_ok)
-        .select(
-            F.col("_a._id").alias("doc_a"), F.col("_b._id").alias("doc_b")
-        )
-        .distinct()
+    out = expanded.filter(size_ok).select(
+        F.col("_a._id").alias("doc_a"), F.col("_b._id").alias("doc_b")
     )
+    return out.distinct() if deduped else out
 
 
 def minhash_lsh_pairs(
@@ -660,6 +673,9 @@ def minhash_lsh_pairs(
         id_col,
         n_col="_n",
         threshold=threshold,
+        # The grouped verify dedups via collect_set — a separate distinct
+        # here would shuffle the candidate set twice (round 13).
+        deduped=False,
     )
 
     return _verify_jaccard(candidates, toks, threshold, id_col)
@@ -671,20 +687,47 @@ def _verify_jaccard(
     """Exact-Jaccard verification of (doc_a, doc_b) candidates against the
     persisted (id, _toks, _n) token frame → (doc_a, doc_b, jaccard ≥ t).
 
-    shuffle_hash hints: BOTH verify-join sides are corpus-scale (the
-    candidate frame comes out of an explode, whose static size estimate
-    is garbage — at a 64x corpus Catalyst "estimated" it broadcastable
-    and died collecting 12 GiB to the driver).  The hint pins a shuffled
-    hash join: no broadcast of an unboundedly-large side, no sort, and
-    per-task hash tables bounded by the shuffle partitioning.
+    Grouped two-level attach (round 13 — VERDICT r12 item 2, guide
+    §2.3/§2.4).  Candidates need NOT be pre-deduplicated: ONE
+    groupBy(doc_a) with map-side partial collect_set replaces the callers'
+    separate distinct exchange AND the a-side attach join's re-exchange
+    (the groupBy output is already hash-partitioned on doc_a, so the join
+    reuses its partitioning).  `_ta` is then attached once per DISTINCT
+    doc_a instead of once per candidate, the partner set is exploded
+    partition-locally, and only the exploded per-pair row crosses the
+    doc_b exchange.  Net plan effect per LSH query: two full-candidate-set
+    exchanges (dedup + join repartition) collapse into one, and the a-side
+    join probes |distinct doc_a| rows instead of |candidates|.  The doc_b
+    exchange still carries one `_ta` array per surviving candidate — the
+    measured floor of this design (OPTIMIZATION_r12.md dead ends 1/3/4
+    bracket the alternatives: bucket-local verify B²-blows, token-explode
+    counting shuffles ~3× the bytes, the equal-set shortcut hits 1.4%).
+
+    Per-group memory is bounded: a doc's candidate-partner count is capped
+    by max_bucket × bands on the LSH paths and is output-bound on the
+    exact prefix path, so a collect_set array stays far below task memory
+    (≤ ~40k bigints at the default cap).
+
+    shuffle_hash hints: BOTH attach sides are corpus-scale and the grouped
+    candidate frame has explode lineage (garbage static size estimate — at
+    a 64x corpus Catalyst once "estimated" it broadcastable and died
+    collecting 12 GiB to the driver).  The hint pins a shuffled hash join:
+    no broadcast of an unboundedly-large side, no sort, per-task hash
+    tables bounded by the shuffle partitioning.
     """
-    with_a = candidates.join(
+    grp = candidates.groupBy("doc_a").agg(
+        F.collect_set("doc_b").alias("_bs")
+    )
+    with_a = grp.join(
         toks.select(
             F.col(id_col).alias("doc_a"), F.col("_toks").alias("_ta"), F.col("_n").alias("_na")
         ).hint("shuffle_hash"),
         on="doc_a",
     )
-    with_b = with_a.join(
+    pairs = with_a.select(
+        "doc_a", "_na", "_ta", F.explode("_bs").alias("doc_b")
+    )
+    with_b = pairs.join(
         toks.select(
             F.col(id_col).alias("doc_b"), F.col("_toks").alias("_tb"), F.col("_n").alias("_nb")
         ).hint("shuffle_hash"),
@@ -892,29 +935,30 @@ def lsh_near_dedup_kept(
         F.col("_a._sz") >= F.lit(threshold) * F.col("_b._sz")
     ) & (F.col("_b._sz") >= F.lit(threshold) * F.col("_a._sz"))
 
-    # Wave 1: per-bucket minimum via a plain partial-agg groupBy (struct
-    # min = lexicographic = min id first), joined back to the entries —
-    # map-side combine keeps hot buckets cheap, AQE splits the skewed
-    # join side, and nothing materializes a member list.
+    # Wave 1: per-bucket minimum as a WINDOW min over (band, bucket)
+    # (struct min = lexicographic = min id first) instead of the round-5
+    # groupBy + join-back (round 13, guide §2.4): the join spelling
+    # expanded the unpersisted banding expression TWICE (agg input + join
+    # probe) and paid two exchanges; every entry row must reach its
+    # bucket's reducer anyway to be paired with the minimum, so the
+    # window's single exchange ships the same bytes once, and the
+    # partition-local sort replaces the join probe.  Pair set is
+    # bit-identical (same min struct, same filters; pinned by the
+    # twowave-vs-pairs equality tests).  No member list materializes; a
+    # degenerate bucket costs one sorted run, never B².
     entries = band_entries_from_sig(
         sigf, bands=bands, rows_per_band=rows_per_band,
         id_col=id_col, extra_cols=("_n",),
     )
-    bucket_min = entries.groupBy("band", "bucket").agg(
-        F.min(
-            F.struct(F.col(id_col).alias("_id"), F.col("_n").alias("_sz"))
-        ).alias("_a")
-    )
+    member = F.struct(F.col(id_col).alias("_id"), F.col("_n").alias("_sz"))
     w1 = (
-        entries.join(bucket_min, on=["band", "bucket"])
-        .select(
-            "_a",
-            F.struct(F.col(id_col).alias("_id"), F.col("_n").alias("_sz")).alias("_b"),
+        entries.select(
+            member.alias("_b"),
+            F.min(member).over(Window.partitionBy("band", "bucket")).alias("_a"),
         )
         .filter(F.col("_a._id") < F.col("_b._id"))
         .filter(size_ok)
         .select(F.col("_a._id").alias("doc_a"), F.col("_b._id").alias("doc_b"))
-        .distinct()
     )
     dropped1 = _persist(
         _verify_jaccard(w1, sigf, threshold, id_col)
@@ -950,12 +994,12 @@ def lsh_near_dedup_kept(
         F.slice("_ms", F.col("_i") + 2, F.size("_ms")),
         lambda m: m["_res"] == 0,
     )
+    # No distinct: the grouped verify's collect_set dedups (round 13).
     w2 = (
         grouped2.select("_ms", F.posexplode("_ms").alias("_i", "_a"))
         .select("_a", F.explode(unresolved_tail).alias("_b"))
         .filter(size_ok)
         .select(F.col("_a._id").alias("doc_a"), F.col("_b._id").alias("doc_b"))
-        .distinct()
     )
     dropped2 = (
         _verify_jaccard(w2, sigf, threshold, id_col)
@@ -1246,7 +1290,11 @@ def incremental_kept(
         >= alpha
     )
     precedence = (F.col("_is_corpus") == 1) | (F.col("_doc_a") < F.col("_doc_b"))
-    candidates = (
+    # Grouped two-level attach (round 13 — same rewrite as _verify_jaccard,
+    # see there): collect_set absorbs the pair dedup into the groupBy
+    # exchange, `_ta` attaches once per distinct _doc_a, only the exploded
+    # per-pair row crosses the _doc_b exchange.
+    grp = (
         a.join(b, on=["_ptok", "_block"])
         .filter(
             precedence
@@ -1254,18 +1302,18 @@ def incremental_kept(
             & size_ok
             & pos_ok
         )
-        .select("_doc_a", "_doc_b", "_na", "_nb")
-        .dropDuplicates(["_doc_a", "_doc_b"])
+        .groupBy("_doc_a")
+        .agg(F.collect_set("_doc_b").alias("_bs"))
     )
+    pair_rows = grp.join(
+        docs.select(F.col(id_col).alias("_doc_a"), F.col("_ts").alias("_ta")),
+        on="_doc_a",
+    ).select("_doc_a", "_ta", F.explode("_bs").alias("_doc_b"))
     inter = F.size(F.array_intersect("_ta", "_tb"))
-    union = F.col("_na") + F.col("_nb") - inter
+    union = F.size("_ta") + F.size("_tb") - inter
     jac = inter.cast("double") / union
     losers = (
-        candidates.join(
-            docs.select(F.col(id_col).alias("_doc_a"), F.col("_ts").alias("_ta")),
-            on="_doc_a",
-        )
-        .join(
+        pair_rows.join(
             docs.select(F.col(id_col).alias("_doc_b"), F.col("_ts").alias("_tb")),
             on="_doc_b",
         )
@@ -1395,13 +1443,24 @@ def incremental_kept_against(
             f"divisible by bands={bands} — trailing hashes would be "
             "silently discarded by the band slicing"
         )
-    first = signatures.select(F.size("sig").alias("_w")).first()
-    if first is not None and first["_w"] != num_hashes:
-        raise ValueError(
-            f"incremental_kept_against: stored signature width {first['_w']} "
-            f"!= num_hashes={num_hashes}; the table was built with different "
-            "MinHash parameters — rebuild it or pass the matching num_hashes"
-        )
+    # Width validation memo (round 13): the check is one tiny job, but it
+    # ran on EVERY batch run even though ensure_signature_table hands out
+    # the SAME session-memoized DataFrame for a write-once table — so a
+    # passed check is stamped on the DataFrame object and re-validated
+    # only when the object (or the requested width) changes.  A caller
+    # passing a fresh DataFrame per run keeps the per-run check.
+    if getattr(signatures, "_sig_width_checked", None) != num_hashes:
+        first = signatures.select(F.size("sig").alias("_w")).first()
+        if first is not None and first["_w"] != num_hashes:
+            raise ValueError(
+                f"incremental_kept_against: stored signature width {first['_w']} "
+                f"!= num_hashes={num_hashes}; the table was built with different "
+                "MinHash parameters — rebuild it or pass the matching num_hashes"
+            )
+        try:
+            signatures._sig_width_checked = num_hashes
+        except Exception:
+            pass  # frozen/slotted frame: fall back to per-run validation
     rows_per_band = num_hashes // bands
     bat = _persist(
         build_signature_table(
@@ -1425,13 +1484,23 @@ def incremental_kept_against(
         defined; a closure would silently verify against whichever frame
         the name happened to mean at call time.
 
+        Grouped two-level attach (round 13 — same rewrite as
+        _verify_jaccard, see there): candidates need not be pre-deduped —
+        collect_set absorbs the dedup into the groupBy(doc_a) exchange,
+        `_ta` attaches once per distinct doc_a, and only the exploded
+        per-pair row meets the batch side.
+
         shuffle_hash on the a-side: the explode-derived candidate frame
         has no usable size estimate and the corpus∪batch token side is
         unboundedly large; never broadcast.  No hint on the batch side:
         `bat` is the bounded daily batch (the whole point of the
         incremental form) and its cached size estimate is real — AQE may
-        broadcast it when it actually fits."""
-        with_a = candidates.join(
+        broadcast it when it actually fits (and then the fat exploded
+        side never crosses an exchange at all)."""
+        grp = candidates.groupBy("doc_a").agg(
+            F.collect_set("doc_b").alias("_bs")
+        )
+        with_a = grp.join(
             sig_side.select(
                 F.col(id_col).alias("doc_a"),
                 F.col("toks").alias("_ta"),
@@ -1440,7 +1509,11 @@ def incremental_kept_against(
             ).hint("shuffle_hash"),
             on="doc_a",
         )
-        with_b = with_a.join(
+        pair_rows = with_a.select(
+            "doc_a", "_ta", "_na", "_is_corpus",
+            F.explode("_bs").alias("doc_b"),
+        )
+        with_b = pair_rows.join(
             bat.select(
                 F.col(id_col).alias("doc_b"),
                 F.col("toks").alias("_tb"),
@@ -1491,12 +1564,16 @@ def incremental_kept_against(
             F.broadcast(batch_buckets), on=["band", "bucket"], how="left_semi"
         )
     )
-    entries.count()
 
     # ONE corpus-scale pass materializes the batch-adjacent slice of the
     # signature table (the only docs any candidate can name); both verify
     # waves join against this persisted slice, so the corpus token arrays
     # are scanned and shuffled once per batch run — not once per wave.
+    # The count below is ALSO the eager materializer for `entries` (round
+    # 13 — it was a separate count() job before): near_ids scans the
+    # just-persisted entries exactly once inside this single action, so
+    # there is no two-consumer race, and one full-scan job disappears
+    # from the per-batch chain.
     near_ids = entries.select(F.col(id_col)).distinct()
     all_sig_near = _persist(
         all_sig.join(near_ids.hint("shuffle_hash"), on=id_col, how="left_semi")
@@ -1513,17 +1590,27 @@ def incremental_kept_against(
     # corpus bucket costs ONE candidate per batch doc instead of 10^6 —
     # and batch docs landing in capped buckets still get deduped instead
     # of silently kept.
-    reps = entries.groupBy("band", "bucket").agg(
-        F.min(
-            F.when(F.col("_is_corpus") == 1, F.col(id_col))
-        ).alias("_minc"),
-        F.min(
-            F.when(F.col("_is_corpus") == 0, F.col(id_col))
-        ).alias("_minb"),
-    )
+    # Round 13: the two bucket representatives come from WINDOW mins over
+    # (band, bucket) instead of the round-5 groupBy + join-back — every
+    # batch entry must reach its bucket's reducer anyway to meet the
+    # representatives, so the window's single exchange ships the same
+    # bytes with one exchange + one join + one cache scan fewer (and
+    # one fewer job in the wave-1 action chain, the scaling-ratio-1.00
+    # fix VERDICT r12 item 3 asked for).  Pair set bit-identical; the
+    # grouped verify's collect_set dedups (no separate distinct).
+    wband = Window.partitionBy("band", "bucket")
     w1 = (
-        entries.filter(F.col("_is_corpus") == 0)
-        .join(reps, on=["band", "bucket"])
+        entries.select(
+            F.col(id_col),
+            "_is_corpus",
+            F.min(F.when(F.col("_is_corpus") == 1, F.col(id_col)))
+            .over(wband)
+            .alias("_minc"),
+            F.min(F.when(F.col("_is_corpus") == 0, F.col(id_col)))
+            .over(wband)
+            .alias("_minb"),
+        )
+        .filter(F.col("_is_corpus") == 0)
         .select(
             F.col(id_col).alias("doc_b"),
             F.explode(
@@ -1538,7 +1625,6 @@ def incremental_kept_against(
             ).alias("doc_a"),
         )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     dropped1 = _persist(_verify_losers(w1, all_sig_near))
     n_dropped1 = dropped1.count()
@@ -1594,6 +1680,7 @@ def incremental_kept_against(
             )
         ).alias("_b"),
     )
+    # No distinct: the grouped verify's collect_set dedups (round 13).
     candidates = (
         b_rows.select(
             F.col("_b")["_id"].alias("doc_b"),
@@ -1604,7 +1691,6 @@ def incremental_kept_against(
             ).alias("_a"),
         )
         .select(F.col("_a")["_id"].alias("doc_a"), "doc_b")
-        .distinct()
     )
     losers = dropped1.unionByName(
         _verify_losers(candidates, all_sig_near)

@@ -203,11 +203,12 @@ def lsh_topk(
     no cross product; per-probe candidate count ≈ N·L/2^m, not N.
 
     The cell join and the pair dedup run SLIM — (id, table, cell) rows,
-    ~16 bytes — and the dim-sized vectors are attached only AFTER
-    dropDuplicates: with L tables a colliding pair appears up to L times,
+    ~16 bytes — and the dim-sized vectors are attached only AFTER the
+    grouped dedup: with L tables a colliding pair appears up to L times,
     so carrying vectors through the join+dedup shuffles up to L× the
     vector volume for nothing.  The probe side of the attach is |probes|
-    rows → broadcast; the corpus side shuffles each vector once."""
+    rows → broadcast; the corpus side attaches each vector once per
+    distinct colliding neighbor (see the grouped-attach comment below)."""
     c = lsh_cells(
         corpus, n_tables=n_tables, n_planes=n_planes, dim=dim, id_col=id_col
     )
@@ -219,15 +220,25 @@ def lsh_topk(
         # The slim probe-cell frame is |probes|·L rows — small-probe runs
         # broadcast it (good); a corpus-sized probe set must not.
         p_cells = p_cells.hint("shuffle_hash")
-    pairs = (
+    # Grouped two-level attach (round 13 — the dedup._verify_jaccard
+    # rewrite applied to the vector attach): ONE groupBy(neighbor_id)
+    # with map-side partial collect_set replaces the per-pair
+    # dropDuplicates exchange AND the corpus-vector join's re-exchange
+    # (the groupBy output is already hash-partitioned on neighbor_id).
+    # Each corpus vector attaches once per DISTINCT colliding neighbor,
+    # the probe set explodes partition-locally, and when the probe side
+    # broadcasts (the small-probe default) the per-pair row never
+    # crosses another exchange at all.  Per-group memory is bounded:
+    # a neighbor's probe-partner count is ≤ |probes| by construction.
+    grp = (
         c.select(F.col(id_col).alias("neighbor_id"), "table", "cell")
         .join(
             p_cells,
             on=["table", "cell"],
         )
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "neighbor_id")
-        .dropDuplicates(["probe_id", "neighbor_id"])
+        .groupBy("neighbor_id")
+        .agg(F.collect_set("probe_id").alias("_ps"))
     )
     # The probe-vector attach is an EQUI-join on probe_id — no forced
     # broadcast: the probe set is a caller-sized knob (the registered query
@@ -253,8 +264,12 @@ def lsh_topk(
     if not probes_broadcastable:
         corpus_vecs = corpus_vecs.hint("shuffle_hash")
         probe_vecs = probe_vecs.hint("shuffle_hash")
-    candidates = pairs.join(corpus_vecs, on="neighbor_id").join(
-        probe_vecs, on="probe_id"
+    candidates = (
+        grp.join(corpus_vecs, on="neighbor_id")
+        .select(
+            "neighbor_id", "vec", "norm", F.explode("_ps").alias("probe_id")
+        )
+        .join(probe_vecs, on="probe_id")
     )
     scored = candidates.select(
         "probe_id", "neighbor_id", _cosine().alias("cosine")

@@ -74,6 +74,11 @@ def test_minhash_lsh_recall(spark, sf_dir):
     assert recall >= 0.95, f"minhash-LSH recall {recall:.3f}"
 
 
+# slow: quadratic brute-force blocked all-pairs join (the VERDICT r12
+# item-1 example).  The same exactness is pinned fast by
+# test_properties.test_prefix_filter_jaccard_matches_bruteforce and by
+# the driver's dedup_jaccard_pairs oracle hash.
+@pytest.mark.slow
 def test_jaccard_pairs_equals_bruteforce_sf0001(spark, sf_dir):
     """Round-12 pin for the PPJoin positional filter: the prefix-filter
     path (size prune + positional prune + prefix equi-join) must return

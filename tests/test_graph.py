@@ -211,6 +211,9 @@ def test_mine_incremental_edges_plan_is_batch_adjacent(spark):
     assert got == {(1, 10)}
 
 
+# slow (10 s): two-fold pair-table maintenance vs full re-mine; the
+# same equality is driver-gated every round (pairs_update_check).
+@pytest.mark.slow
 def test_append_pairs_table_two_folds_equal_full_remine(
     spark, sf_dir, tmp_path
 ):

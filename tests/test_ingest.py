@@ -9,6 +9,8 @@ import os
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from pyspark_kmeans_spark.operators.ingest import (
     DAILY_BATCH_MOD,
     q_daily_ingest,
@@ -49,6 +51,9 @@ def test_lsh_form_kept_subset_of_exact_form(spark, sf_dir):
         ), lang
 
 
+# slow (90 s): full three-stage ingest trio with two k-means fits; the
+# trio's correctness is driver-gated (daily_ingest_semantic_check).
+@pytest.mark.slow
 def test_trio_marks_chain_and_attribution(spark, sf_dir):
     """The round-9 full-trio flagship: survival marks must be a CHAIN
     (surviving stage N implies surviving stage N-1 — precedence is the

@@ -11,6 +11,32 @@ from tests.oracle_util import compare, duckdb_con
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
+# Priced k-means/PQ-fit gates and the ingest-trio composites: their cost
+# is the FIT, not the data (40-90 s each even at sf0.001), and the
+# driver's own oracle sweep re-checks every one of them at sf0.01 each
+# round (CORRECTNESS_r*.json) — so the default suite excludes them
+# (VERDICT r12 "Next round" #1: the driver's pytest budget truncated a
+# 31-minute suite).  Still runnable with `-m slow`.
+SLOW_PARITY = {
+    "codebook_update_check",
+    "daily_ingest_check",
+    "daily_ingest_semantic_check",
+    "pq_index_update_check",
+    "streaming_ingest_check",
+}
+SLOW_ROWS_ONLY = {
+    "daily_ingest_lsh",
+    "daily_ingest_semantic",
+    "kmeans_centers",
+}
+
+
+def _mark_slow(names, slow):
+    return [
+        pytest.param(n, marks=pytest.mark.slow) if n in slow else n
+        for n in names
+    ]
+
 
 @pytest.fixture(scope="module")
 def con(sf_dir):
@@ -25,13 +51,15 @@ def test_every_query_has_callable():
         assert callable(fn), name
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize("name", _mark_slow(sorted(ORACLES), SLOW_PARITY))
 def test_oracle_parity(name, spark, sf_dir, con):
     assert name in QUERIES, f"oracle without query: {name}"
     compare(QUERIES[name](spark, sf_dir), con, ORACLES[name])
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+@pytest.mark.parametrize(
+    "name", _mark_slow(sorted(set(QUERIES) - set(ORACLES)), SLOW_ROWS_ONLY)
+)
 def test_rows_only(name, spark, sf_dir):
     # Non-SQL-expressible ops get the driver's weaker rows-only check.
     df = QUERIES[name](spark, sf_dir)

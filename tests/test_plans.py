@@ -287,6 +287,11 @@ def test_tokenize_vocab_join_never_broadcast(spark, sf_dir):
     assert "ShuffledHashJoin LeftOuter" in plan, plan
 
 
+# slow (504 s): builds ALL 191 registered plans (several run eager
+# actions at build time).  Headline shapes stay pinned in the default
+# suite by test_plan_goldens + the targeted asserts above; the global
+# audit runs with -m slow (VERDICT r12 item 1).
+@pytest.mark.slow
 def test_all_registered_plans_no_unbounded_cross(spark, sf_dir):
     """Global plan audit: no registered query may compile to a
     CartesianProduct or an unexpected BroadcastNestedLoopJoin.

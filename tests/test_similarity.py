@@ -890,6 +890,9 @@ def test_residual_index_frame_codes_are_argmin_over_residual(spark):
     assert list(got["codes"]) == want
 
 
+# slow (30 s): builds a full PQ index from scratch; fold==rebuild is
+# driver-gated every round (pq_index_update_check).
+@pytest.mark.slow
 def test_pq_index_table_matches_direct_and_indexed_query(spark, tmp_path):
     """The persisted IVFADC index equals the direct pq_index_frame
     computation row-for-row, and ivf_pq_topk over the artifact is
@@ -936,6 +939,9 @@ def test_pq_index_table_matches_direct_and_indexed_query(spark, tmp_path):
     assert got == want
 
 
+# slow (25 s): runs the priced pq_index_update_check gate end to end —
+# the driver re-runs it at sf0.01 every round.
+@pytest.mark.slow
 def test_pq_index_update_check_all_zero(spark):
     """The registered fold==rebuild gate (VERDICT r11 next-round #3):
     the scratch lifecycle — build on the 75% split, fold the 25% batch
@@ -952,6 +958,8 @@ def test_pq_index_update_check_all_zero(spark):
     assert row["n_mismatch"] == 0
 
 
+# slow (23 s): PQ index build + append fold (fit-priced).
+@pytest.mark.slow
 def test_pq_index_append_folds_batch(spark, tmp_path):
     """append_pq_index routes+encodes ONLY the batch against the persisted
     codebooks and the appended artifact (visible through a fresh ensure —

@@ -7,6 +7,8 @@ import glob
 import os
 import shutil
 
+import pytest
+
 from pyspark_kmeans_spark.operators.dedup import (
     build_signature_table,
     incremental_kept_against,
@@ -37,6 +39,8 @@ def _kept_ids(spark, kept_dir):
     }
 
 
+# slow (19 s): multi-batch planted-duplicate replay fixture.
+@pytest.mark.slow
 def test_planted_batches_and_replay_idempotency(spark, tmp_path):
     """Batch 0 establishes the corpus; batch 1's corpus-dup and
     within-batch dup are dropped; replaying batch 1 (the crash-recovery
@@ -67,6 +71,9 @@ def test_planted_batches_and_replay_idempotency(spark, tmp_path):
     assert [d for d, _ in first[1]] == [1, 2, 4]
 
 
+# slow (43 s): six real micro-batches; the same stream==batch equality
+# is driver-gated every round (streaming_ingest_check).
+@pytest.mark.slow
 def test_stream_equals_sequential_batch_fold(spark, sf_dir, tmp_path):
     """End-to-end file stream over 3 disjoint document slices == folding
     incremental_kept_against over the same slices in the stream's own
@@ -123,6 +130,8 @@ def test_stream_equals_sequential_batch_fold(spark, sf_dir, tmp_path):
     assert {r["doc_id"] for r in got.collect()} == expected
 
 
+# slow (27 s): scale-shaped compaction fixture (multi-batch state).
+@pytest.mark.slow
 def test_compaction_preserves_state_ignores_overlap_and_is_idempotent(
     spark, tmp_path
 ):
