@@ -648,14 +648,19 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     # ONE cached token-hash frame feeds signatures, banding, AND the exact
-    # verify — tokenize+hash runs once (eager count: with a lazy persist the
-    # self-join's two sides race to compute uncached partitions and the
-    # stage can run twice; measured up to 4× wall-clock variance).
+    # verify — tokenize+hash runs once.  NO eager count here (round 13):
+    # the first downstream action is _grouped_buckets' flood-guard
+    # aggregate, whose lineage references `toks` exactly ONCE (via the
+    # banding expansion), so it materializes the cache with no
+    # two-consumer race — the verify joins that reference `toks` twice
+    # run strictly later and read the filled cache.  The separate count
+    # was a full extra single-task tokenize pass (0.3-1.4 s at sf0.1).
+    # Contrast lsh_near_dedup_kept, whose FIRST action references its
+    # persisted frame three times and therefore keeps the eager count.
     toks = _persist(
         df.select(F.col(id_col), hashed_tokens_col(text_col).alias("_toks"))
         .withColumn("_n", F.size("_toks"))
     )
-    toks.count()
     # Banded bucket entries → grouped member lists (ONE shuffle; the
     # signature — num_hashes universal hashes per token — computes once
     # into the persisted grouped frame) → partition-local pair expansion.
@@ -1079,6 +1084,15 @@ def near_dup_clusters(
         # materializes it with the labels, so `changed` is one cheap
         # aggregate over the checkpointed frame instead of the round-11
         # shape's extra new⋈old shuffle join per iteration (round 12).
+        # LAZY checkpoint (round 13): the convergence aggregate right
+        # below is the checkpoint's materializing action — it computes
+        # every row of the checkpointed RDD in the same job, so the
+        # separate eager-checkpoint job per iteration is gone.  Safe from
+        # the lazy-persist race: the agg references the frame exactly
+        # once, and the next iteration (which references it three times)
+        # runs strictly after the checkpoint is materialized.  The
+        # INITIAL checkpoint before the loop stays eager — its first
+        # consumer references it multiple times in one job.
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .join(parent, labels.cluster_id == parent._pid, "left")
@@ -1088,7 +1102,7 @@ def near_dup_clusters(
                 (new_cid != F.col("cluster_id")).cast("int").alias("_chg"),
             )
             .withColumnRenamed("_new_cid", "cluster_id")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(F.sum("_chg")).first()[0]
         labels = new_labels.drop("_chg")

@@ -40,6 +40,35 @@ def _as_double(col) -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _dlit_sql(vals) -> str:
+    """SQL text of a double literal / (nested) double-array literal."""
+    if isinstance(vals, (list, tuple)):
+        return "array(" + ",".join(_dlit_sql(v) for v in vals) + ")"
+    v = float(vals)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite plan literal: {vals!r}")
+    return repr(v) + "D"
+
+
+def _array_lit(vals) -> F.Column:
+    """Plan-literal double array (arbitrarily nested) as ONE parsed SQL
+    expression (round 13, guide §7.3 — planning time as the bottleneck).
+
+    The per-element ``F.array(*[F.lit(v) ...])`` spelling costs one py4j
+    round-trip per element, all on the DRIVER before any job runs: a PQ
+    codebook (m·k·dsub ≈ 16k doubles) measured **14.3 s** of pure plan
+    construction per query, the 32 LSH hyperplanes ~1.4 s per lsh_cells
+    call.  One F.expr over a repr-formatted SQL array literal is a single
+    py4j call and parses in ~2-30 ms (measured 75-550×).  repr(float)
+    round-trips exactly (shortest-repr guarantee), so the parsed Literal
+    is bit-identical to the per-element spelling after constant folding —
+    verified hex-identical on hyperplanes and a full PQ book; the
+    constant-folded final plan is unchanged.  Raises on non-finite values
+    (SQL has no inf/nan double literal) — model parameters are finite by
+    construction."""
+    return F.expr(_dlit_sql(vals))
+
+
 def _dot(a, b) -> F.Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -178,7 +207,7 @@ def lsh_cells(
     for t in range(n_tables):
         cell = F.lit(0)
         for j in range(n_planes):
-            lit_plane = F.array(*[F.lit(v) for v in planes[t * n_planes + j]])
+            lit_plane = _array_lit(planes[t * n_planes + j])
             bit = (_dot("vec", lit_plane) >= 0).cast("int")
             cell = cell + F.shiftleft(bit, j)
         cells.append(F.struct(F.lit(t).alias("table"), cell.alias("cell")))
@@ -354,7 +383,7 @@ def ivf_topk(
                 F.aggregate(
                     F.zip_with(
                         "_puvec",
-                        F.array(*[F.lit(v) for v in c]),
+                        _array_lit(c),
                         lambda x, y: (x - y) * (x - y),
                     ),
                     F.lit(0.0),
@@ -415,7 +444,7 @@ def ivf_assign(
                 F.aggregate(
                     F.zip_with(
                         "_uvec",
-                        F.array(*[F.lit(v) for v in c]),
+                        _array_lit(c),
                         lambda x, y: (x - y) * (x - y),
                     ),
                     F.lit(0.0),
@@ -1246,9 +1275,7 @@ def _pq_codes(unit, codebooks: list[list[list[float]]]) -> F.Column:
         # m·k aggregate branches (256 at the defaults), whose whole-stage
         # codegen COMPILE cost dominated the query (~10 s for 500 rows);
         # this tree is O(m) aggregate nodes and compiles in milliseconds.
-        book_lit = F.array(
-            *[F.array(*[F.lit(v) for v in center]) for center in book]
-        )
+        book_lit = _array_lit(book)
         cands = F.transform(
             book_lit,
             lambda center, i: F.struct(
@@ -1274,9 +1301,7 @@ def _pq_lut(unit, codebooks: list[list[list[float]]]) -> F.Column:
     return F.array(
         *[
             F.transform(
-                F.array(
-                    *[F.array(*[F.lit(v) for v in center]) for center in book]
-                ),
+                _array_lit(book),
                 lambda center: F.aggregate(
                     F.zip_with(
                         F.slice(unit, s * sub + 1, sub),
@@ -1658,7 +1683,7 @@ def _cell_dists(unit, centroids: list[list[float]]) -> F.Column:
                 F.aggregate(
                     F.zip_with(
                         unit,
-                        F.array(*[F.lit(v) for v in c]),
+                        _array_lit(c),
                         lambda x, y: (x - y) * (x - y),
                     ),
                     F.lit(0.0),
@@ -1674,9 +1699,7 @@ def _cell_dists(unit, centroids: list[list[float]]) -> F.Column:
 def _centroid_lit(centroids: list[list[float]]) -> F.Column:
     """The IVF codebook as a plan-literal array-of-arrays (model-sized by
     construction — √N cells at the standard sizing)."""
-    return F.array(
-        *[F.array(*[F.lit(v) for v in c]) for c in centroids]
-    )
+    return _array_lit(centroids)
 
 
 def _residual(unit, centroids: list[list[float]]) -> F.Column:
