@@ -275,27 +275,28 @@ def force(df) -> int:
 #    upper bound of the quiet median, so a downward refresh keeps the
 #    detector conservative — it can under-flag, never false-flag).
 #    Current pin sources: bench_r11_repin_full.json (round-11 quiet
-#    re-pin, load 0.08) for entries untouched since; and
-#    bench_r13_close1_full.json (round-13 close, load ~3.5 — all 29
-#    refreshed/added entries ran FASTER there than their old quiet pins
-#    despite the load) for every entry whose code changed in round 13
-#    (the dedup verify/CC family, the ANN/PQ/codebook literal family)
-#    plus the six previously-unpinned round-11/12 additions.
+#    re-pin, load 0.08) for entries untouched since; and the lower of
+#    bench_r13_close1_full.json (load ~3.5) / bench_r13_repin_full.json
+#    (load_start 0.18, v2 66.0 s — the round-13 operative record) for
+#    every entry whose code changed in round 13 (the dedup verify/CC
+#    family, the ANN/PQ/codebook literal family) plus the six
+#    previously-unpinned round-11/12 additions.  All 29 ran faster in
+#    BOTH round-13 runs than their old quiet pins.
 #  - A non-empty `band_flagged` in a driver or closing run is REPORTED
 #    in the round's OPTIMIZATION_r*.md — never silently re-run away.
 #  - The detector only ever ADDS one rep and drops that query's worst
 #    sample; it never removes an entry from the ledger.
 BAND_TOLERANCE = 1.5
 PINNED_BAND: dict[str, float] = {
-    "ann_ivf_assign": 1.064,
+    "ann_ivf_assign": 0.815,
     "ann_ivf_topk": 3.567,
-    "ann_lsh_topk": 4.508,
+    "ann_lsh_topk": 4.215,
     "ann_pq_topk": 6.134,
     "ann_topk_cosine": 2.755,
     "asof_last_order": 1.057,
     "bucketed_order_revenue": 0.841,
-    "codebook_check": 1.128,
-    "codebook_update_check": 13.607,
+    "codebook_check": 0.97,
+    "codebook_update_check": 13.046,
     "curation_contamination": 0.942,
     "curation_decontaminated": 2.81,
     "curation_domain_filter": 0.809,
@@ -313,17 +314,17 @@ PINNED_BAND: dict[str, float] = {
     "customer_features": 2.305,
     "customer_revenue_stats": 1.503,
     "daily_ingest": 1.98,
-    "daily_ingest_check": 17.647,
-    "daily_ingest_lsh": 9.679,
+    "daily_ingest_check": 16.989,
+    "daily_ingest_lsh": 8.919,
     "dedup_exact": 0.293,
-    "dedup_incremental_lsh": 7.372,
-    "dedup_jaccard_pairs": 5.642,
-    "dedup_lsh_kept": 6.341,
+    "dedup_incremental_lsh": 5.941,
+    "dedup_jaccard_pairs": 4.259,
+    "dedup_lsh_kept": 5.679,
     "dedup_lsh_recall": 12.171,
-    "dedup_minhash_lsh": 6.199,
-    "dedup_semantic": 4.058,
-    "dedup_semantic_incremental": 3.103,
-    "dedup_simhash_recall": 10.628,
+    "dedup_minhash_lsh": 5.021,
+    "dedup_semantic": 3.04,
+    "dedup_semantic_incremental": 2.76,
+    "dedup_simhash_recall": 10.205,
     "epoch_plan": 0.657,
     "event_hourly_rollup": 0.439,
     "event_segment_rollup": 0.549,
@@ -332,23 +333,23 @@ PINNED_BAND: dict[str, float] = {
     "graph_degrees": 0.557,
     "graph_triangles": 15.258,
     "graph_triangles_capped": 1.266,
-    "incremental_semdedup_check": 4.626,
+    "incremental_semdedup_check": 4.373,
     "kmeans_check": 4.347,
     "kmeans_embedding_clusters": 1.358,
-    "lsh_twowave_check": 8.61,
+    "lsh_twowave_check": 6.774,
     "mixture_weights": 0.45,
     "multimodal_features": 1.753,
-    "pairs_update_check": 10.745,
+    "pairs_update_check": 9.457,
     "partitioned_month_revenue": 0.414,
-    "pq_recall_check": 3.38,
+    "pq_recall_check": 3.018,
     "pricing_summary": 2.427,
     "range_join_recent_orders": 0.967,
     "region_volume": 1.103,
     "row_number": 0.438,
     "sorted_shipdate_window": 0.311,
     "source_quota_sample": 0.219,
-    "split_leakage_safe": 5.703,
-    "streaming_ingest_check": 63.022,
+    "split_leakage_safe": 5.368,
+    "streaming_ingest_check": 50.396,
     "text_lang_id": 0.588,
     "text_quality": 0.494,
     "top_orders": 0.982,
@@ -364,12 +365,12 @@ PINNED_BAND: dict[str, float] = {
     "tpch_q9": 0.929,
     "training_order": 0.481,
     "zorder_cust_window": 0.287,
-    "ann_ivfpq_topk": 4.283,
-    "curation_span_removed": 4.09,
+    "ann_ivfpq_topk": 4.025,
+    "curation_span_removed": 3.873,
     "daily_ingest_semantic": 33.428,
-    "daily_ingest_semantic_check": 48.853,
-    "ivfpq_recall_check": 3.274,
-    "pq_index_update_check": 35.64,
+    "daily_ingest_semantic_check": 46.232,
+    "ivfpq_recall_check": 2.739,
+    "pq_index_update_check": 33.114,
 }
 
 
